@@ -1,0 +1,35 @@
+"""spectrogram_cube_clustering_tpu — TPU-native deep embedded clustering of
+spectrogram cubes.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+Julia310/Spectrogram-Cube-Clustering (PyTorch): convolutional-autoencoder
+pretraining, GMM latent-space initialization, and DEC (Xie/Girshick/Farhadi
+2016) joint refinement over seismic/acoustic spectrogram windows, designed
+TPU-first (device meshes + pjit sharding, static shapes, bf16/f32 numerics).
+
+Typical usage::
+
+    import spectrogram_cube_clustering_tpu as scc
+    model = scc.models.AEC()
+    ...
+
+Subpackages
+-----------
+core      : mesh / precision / PRNG plumbing
+ops       : pure array ops (normalizers, Student-t assignment, losses, kernels)
+models    : flax.linen network definitions (Encoder/Decoder/AEC/DEC/UNet)
+cluster   : on-device k-means, GMM-EM, metrics, t-SNE
+data      : Zarr cube + HDF5 catalog readers, synthetic data, prefetching
+train     : jit-compiled train steps, loops, checkpointing
+parallel  : sharding helpers and collectives
+workflow  : train/predict/gmm_fit orchestration (reference production.py parity)
+utils     : configuration (.ini), experiment trees, history CSVs
+analysis  : plotting and label/environment catalogues
+cli       : entry points (runDC equivalent + H5 console tools)
+"""
+
+__version__ = "0.1.0"
+
+from spectrogram_cube_clustering_tpu import core, ops, models  # noqa: F401
+
+__all__ = ["core", "ops", "models", "__version__"]

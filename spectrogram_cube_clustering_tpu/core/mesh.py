@@ -1,0 +1,57 @@
+"""Device-mesh helpers.
+
+The reference trains on a single CUDA device (Cluster/utils.py:190-200
+`set_device`) with distributed training deferred to an absent `dev_ddp`
+branch (readme.md:65). Here scaling is first-class: a 1-D ``data`` mesh over
+all addressable devices, batches sharded along it, and gradient reductions
+inserted by XLA via `jit` + `NamedSharding` (collectives ride ICI).
+
+These helpers are the single place the rest of the framework touches device
+topology; everything else stays pure and mesh-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_data_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), axis_names=(DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis; replicate the rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    """Smallest multiple of ``m`` that is >= ``n``."""
+    return ((n + m - 1) // m) * m
+
+
+def shard_batch(mesh: Mesh, batch: jax.Array) -> jax.Array:
+    """Place a host batch on the mesh, sharded along the batch axis.
+
+    The batch's leading dim must divide evenly by the mesh size — callers pad
+    with `pad_to_multiple` and mask, keeping shapes static for XLA.
+    """
+    if batch.shape[0] % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch dim {batch.shape[0]} not divisible by mesh size "
+            f"{mesh.devices.size}; pad first (pad_to_multiple)."
+        )
+    return jax.device_put(batch, batch_sharding(mesh, batch.ndim))

@@ -1,0 +1,62 @@
+"""Per-sample spectrogram normalizers.
+
+Reference semantics (Cluster/ZarrDataLoader.py:14-30 and the numpy duplicates
+at Cluster/utils.py:213-231). Each sample is one spectrogram window; all
+statistics are taken over the window's two trailing (freq, time-bin) axes so
+the functions broadcast over arbitrary leading batch/window dims — in the
+reference these run per-sample in DataLoader worker processes, here they fuse
+into the device compute under jit.
+
+- sample_normalization : X / max|X|                 (ZarrDataLoader.py:20-21)
+- sample_norm_cent     : (X - mean) / (max|X|+1e-8) (ZarrDataLoader.py:22-23;
+                         the default everywhere, AEC_train.py:39)
+- vec_norm             : X / (||X||_2 + 1e-8)       (ZarrDataLoader.py:24-29)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+_WINDOW_AXES = (-2, -1)
+
+
+def sample_normalization(x: jnp.ndarray) -> jnp.ndarray:
+    """Divide by the per-window max absolute value."""
+    denom = jnp.max(jnp.abs(x), axis=_WINDOW_AXES, keepdims=True)
+    return x / denom
+
+
+def sample_norm_cent(x: jnp.ndarray) -> jnp.ndarray:
+    """Subtract the per-window mean, divide by per-window absmax + 1e-8."""
+    mean = jnp.mean(x, axis=_WINDOW_AXES, keepdims=True)
+    denom = jnp.max(jnp.abs(x), axis=_WINDOW_AXES, keepdims=True) + 1e-8
+    return (x - mean) / denom
+
+
+def vec_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """L2-normalize each flattened window."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=_WINDOW_AXES, keepdims=True)) + 1e-8
+    return x / norm
+
+
+_REGISTRY = {
+    "sample_normalization": sample_normalization,
+    "sample_norm_cent": sample_norm_cent,
+    "vec_norm": vec_norm,
+}
+
+
+def make_normalizer(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Name -> normalizer fn; None / unknown names pass through unchanged,
+    matching the reference's fall-through transform dispatch
+    (ZarrDataLoader.py:18-30)."""
+    if name is None:
+        return lambda x: x
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown transform {name!r}; expected one of {sorted(_REGISTRY)}"
+        ) from None

@@ -1,0 +1,116 @@
+"""Shape/dtype contract tests for the networks (SURVEY.md §4 item 1):
+4x101 -> 9 -> 4x101 for AEC/DEC, 16-d bottleneck for UNet."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectrogram_cube_clustering_tpu import models
+
+
+@pytest.fixture(scope="module")
+def x8():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(8, 4, 101, 1)).astype(np.float32))
+
+
+class TestAEC:
+    def test_shapes(self, x8):
+        m = models.AEC()
+        params = m.init(jax.random.key(0), x8)
+        x_rec, z = m.apply(params, x8)
+        assert x_rec.shape == (8, 4, 101, 1)
+        assert z.shape == (8, 9)
+
+    def test_latent_nonnegative(self, x8):
+        # Encoder ends in ReLU (networks.py:185).
+        m = models.AEC()
+        params = m.init(jax.random.key(1), x8)
+        _, z = m.apply(params, x8)
+        assert (np.asarray(z) >= 0).all()
+
+    def test_encode_method(self, x8):
+        m = models.AEC()
+        params = m.init(jax.random.key(0), x8)
+        z = m.apply(params, x8, method=m.encode)
+        _, z2 = m.apply(params, x8)
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+
+    def test_custom_latent_dim(self, x8):
+        m = models.AEC(latent_dim=16)
+        params = m.init(jax.random.key(0), x8)
+        x_rec, z = m.apply(params, x8)
+        assert z.shape == (8, 16) and x_rec.shape == (8, 4, 101, 1)
+
+    def test_bias_init_constant(self, x8):
+        params = models.AEC().init(jax.random.key(0), x8)
+        bias = params["params"]["encoder"]["Conv_0"]["bias"]
+        np.testing.assert_allclose(np.asarray(bias), 0.01)
+
+
+class TestDEC:
+    def test_shapes_and_simplex(self, x8):
+        m = models.DEC(n_clusters=5)
+        params = m.init(jax.random.key(0), x8)
+        q, x_rec, z = m.apply(params, x8)
+        assert q.shape == (8, 5)
+        assert x_rec.shape == (8, 4, 101, 1)
+        assert z.shape == (8, 9)
+        np.testing.assert_allclose(np.asarray(q).sum(-1), 1.0, rtol=1e-5)
+
+    def test_replace_centroids(self, x8):
+        from spectrogram_cube_clustering_tpu.models.dec import replace_centroids
+
+        m = models.DEC(n_clusters=5)
+        params = m.init(jax.random.key(0), x8)
+        new_c = np.arange(45, dtype=np.float32).reshape(5, 9)
+        p2 = dict(params)
+        p2["params"] = replace_centroids(params["params"], new_c)
+        np.testing.assert_array_equal(
+            np.asarray(p2["params"]["centroids"]), new_c
+        )
+
+    def test_encoder_transfer_from_aec(self, x8):
+        from spectrogram_cube_clustering_tpu.models.dec import (
+            load_encoder_decoder_from_aec,
+        )
+
+        aec = models.AEC()
+        aec_params = aec.init(jax.random.key(7), x8)["params"]
+        dec = models.DEC(n_clusters=5)
+        dec_vars = dec.init(jax.random.key(0), x8)
+        dec_params = load_encoder_decoder_from_aec(
+            dec_vars["params"], aec_params
+        )
+        q, x_rec, z = dec.apply({"params": dec_params}, x8)
+        _, z_aec = aec.apply({"params": aec_params}, x8)
+        np.testing.assert_allclose(
+            np.asarray(z), np.asarray(z_aec), rtol=1e-6
+        )
+
+
+class TestUNet:
+    def test_shapes(self, x8):
+        m = models.UNet()
+        params = m.init(jax.random.key(0), x8)
+        x_rec, z = m.apply(params, x8)
+        assert x_rec.shape == (8, 4, 101, 1)
+        assert z.shape == (8, 16)
+
+    def test_latent_in_unit_interval(self, x8):
+        # Bottleneck is sigmoid-gated (networks.py:45-67).
+        m = models.UNet()
+        params = m.init(jax.random.key(0), x8)
+        _, z = m.apply(params, x8)
+        z = np.asarray(z)
+        assert (z > 0).all() and (z < 1).all()
+
+
+class TestLayout:
+    def test_nchw_roundtrip(self, x8):
+        nchw = models.to_nchw(x8)
+        assert nchw.shape == (8, 1, 4, 101)
+        np.testing.assert_array_equal(
+            np.asarray(models.from_nchw(nchw)), np.asarray(x8)
+        )

@@ -1,0 +1,145 @@
+"""Numerical parity against torch layer stacks.
+
+Builds torch modules matching the reference architecture spec (see
+SURVEY.md C4/C5), ports their weights into the flax models, and checks
+outputs agree to f32 tolerance. This pins conv/conv-transpose geometry
+(stride/padding/output_padding) and the attention quirk exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+from spectrogram_cube_clustering_tpu import models  # noqa: E402
+
+
+def t2j_conv(w):
+    # torch conv weight (out, in, kh, kw) -> flax (kh, kw, in, out)
+    return jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0))
+
+
+def t2j_convt(w):
+    # torch convT weight (in, out, kh, kw) -> flax transpose_kernel (kh, kw, out, in)
+    return jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0))
+
+
+def t2j_dense(w):
+    # torch linear weight (out, in) -> flax (in, out)
+    return jnp.asarray(w.detach().numpy().T)
+
+
+def t2j_bias(b):
+    return jnp.asarray(b.detach().numpy())
+
+
+class TorchRefEncoder(nn.Module):
+    """Reference encoder architecture (networks.py:172-189), test-local."""
+
+    def __init__(self):
+        super().__init__()
+        self.convs = nn.ModuleList(
+            [
+                nn.Conv2d(1 if i == 0 else 8, 8, (2, 4), (1, 2), 1)
+                for i in range(3)
+            ]
+        )
+        self.att_conv = nn.Conv2d(2, 1, 3, padding=1, bias=False)
+        self.fc = nn.Linear(84, 9)
+
+    def forward(self, x):
+        for c in self.convs:
+            x = torch.relu(c(x))
+        avg = x.mean(dim=1, keepdim=True)
+        mx = x.max(dim=1, keepdim=True).values
+        a = self.att_conv(torch.cat([avg, mx], dim=1))
+        x = a * torch.sigmoid(a)  # reference quirk (networks.py:163-168)
+        x = x.flatten(1)
+        return torch.relu(self.fc(x))
+
+
+class TorchRefDecoder(nn.Module):
+    """Reference decoder architecture (networks.py:194-214), test-local."""
+
+    def __init__(self):
+        super().__init__()
+        self.fc = nn.Linear(9, 84)
+        self.ct0 = nn.ConvTranspose2d(1, 8, 3, padding=1, bias=False)
+        self.ct1 = nn.ConvTranspose2d(8, 8, (2, 4), (1, 2), 1, output_padding=(0, 1))
+        self.ct2 = nn.ConvTranspose2d(8, 8, (2, 4), (1, 2), 1)
+        self.ct3 = nn.ConvTranspose2d(8, 1, (2, 4), (1, 2), 1, output_padding=(0, 1))
+
+    def forward(self, z):
+        x = torch.relu(self.fc(z)).reshape(-1, 1, 7, 12)
+        for ct in (self.ct0, self.ct1, self.ct2, self.ct3):
+            x = torch.relu(ct(x))
+        return x
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(42)
+    return rng.normal(size=(4, 1, 4, 101)).astype(np.float32)
+
+
+def test_encoder_parity(data):
+    tm = TorchRefEncoder().eval()
+    with torch.no_grad():
+        want = tm(torch.from_numpy(data)).numpy()
+
+    enc = models.Encoder()
+    x = models.from_nchw(jnp.asarray(data))
+    params = enc.init(jax.random.key(0), x)["params"]
+    for i in range(3):
+        params[f"Conv_{i}"]["kernel"] = t2j_conv(tm.convs[i].weight)
+        params[f"Conv_{i}"]["bias"] = t2j_bias(tm.convs[i].bias)
+    params["SpatialAttention_0"]["Conv_0"]["kernel"] = t2j_conv(tm.att_conv.weight)
+    params["Dense_0"]["kernel"] = t2j_dense(tm.fc.weight)
+    params["Dense_0"]["bias"] = t2j_bias(tm.fc.bias)
+
+    with jax.default_matmul_precision("float32"):
+        got = np.asarray(enc.apply({"params": params}, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_decoder_parity():
+    rng = np.random.default_rng(3)
+    z = rng.uniform(0, 1, size=(4, 9)).astype(np.float32)
+    tm = TorchRefDecoder().eval()
+    with torch.no_grad():
+        want = tm(torch.from_numpy(z)).numpy()  # (4, 1, 4, 101)
+
+    dec = models.Decoder()
+    params = dec.init(jax.random.key(0), jnp.asarray(z))["params"]
+    params["Dense_0"]["kernel"] = t2j_dense(tm.fc.weight)
+    params["Dense_0"]["bias"] = t2j_bias(tm.fc.bias)
+    for i, ct in enumerate((tm.ct0, tm.ct1, tm.ct2, tm.ct3)):
+        leaf = params[f"TorchConvTranspose_{i}"]["ConvTranspose_0"]
+        leaf["kernel"] = t2j_convt(ct.weight)
+        if ct.bias is not None:
+            leaf["bias"] = t2j_bias(ct.bias)
+
+    with jax.default_matmul_precision("float32"):
+        got = np.asarray(
+            models.to_nchw(dec.apply({"params": params}, jnp.asarray(z)))
+        )
+    assert got.shape == want.shape == (4, 1, 4, 101)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_fixed_mode(data):
+    # faithful=False gates the INPUT feature map (8 channels survive, flatten
+    # is 672 wide); faithful=True reproduces the reference's 1-channel
+    # collapse (networks.py:163-168). Both must produce a 9-d latent.
+    x = models.from_nchw(jnp.asarray(data))
+    for faithful in (True, False):
+        enc = models.Encoder(attention_faithful=faithful)
+        p = enc.init(jax.random.key(0), x)
+        z = enc.apply(p, x)
+        assert z.shape == (4, 9)
+    # and the faithful path's Dense input is the reference's 84
+    pq = models.Encoder(attention_faithful=True).init(jax.random.key(0), x)
+    assert pq["params"]["Dense_0"]["kernel"].shape == (84, 9)
