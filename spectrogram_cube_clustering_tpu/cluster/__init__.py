@@ -1,0 +1,18 @@
+"""On-device clustering: k-means, GMM-EM, silhouette, t-SNE.
+
+TPU-native replacements for the reference's sklearn/cuML calls
+(Cluster/models.py:21-29, 365-413, 546-574, 1271-1350): k-means restarts are
+vmapped and run under jit; GMM-EM sufficient statistics are matmuls on the
+MXU; silhouette is a chunked pairwise-distance scan. t-SNE stays host-side
+(sklearn) like the reference's analysis path.
+"""
+
+from spectrogram_cube_clustering_tpu.cluster.kmeans import kmeans
+from spectrogram_cube_clustering_tpu.cluster.gmm import gmm, gmm_em, gmm_predict, GMMState
+from spectrogram_cube_clustering_tpu.cluster.silhouette import silhouette_samples
+from spectrogram_cube_clustering_tpu.cluster.tsne import tsne
+
+__all__ = [
+    "kmeans", "gmm", "gmm_em", "gmm_predict", "GMMState",
+    "silhouette_samples", "tsne",
+]

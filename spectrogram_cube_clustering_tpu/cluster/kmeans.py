@@ -1,0 +1,119 @@
+"""Batched k-means with vmapped restarts.
+
+Reference contract (Cluster/models.py:546-574 / 386-391): sklearn/cuML
+KMeans(n_clusters, max_iter=1000, n_init=100, random_state=2009) — 100
+independent k-means++ restarts, best inertia wins. Naively porting that is
+100 sequential fits; here all restarts run simultaneously under one jit
+(`vmap` over the restart axis), with a shared `lax.while_loop` that stops
+when every restart has converged (SURVEY.md §7 "hard parts").
+
+Parity is statistical, not bitwise: JAX PRNG != sklearn's MT19937, so
+individual labels may permute, but on separable data the best-restart
+solution matches sklearn to NMI/ARI >= 0.99 (tests/test_cluster.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _sqdist(z: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    """(M, K) squared distances; difference form (stable at small D)."""
+    diff = z[:, None, :] - centers[None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def _plus_plus_init(key: jax.Array, z: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-means++ seeding (one candidate per step)."""
+    m = z.shape[0]
+    key, k0 = jax.random.split(key)
+    first = jax.random.randint(k0, (), 0, m)
+    centers = jnp.zeros((k, z.shape[1]), z.dtype).at[0].set(z[first])
+    d2 = jnp.sum((z - z[first]) ** 2, axis=-1)
+    tiny = jnp.finfo(z.dtype).tiny
+
+    def body(i, carry):
+        key, centers, d2 = carry
+        key, sub = jax.random.split(key)
+        idx = jax.random.categorical(sub, jnp.log(jnp.maximum(d2, tiny)))
+        c = z[idx]
+        centers = centers.at[i].set(c)
+        d2 = jnp.minimum(d2, jnp.sum((z - c) ** 2, axis=-1))
+        return key, centers, d2
+
+    _, centers, _ = lax.fori_loop(1, k, body, (key, centers, d2))
+    return centers
+
+
+def _lloyd_single(z, init_centers, max_iter, tol_abs):
+    """One restart's Lloyd iterations; vmapped over restarts by `kmeans`."""
+    k = init_centers.shape[0]
+
+    def assign(centers):
+        d2 = _sqdist(z, centers)
+        labels = jnp.argmin(d2, axis=-1)
+        inertia = jnp.sum(jnp.min(d2, axis=-1))
+        return labels, inertia
+
+    def cond(state):
+        _, _, it, done = state
+        return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+    def body(state):
+        centers, _, it, _ = state
+        labels, _ = assign(centers)
+        onehot = jax.nn.one_hot(labels, k, dtype=z.dtype)      # (M, K)
+        counts = jnp.sum(onehot, axis=0)                        # (K,)
+        sums = onehot.T @ z                                     # (K, D) on MXU
+        new_centers = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
+        )
+        shift = jnp.sum((new_centers - centers) ** 2)
+        return new_centers, shift, it + 1, shift <= tol_abs
+
+    init = (init_centers, jnp.inf, jnp.array(0), jnp.array(False))
+    centers, _, n_iter, _ = lax.while_loop(cond, body, init)
+    labels, inertia = assign(centers)
+    return centers, labels, inertia, n_iter
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "n_init", "max_iter"))
+def _kmeans_jit(z, key, n_clusters, n_init, max_iter, tol_abs):
+    keys = jax.random.split(key, n_init)
+    inits = jax.vmap(lambda k: _plus_plus_init(k, z, n_clusters))(keys)
+    centers, labels, inertia, _ = jax.vmap(
+        lambda c: _lloyd_single(z, c, max_iter, tol_abs)
+    )(inits)
+    best = jnp.argmin(inertia)
+    return labels[best], centers[best], inertia[best]
+
+
+def kmeans(
+    z_array,
+    n_clusters: int,
+    *,
+    n_init: int = 100,
+    max_iter: int = 1000,
+    tol: float = 1e-4,
+    seed: int = 2009,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cluster rows of z_array (M, D) into n_clusters.
+
+    Returns (labels (M,), centroids (K, D)) like models.py:546-574. Defaults
+    mirror the reference call sites (n_init=100, max_iter=1000, seed=2009);
+    `tol` follows sklearn semantics (relative to the mean per-feature
+    variance of the data).
+    """
+    z = jnp.asarray(z_array)
+    if z.dtype not in (jnp.float32, jnp.float64):
+        z = z.astype(jnp.float32)
+    tol_abs = tol * jnp.mean(jnp.var(z, axis=0))
+    labels, centers, _ = _kmeans_jit(
+        z, jax.random.key(seed), n_clusters, n_init, max_iter, tol_abs
+    )
+    return labels, centers

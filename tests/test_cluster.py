@@ -1,0 +1,134 @@
+"""Clustering parity tests vs sklearn on synthetic blobs (SURVEY.md §4:
+"GMM-EM vs sklearn parity on synthetic blobs (NMI/ARI >= 0.99)")."""
+
+import numpy as np
+import pytest
+
+from sklearn.cluster import KMeans as SKKMeans
+from sklearn.datasets import make_blobs
+from sklearn.metrics import (
+    adjusted_rand_score,
+    normalized_mutual_info_score,
+    silhouette_samples as sk_silhouette_samples,
+)
+from sklearn.mixture import GaussianMixture
+
+from spectrogram_cube_clustering_tpu import cluster
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    # 9-D latent-like blobs, 5 clusters (the reference's K default).
+    x, y = make_blobs(
+        n_samples=1200, n_features=9, centers=5, cluster_std=1.0,
+        random_state=2009,
+    )
+    return x.astype(np.float32), y
+
+
+class TestKMeans:
+    def test_matches_truth_and_sklearn(self, blobs):
+        x, y = blobs
+        labels, centers = cluster.kmeans(x, 5, n_init=10, max_iter=100)
+        labels = np.asarray(labels)
+        assert normalized_mutual_info_score(y, labels) >= 0.99
+        sk = SKKMeans(n_clusters=5, n_init=10, random_state=2009).fit(x)
+        assert normalized_mutual_info_score(sk.labels_, labels) >= 0.99
+        # centroid sets match up to permutation
+        d = np.linalg.norm(
+            np.asarray(centers)[:, None] - sk.cluster_centers_[None], axis=-1
+        )
+        assert d.min(axis=1).max() < 0.15
+
+    def test_deterministic(self, blobs):
+        x, _ = blobs
+        l1, c1 = cluster.kmeans(x, 5, n_init=4, max_iter=50, seed=7)
+        l2, c2 = cluster.kmeans(x, 5, n_init=4, max_iter=50, seed=7)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_k2(self):
+        rng = np.random.default_rng(0)
+        x = np.concatenate(
+            [rng.normal(-3, 0.3, (100, 2)), rng.normal(3, 0.3, (100, 2))]
+        ).astype(np.float32)
+        labels, centers = cluster.kmeans(x, 2, n_init=4, max_iter=50)
+        labels = np.asarray(labels)
+        assert (labels[:100] == labels[0]).all()
+        assert (labels[100:] == labels[100]).all()
+        assert labels[0] != labels[100]
+
+
+class TestGMM:
+    def test_parity_with_sklearn(self, blobs):
+        x, y = blobs
+        labels, centroids = cluster.gmm(x, 5, n_init=10)
+        labels = np.asarray(labels)
+        assert normalized_mutual_info_score(y, labels) >= 0.99
+        assert adjusted_rand_score(y, labels) >= 0.99
+
+        km = SKKMeans(n_clusters=5, n_init=10, random_state=2009).fit(x)
+        counts = np.bincount(km.labels_, minlength=5)
+        sk = GaussianMixture(
+            n_components=5, max_iter=1000, n_init=1,
+            weights_init=counts / len(x), means_init=km.cluster_centers_,
+        )
+        sk_labels = sk.fit_predict(x.astype(np.float64))
+        assert normalized_mutual_info_score(sk_labels, labels) >= 0.99
+        d = np.linalg.norm(
+            np.asarray(centroids)[:, None] - sk.means_[None], axis=-1
+        )
+        assert d.min(axis=1).max() < 0.2
+
+    def test_em_improves_likelihood_and_converges(self, blobs):
+        x, _ = blobs
+        km_labels, km_centers = cluster.kmeans(x, 5, n_init=4, max_iter=50)
+        w = np.bincount(np.asarray(km_labels), minlength=5) / len(x)
+        labels, state = cluster.gmm_em(x, w, np.asarray(km_centers))
+        assert bool(state.converged)
+        assert int(state.n_iter) < 1000
+        assert np.isfinite(float(state.lower_bound))
+        np.testing.assert_allclose(float(np.asarray(state.weights).sum()), 1.0, rtol=1e-5)
+
+    def test_predict_matches_fit_labels(self, blobs):
+        x, _ = blobs
+        km_labels, km_centers = cluster.kmeans(x, 5, n_init=4, max_iter=50)
+        w = np.bincount(np.asarray(km_labels), minlength=5) / len(x)
+        labels, state = cluster.gmm_em(x, w, np.asarray(km_centers))
+        pred = cluster.gmm_predict(x, state)
+        assert (np.asarray(pred) == np.asarray(labels)).mean() > 0.999
+
+
+class TestSilhouette:
+    def test_matches_sklearn(self, blobs):
+        x, y = blobs
+        got = np.asarray(cluster.silhouette_samples(x, y, 5, chunk=256))
+        want = sk_silhouette_samples(x, y)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_unpadded_chunk_boundary(self, blobs):
+        x, y = blobs
+        # chunk that doesn't divide M exercises the padding path
+        got = np.asarray(cluster.silhouette_samples(x, y, 5, chunk=999))
+        want = sk_silhouette_samples(x, y)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_flattens_spectrogram_input(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(64, 1, 4, 10)).astype(np.float32)
+        y = rng.integers(0, 2, size=64)
+        got = np.asarray(cluster.silhouette_samples(x, y, 2, chunk=16))
+        want = sk_silhouette_samples(x.reshape(64, -1), y)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestTSNE:
+    def test_smoke_shapes_and_determinism(self):
+        rng = np.random.default_rng(0)
+        x = np.concatenate(
+            [rng.normal(-2, 0.2, (60, 9)), rng.normal(2, 0.2, (60, 9))]
+        ).astype(np.float32)
+        e1 = cluster.tsne(x, n_iter=260)
+        e2 = cluster.tsne(x, n_iter=260)
+        assert e1.shape == (120, 2)
+        np.testing.assert_allclose(e1, e2, atol=1e-4)
