@@ -30,6 +30,6 @@ cli       : entry points (runDC equivalent + H5 console tools)
 
 __version__ = "0.1.0"
 
-from spectrogram_cube_clustering_tpu import core, ops, models, cluster  # noqa: F401
+from spectrogram_cube_clustering_tpu import core, ops, models, cluster, data, train  # noqa: F401
 
-__all__ = ["core", "ops", "models", "cluster", "__version__"]
+__all__ = ["core", "ops", "models", "cluster", "data", "train", "__version__"]

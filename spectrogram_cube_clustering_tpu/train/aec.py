@@ -1,0 +1,153 @@
+"""AEC pretraining loop.
+
+Reference semantics (Cluster/models.py:761-926 AEC_training):
+- per-epoch training pass (MSE, Adam) + validation pass;
+- early stopping: track best validation loss, stop after `patience`
+  consecutive non-improvements once epoch > patience (models.py:857-874);
+- final weights are the best-validation checkpoint when early stopping is on
+  (models.py:916-923);
+- history of (epoch, train, validation) losses.
+
+TPU-first mechanics: one jitted `lax.scan` per epoch over device-resident
+batches (train/layout.py); epoch losses are exact means over real samples
+(padding masked), matching the reference's running_loss/running_size
+accounting (models.py:160-167).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from spectrogram_cube_clustering_tpu.train.layout import BatchedData
+
+
+@dataclasses.dataclass
+class AECConfig:
+    n_epochs: int = 20
+    lr: float = 1e-4
+    early_stopping: bool = True
+    patience: int = 10
+    verbose: bool = False
+
+
+def _masked_mse_per_sample(x_rec, x):
+    d = x_rec - x
+    return jnp.mean(d * d, axis=tuple(range(1, x.ndim)))  # (B,)
+
+
+def make_epoch_fns(model):
+    """Build (train_epoch, eval_epoch), each one jitted scan over batches."""
+
+    def loss_sum(params, x, mask):
+        out = model.apply({"params": params}, x)
+        x_rec = out[0]
+        per = _masked_mse_per_sample(x_rec, x)
+        nvalid = jnp.maximum(jnp.sum(mask), 1.0)
+        batch_loss = jnp.sum(per * mask) / nvalid
+        return batch_loss, nvalid
+
+    @jax.jit
+    def train_epoch(state, xb, maskb):
+        def step(state, batch):
+            x, mask = batch
+
+            def lf(params):
+                batch_loss, nvalid = loss_sum(params, x, mask)
+                return batch_loss, nvalid
+
+            (batch_loss, nvalid), grads = jax.value_and_grad(lf, has_aux=True)(
+                state.params
+            )
+            state = state.apply_gradients(grads=grads)
+            return state, batch_loss * nvalid
+
+        state, sums = lax.scan(step, state, (xb, maskb))
+        return state, jnp.sum(sums) / jnp.maximum(jnp.sum(maskb), 1.0)
+
+    @jax.jit
+    def eval_epoch(params, xb, maskb):
+        def step(_, batch):
+            x, mask = batch
+            batch_loss, nvalid = loss_sum(params, x, mask)
+            return None, batch_loss * nvalid
+
+        _, sums = lax.scan(step, None, (xb, maskb))
+        return jnp.sum(sums) / jnp.maximum(jnp.sum(maskb), 1.0)
+
+    return train_epoch, eval_epoch
+
+
+def train_aec(
+    model,
+    state,
+    tra: BatchedData,
+    val: Optional[BatchedData],
+    config: AECConfig,
+    log_scalar: Optional[Callable[[str, float, int], None]] = None,
+    save_checkpoint: Optional[Callable[[str, object], None]] = None,
+) -> Dict:
+    """Run AEC pretraining. Returns dict with final state, best params,
+    history, and the stop epoch."""
+    train_epoch, eval_epoch = make_epoch_fns(model)
+
+    best_val = float("inf")
+    best_params = None
+    strikes = 0
+    finished = False
+    history: Dict[str, List[float]] = {"epoch": [], "train": [], "validation": []}
+
+    epoch = -1
+    for epoch in range(config.n_epochs):
+        state, tra_loss = train_epoch(state, tra.x, tra.mask)
+        tra_loss = float(tra_loss)
+        val_loss = (
+            float(eval_epoch(state.params, val.x, val.mask))
+            if val is not None
+            else tra_loss
+        )
+        history["epoch"].append(epoch + 1)
+        history["train"].append(tra_loss)
+        history["validation"].append(val_loss)
+        if log_scalar is not None:
+            log_scalar("Training MSE", tra_loss, epoch + 1)
+            log_scalar("Validation MSE", val_loss, epoch + 1)
+        if config.verbose:
+            print(
+                f"Epoch [{epoch + 1}/{config.n_epochs}] "
+                f"train={tra_loss:.4e} val={val_loss:.4e}"
+            )
+
+        if config.early_stopping:
+            if val_loss < best_val:
+                strikes = 0
+                best_val = val_loss
+                best_params = jax.tree.map(lambda a: a, state.params)
+                if save_checkpoint is not None:
+                    save_checkpoint("AEC_Best_Weights", best_params)
+            else:
+                strikes = 1 if epoch == 0 else strikes + 1
+            if epoch > config.patience and strikes > config.patience:
+                finished = True
+                break
+        elif save_checkpoint is not None:
+            save_checkpoint(f"AEC_Params_{epoch + 1:03d}", state.params)
+
+    # Final = best-validation params when early stopping (models.py:916-923).
+    final_params = (
+        best_params
+        if (config.early_stopping and best_params is not None)
+        else state.params
+    )
+    return {
+        "state": state,
+        "final_params": final_params,
+        "best_val": best_val,
+        "history": history,
+        "stopped_early": finished,
+        "last_epoch": epoch + 1,
+    }

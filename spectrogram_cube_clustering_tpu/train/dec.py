@@ -1,0 +1,271 @@
+"""DEC refinement loop.
+
+Reference semantics (Cluster/models.py:929-1231 DEC_training):
+- cluster initialization via load/rand/kmeans/gmm on the frozen latent space
+  (initialize_clusters, models.py:498-543), centroids copied into the model
+  (models.py:1006-1008);
+- update_interval batches between target-distribution refreshes; -1 means 2
+  refreshes per epoch: ceil(M / (batch * 2)) (models.py:986-989);
+- each refresh runs a full-dataset eval -> q -> p = target_distribution(q),
+  computes delta = fraction of changed labels, and stops when delta < tol
+  (models.py:1093-1111);
+- per-batch loss = MSE + gamma * KL(p_slice || q) / batch with p sliced by
+  the running sample offset (models.py:1113-1126) — valid because loaders
+  never shuffle;
+- histories of per-iteration accumulated losses and per-refresh deltas.
+
+TPU-first mechanics: the full-dataset eval is one jitted scan (`full_eval`);
+the batches between refreshes run as one jitted "segment" scan indexing the
+device-resident dataset, so the only host sync per segment is the delta
+scalar — the reference instead pays a D2H copy per batch (models.py:89-90).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.scipy.special import xlogy
+
+from spectrogram_cube_clustering_tpu.models.dec import replace_centroids
+from spectrogram_cube_clustering_tpu.ops.student_t import target_distribution
+from spectrogram_cube_clustering_tpu.train.layout import BatchedData
+
+
+@dataclasses.dataclass
+class DECConfig:
+    n_clusters: int = 5
+    n_epochs: int = 400
+    lr: float = 1e-3
+    gamma: float = 0.001
+    tol: float = 0.003
+    update_interval: int = -1       # -1 => 2 refreshes/epoch (models.py:986-989)
+    init: str = "gmm"               # load | rand | kmeans | gmm
+    kmeans_n_init: int = 100
+    kmeans_max_iter: int = 1000
+    seed: int = 2009
+    verbose: bool = False
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def _full_eval_jit(apply_fn, params, xb):
+    def step(_, x):
+        q, _, z = apply_fn({"params": params}, x)
+        return None, (q, z)
+
+    _, (q, z) = lax.scan(step, None, xb)
+    q = q.reshape(-1, q.shape[-1])
+    z = z.reshape(-1, z.shape[-1])
+    # reference rounds q to 5 dp before use (models.py:94)
+    q = jnp.round(q, 5)
+    labels = jnp.argmax(q, axis=1)
+    return q, labels, z
+
+
+def full_eval(model, params, data: BatchedData):
+    """Full-dataset inference: (q (M,K), labels (M,), z (M,D)).
+
+    Reference: batch_eval (models.py:41-103), minus the per-batch D2H copies.
+    """
+    q, labels, z = _full_eval_jit(model.apply, params, data.x)
+    m = data.n_samples
+    return q[:m], labels[:m], z[:m]
+
+
+def _pad_p(p: jnp.ndarray, n_batches: int, batch: int) -> jnp.ndarray:
+    k = p.shape[-1]
+    flat = jnp.zeros((n_batches * batch, k), p.dtype).at[: p.shape[0]].set(p)
+    return flat.reshape(n_batches, batch, k)
+
+
+def make_segment_fn(model, gamma: float, seg_len: int):
+    """Jitted scan over `seg_len` consecutive batches starting at `start`."""
+
+    @jax.jit
+    def segment(state, x_all, m_all, p_all, start):
+        def step(state, i):
+            idx = start + i
+            x = lax.dynamic_index_in_dim(x_all, idx, 0, keepdims=False)
+            mask = lax.dynamic_index_in_dim(m_all, idx, 0, keepdims=False)
+            p = lax.dynamic_index_in_dim(p_all, idx, 0, keepdims=False)
+
+            def lf(params):
+                q, x_rec, _ = model.apply({"params": params}, x)
+                d = x_rec - x
+                per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
+                nvalid = jnp.maximum(jnp.sum(mask), 1.0)
+                rec = jnp.sum(per * mask) / nvalid
+                log_q = jnp.log(jnp.maximum(q, jnp.finfo(q.dtype).tiny))
+                row_kld = jnp.sum(xlogy(p, p) - p * log_q, axis=-1)
+                clust = gamma * jnp.sum(row_kld * mask) / nvalid
+                return rec + clust, (rec, clust, nvalid)
+
+            (loss, (rec, clust, nvalid)), grads = jax.value_and_grad(
+                lf, has_aux=True
+            )(state.params)
+            state = state.apply_gradients(grads=grads)
+            return state, (loss * nvalid, rec * nvalid, clust * nvalid, nvalid)
+
+        state, sums = lax.scan(step, state, jnp.arange(seg_len))
+        return state, jax.tree.map(jnp.sum, sums)
+
+    return segment
+
+
+def initialize_clusters(
+    model,
+    params,
+    data: BatchedData,
+    config: DECConfig,
+    initial: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cluster init: (labels, centroids). Reference: models.py:498-543.
+
+    `load` takes explicit (labels, centroids) via `initial` — the workflow
+    layer reads them from the GMM artifact dir; the reference's equivalent
+    path is broken in-tree (indexes labels by an attribute only the dead H5
+    path sets, SURVEY.md §2.3 defect 5).
+    """
+    from spectrogram_cube_clustering_tpu import cluster as _cluster
+
+    k = config.n_clusters
+    if config.init == "load":
+        if initial is None:
+            raise ValueError("init='load' requires initial=(labels, centroids)")
+        return np.asarray(initial[0]), np.asarray(initial[1])
+    if config.init == "rand":
+        rng = np.random.default_rng(config.seed)
+        labels = rng.integers(0, k, size=data.n_samples)
+        latent_dim = model.latent_dim
+        return labels, rng.uniform(size=(k, latent_dim)).astype(np.float32)
+
+    _, _, z = full_eval(model, params, data)
+    if config.init == "kmeans":
+        labels, centroids = _cluster.kmeans(
+            z, k, n_init=config.kmeans_n_init,
+            max_iter=config.kmeans_max_iter, seed=config.seed,
+        )
+    elif config.init == "gmm":
+        labels, centroids = _cluster.gmm(
+            z, k, n_init=config.kmeans_n_init,
+            kmeans_max_iter=config.kmeans_max_iter, seed=config.seed,
+        )
+    else:
+        raise ValueError(f"unknown init {config.init!r}")
+    return np.asarray(labels), np.asarray(centroids)
+
+
+def train_dec(
+    model,
+    state,
+    data: BatchedData,
+    config: DECConfig,
+    initial: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    log_scalar: Optional[Callable[[str, float, int], None]] = None,
+) -> Dict:
+    """Run DEC refinement. Returns final state, histories, labels, deltas."""
+    m = data.n_samples
+    nb = data.n_batches
+    bsz = data.batch_size
+    if config.update_interval == -1:
+        update_interval = int(np.ceil(m / (bsz * 2)))
+    else:
+        update_interval = int(np.ceil(m / (bsz * config.update_interval)))
+    update_interval = max(update_interval, 1)
+
+    labels_prev, centroids = initialize_clusters(
+        model, state.params, data, config, initial
+    )
+    state = state.replace(
+        params=replace_centroids(state.params, jnp.asarray(centroids))
+    )
+    initial_params = jax.tree.map(lambda a: a, state.params)
+
+    q, _, z0 = full_eval(model, state.params, data)
+    p = target_distribution(q)
+    p_all = _pad_p(p, nb, bsz)
+    labels_prev = jnp.asarray(labels_prev)
+
+    segment_fns = {}
+
+    def run_segment(state, start, seg_len):
+        if seg_len not in segment_fns:
+            segment_fns[seg_len] = make_segment_fn(model, config.gamma, seg_len)
+        return segment_fns[seg_len](
+            state, data.x, data.mask, p_all, jnp.array(start)
+        )
+
+    history: Dict[str, List[float]] = {
+        "iteration": [], "reconstruction": [], "clustering": [], "total": [],
+    }
+    deltas: Dict[str, List[float]] = {"iteration": [], "delta": []}
+
+    n_iter = 1
+    running = np.zeros(4)  # loss, rec, clust, size (epoch-accumulated)
+    finished = False
+    epoch = -1
+    for epoch in range(config.n_epochs):
+        running[:] = 0.0
+        batch_num = 0
+        while batch_num < nb:
+            if batch_num % update_interval == 0 and not (
+                batch_num == 0 and epoch == 0
+            ):
+                q, labels, _ = full_eval(model, state.params, data)
+                p_all = _pad_p(target_distribution(q), nb, bsz)
+                delta = float(jnp.mean((labels != labels_prev).astype(jnp.float32)))
+                deltas["iteration"].append(n_iter)
+                deltas["delta"].append(delta)
+                if log_scalar is not None:
+                    log_scalar("delta", delta, n_iter)
+                labels_prev = labels
+                if delta < config.tol:
+                    if config.verbose:
+                        print("Stop criterion met, training complete.")
+                    finished = True
+                    break
+
+            next_refresh = (batch_num // update_interval + 1) * update_interval
+            seg_len = min(next_refresh, nb) - batch_num
+            state, sums = run_segment(state, batch_num, seg_len)
+            loss_s, rec_s, clust_s, size_s = (float(v) for v in sums)
+            running += (loss_s, rec_s, clust_s, size_s)
+            n_iter += seg_len
+            batch_num += seg_len
+
+            accum = running[:3] / max(running[3], 1.0)
+            history["iteration"].append(n_iter - 1)
+            history["total"].append(accum[0])
+            history["reconstruction"].append(accum[1])
+            history["clustering"].append(accum[2])
+            if log_scalar is not None:
+                log_scalar("Loss", accum[0], n_iter - 1)
+                log_scalar("MSE", accum[1], n_iter - 1)
+                log_scalar("KLD", accum[2], n_iter - 1)
+
+        if config.verbose:
+            accum = running[:3] / max(running[3], 1.0)
+            print(
+                f"Epoch [{epoch + 1}/{config.n_epochs}] "
+                f"Loss={accum[0]:.4e} MSE={accum[1]:.4e} KLD={accum[2]:.4e}"
+            )
+        if finished:
+            break
+
+    labels_final = np.asarray(labels_prev)
+    return {
+        "state": state,
+        "initial_params": initial_params,
+        "history": history,
+        "deltas": deltas,
+        "labels": labels_final,
+        "centroids": np.asarray(state.params["centroids"]),
+        "stopped_early": finished,
+        "last_epoch": epoch + 1,
+        "z_initial": np.asarray(z0),
+    }

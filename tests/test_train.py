@@ -1,0 +1,182 @@
+"""Training-loop tests: AEC loss descent + early stopping, DEC refinement
+mechanics (target refresh, delta stop, stale-p slicing), full_eval contract,
+checkpoint roundtrip, batched layout (SURVEY.md §4 items 1-2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectrogram_cube_clustering_tpu import models, ops, train
+from spectrogram_cube_clustering_tpu.data import synthetic_windows
+
+
+@pytest.fixture(scope="module")
+def windows():
+    x, y = synthetic_windows(240, n_classes=3, seed=1)
+    x = np.asarray(ops.sample_norm_cent(jnp.asarray(x)))
+    return x, y
+
+
+@pytest.fixture(scope="module")
+def aec_model():
+    return models.AEC()
+
+
+class TestLayout:
+    def test_pad_and_mask(self):
+        x = np.ones((10, 4, 101, 1), np.float32)
+        d = train.make_batched_data(x, batch_size=4)
+        assert d.x.shape == (3, 4, 4, 101, 1)
+        assert d.n_samples == 10
+        m = np.asarray(d.mask)
+        assert m.sum() == 10 and m[2, 2:].sum() == 0
+
+    def test_mesh_divisibility_error(self):
+        from spectrogram_cube_clustering_tpu.core import make_data_mesh
+
+        mesh = make_data_mesh()  # 8 virtual devices
+        x = np.ones((10, 4, 101, 1), np.float32)
+        with pytest.raises(ValueError):
+            train.make_batched_data(x, batch_size=6, mesh=mesh)
+
+    def test_sharded_layout(self):
+        from spectrogram_cube_clustering_tpu.core import make_data_mesh
+
+        mesh = make_data_mesh()
+        x = np.arange(16 * 4 * 101, dtype=np.float32).reshape(16, 4, 101, 1)
+        d = train.make_batched_data(x, batch_size=8, mesh=mesh)
+        assert d.x.shape == (2, 8, 4, 101, 1)
+        np.testing.assert_array_equal(
+            np.asarray(d.x).reshape(16, 4, 101, 1), x
+        )
+
+
+class TestAEC:
+    def test_loss_decreases(self, windows, aec_model):
+        x, _ = windows
+        tra = train.make_batched_data(x[:180], batch_size=36)
+        val = train.make_batched_data(x[180:], batch_size=36)
+        state = train.create_train_state(
+            aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=3e-3
+        )
+        out = train.train_aec(
+            aec_model, state, tra, val,
+            train.AECConfig(n_epochs=15, early_stopping=False),
+        )
+        h = out["history"]
+        assert h["train"][-1] < h["train"][0] * 0.9
+        assert len(h["epoch"]) == 15
+
+    def test_early_stopping_strikes(self, windows, aec_model):
+        x, _ = windows
+        tra = train.make_batched_data(x[:72], batch_size=36)
+        # lr=0 -> validation never improves after epoch 1 -> strikes grow.
+        state = train.create_train_state(
+            aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=0.0
+        )
+        out = train.train_aec(
+            aec_model, state, tra, tra,
+            train.AECConfig(n_epochs=20, early_stopping=True, patience=2),
+        )
+        assert out["stopped_early"]
+        assert out["last_epoch"] == 4  # epoch>patience and strikes>patience
+        assert out["final_params"] is not None
+
+    def test_epoch_loss_matches_direct_mse(self, windows, aec_model):
+        x, _ = windows
+        tra = train.make_batched_data(x[:70], batch_size=32)  # padded case
+        state = train.create_train_state(
+            aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-4
+        )
+        _, eval_epoch = train.aec.make_epoch_fns(aec_model)
+        got = float(eval_epoch(state.params, tra.x, tra.mask))
+        x_rec, _ = aec_model.apply({"params": state.params}, jnp.asarray(x[:70]))
+        want = float(ops.mse(x_rec, jnp.asarray(x[:70])))
+        assert got == pytest.approx(want, rel=1e-4)
+
+
+class TestFullEval:
+    def test_contract(self, windows):
+        x, _ = windows
+        dec_model = models.DEC(n_clusters=3)
+        data = train.make_batched_data(x, batch_size=64)
+        params = dec_model.init(jax.random.key(0), jnp.asarray(x[:4]))["params"]
+        q, labels, z = train.full_eval(dec_model, params, data)
+        assert q.shape == (240, 3) and labels.shape == (240,) and z.shape == (240, 9)
+        # q rounded to 5dp like batch_eval (models.py:94); jnp.round and
+        # np.round differ in the last ulp, hence the tiny atol
+        np.testing.assert_allclose(
+            np.asarray(q), np.round(np.asarray(q), 5), atol=1e-7
+        )
+        # matches a direct forward pass
+        q_direct, _, _ = dec_model.apply({"params": params}, jnp.asarray(x[:240]))
+        np.testing.assert_allclose(
+            np.asarray(q), np.round(np.asarray(q_direct), 5), atol=2e-5
+        )
+
+
+class TestDEC:
+    def test_refinement_runs_and_stops(self, windows):
+        x, y = windows
+        dec_model = models.DEC(n_clusters=3)
+        data = train.make_batched_data(x, batch_size=40)
+        state = train.create_train_state(
+            dec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-3
+        )
+        cfg = train.DECConfig(
+            n_clusters=3, n_epochs=3, tol=2.0,  # tol=2 -> stop at 1st refresh
+            init="kmeans", kmeans_n_init=4, kmeans_max_iter=50,
+        )
+        out = train.train_dec(dec_model, state, data, cfg)
+        assert out["stopped_early"]
+        assert out["labels"].shape == (240,)
+        assert len(out["deltas"]["delta"]) == 1
+        assert out["centroids"].shape == (3, 9)
+
+    def test_losses_accumulate_and_improve(self, windows):
+        x, _ = windows
+        dec_model = models.DEC(n_clusters=3)
+        data = train.make_batched_data(x, batch_size=40)
+        state = train.create_train_state(
+            dec_model, jax.random.key(1), jnp.asarray(x[:4]), lr=1e-3
+        )
+        cfg = train.DECConfig(
+            n_clusters=3, n_epochs=4, tol=0.0,  # never stop on delta
+            init="kmeans", kmeans_n_init=4, kmeans_max_iter=50,
+        )
+        out = train.train_dec(dec_model, state, data, cfg)
+        h = out["history"]
+        assert len(h["total"]) >= 4
+        assert h["total"][-1] < h["total"][0]
+        assert not out["stopped_early"]
+
+    def test_load_init_uses_given_centroids(self, windows):
+        x, _ = windows
+        dec_model = models.DEC(n_clusters=3)
+        data = train.make_batched_data(x, batch_size=40)
+        state = train.create_train_state(
+            dec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-3
+        )
+        labels0 = np.zeros(240, np.int64)
+        cents0 = np.full((3, 9), 0.5, np.float32)
+        cfg = train.DECConfig(n_clusters=3, n_epochs=1, tol=2.0, init="load")
+        out = train.train_dec(
+            dec_model, state, data, cfg, initial=(labels0, cents0)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["initial_params"]["centroids"]), cents0
+        )
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, windows, aec_model):
+        x, _ = windows
+        params = aec_model.init(jax.random.key(0), jnp.asarray(x[:4]))["params"]
+        path = str(tmp_path / "ckpt" / "AEC_Params_Final")
+        train.checkpoint.save(path, params)
+        restored = train.checkpoint.restore(path, template=params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            params, restored,
+        )
