@@ -1,0 +1,90 @@
+"""Benchmark: spectrogram training throughput on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+
+Primary metric: AEC training throughput (samples/sec, steady state) — the
+hot loop of the reference workflow (Cluster/models.py:106-168). The
+reference publishes no numbers (BASELINE.md), so the comparison anchor is a
+measured run of a torch implementation of the same architecture/loss/
+optimizer on this host (benchmarks/measure_reference.py writes
+benchmarks/baseline_measured.json; GPU hardware for the original is not
+available in this environment, which the baseline file records).
+
+Usage: python bench.py [--quick] [--batch N] [--samples N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def measure_aec_throughput(n_samples: int, batch_size: int, epochs: int = 3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import spectrogram_cube_clustering_tpu as scc
+
+    x, _ = scc.data.synthetic_windows(n_samples, n_classes=5, seed=0)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    data = scc.train.make_batched_data(x, batch_size=batch_size)
+
+    model = scc.models.AEC()
+    state = scc.train.create_train_state(
+        model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-4
+    )
+    train_epoch, _ = scc.train.aec.make_epoch_fns(model)
+
+    # compile + warmup
+    state, loss = train_epoch(state, data.x, data.mask)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        state, loss = train_epoch(state, data.x, data.mask)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return n_samples * epochs / dt, float(loss)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--samples", type=int, default=262144)
+    args = ap.parse_args()
+
+    if args.quick:
+        args.samples = min(args.samples, 16384)
+
+    throughput, loss = measure_aec_throughput(args.samples, args.batch)
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "baseline_measured.json",
+    )
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        ref = baseline.get("aec_train_samples_per_sec")
+        if ref:
+            vs_baseline = throughput / ref
+
+    print(
+        json.dumps(
+            {
+                "metric": "aec_train_samples_per_sec",
+                "value": round(throughput, 1),
+                "unit": "samples/sec",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

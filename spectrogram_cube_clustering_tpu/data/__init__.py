@@ -1,5 +1,19 @@
 """Data ingestion: synthetic generators, Zarr cube, HDF5 catalogs, feeding."""
 
 from spectrogram_cube_clustering_tpu.data.synthetic import synthetic_windows
+from spectrogram_cube_clustering_tpu.data import zarrlite
+from spectrogram_cube_clustering_tpu.data.cube import (
+    CubeSpec,
+    ZarrCubeDataset,
+    make_synthetic_cube,
+    train_val_split,
+)
 
-__all__ = ["synthetic_windows"]
+__all__ = [
+    "synthetic_windows",
+    "zarrlite",
+    "CubeSpec",
+    "ZarrCubeDataset",
+    "make_synthetic_cube",
+    "train_val_split",
+]

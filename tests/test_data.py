@@ -1,0 +1,147 @@
+"""Data-layer tests: zarrlite store round-trips and cube window math.
+
+Window-math parity target: Cluster/ZarrDataLoader.py:42-85 (chunk 5758,
+4-row windows, channel `idx*chunk // usable * 5 + 1600`, usable time
+= shape[0] // 11 * 2).
+"""
+
+import numpy as np
+import pytest
+
+from spectrogram_cube_clustering_tpu.data import (
+    CubeSpec,
+    ZarrCubeDataset,
+    make_synthetic_cube,
+    train_val_split,
+    zarrlite,
+)
+
+
+class TestZarrlite:
+    @pytest.mark.parametrize("compressor", [None, "zlib"])
+    def test_roundtrip_3d(self, tmp_path, rng, compressor):
+        data = rng.normal(size=(37, 11, 13)).astype(np.float32)
+        path = str(tmp_path / "a")
+        zarrlite.write_array(path, data, chunks=(8, 4, 13), compressor=compressor)
+        arr = zarrlite.open_array(path)
+        assert arr.shape == data.shape and arr.dtype == data.dtype
+        np.testing.assert_array_equal(arr[:, :, :], data)
+        # partial reads crossing chunk boundaries
+        np.testing.assert_array_equal(arr[5:21, 3, :], data[5:21, 3, :])
+        np.testing.assert_array_equal(arr[36, 10, 2:9], data[36, 10, 2:9])
+        np.testing.assert_array_equal(arr[0:8, 0:4, :], data[0:8, 0:4, :])
+
+    def test_negative_and_int_indexing(self, tmp_path, rng):
+        data = rng.integers(0, 100, size=(10, 6)).astype(np.int64)
+        path = str(tmp_path / "b")
+        zarrlite.write_array(path, data, chunks=(4, 4))
+        arr = zarrlite.open_array(path)
+        np.testing.assert_array_equal(arr[-1, :], data[-1, :])
+        assert arr[3, 5] == data[3, 5]
+
+    def test_group(self, tmp_path, rng):
+        data = rng.normal(size=(6, 5)).astype(np.float64)
+        path = str(tmp_path / "g")
+        zarrlite.write_group(path, {"cube": data}, chunks=(3, 5))
+        grp = zarrlite.open_group(path)
+        assert grp.keys() == ["cube"]
+        np.testing.assert_array_equal(grp["cube"][:, :], data)
+
+    def test_missing_chunk_fill_value(self, tmp_path, rng):
+        data = rng.normal(size=(8, 4)).astype(np.float32)
+        path = str(tmp_path / "m")
+        zarrlite.write_array(path, data, chunks=(4, 4), compressor=None)
+        import os
+
+        os.remove(os.path.join(path, "1.0"))
+        arr = zarrlite.open_array(path)
+        np.testing.assert_array_equal(arr[0:4, :], data[0:4, :])
+        np.testing.assert_array_equal(arr[4:8, :], np.zeros((4, 4), np.float32))
+
+
+# Small geometry so tests stay fast: 2 usable chunks of 16 rows, stride-2
+# channels from 3.
+SPEC = CubeSpec(
+    chunk_size=16, window_rows=4, channel_start=3, channel_stride=2,
+    time_num=2, time_den=11,
+)
+
+
+def reference_window_math(shape, spec):
+    """Literal transcription of the reference indexing formulas
+    (ZarrDataLoader.py:56,63-66) for cross-checking CubeSpec."""
+    usable = shape[0] // spec.time_den * spec.time_num
+    n = usable // spec.chunk_size * (
+        (shape[1] - spec.channel_start) // spec.channel_stride
+    )
+    locs = []
+    for idx in range(n):
+        start = (idx * spec.chunk_size) % usable
+        ch = (idx * spec.chunk_size) // usable * spec.channel_stride + spec.channel_start
+        locs.append((start, ch))
+    return n, locs
+
+
+class TestCubeDataset:
+    def test_window_math_matches_reference_formulas(self):
+        shape = (16 * 11, 9, 7)  # usable = 32 rows = 2 chunks; 3 channels
+        n, locs = reference_window_math(shape, SPEC)
+        assert SPEC.num_items(shape) == n == 6
+        for i in range(n):
+            assert SPEC.item_location(i, shape) == locs[i]
+
+    def test_item_extraction(self, tmp_path, rng):
+        shape = (16 * 11, 9, 7)
+        cube = rng.normal(size=shape).astype(np.float32)
+        path = str(tmp_path / "cube")
+        zarrlite.write_group(path, {"cube": cube}, chunks=(16, 1, 7))
+        ds = ZarrCubeDataset(path, spec=SPEC)
+        assert len(ds) == 6
+        assert ds.windows_per_item == 4  # 16 // 4
+        item = ds.item(5)
+        assert item.shape == (4, 4, 7, 1)
+        start, ch = SPEC.item_location(5, shape)
+        expected = cube[start : start + 16, ch, :].reshape(4, 4, 7)[..., None]
+        np.testing.assert_allclose(item, expected)
+        with pytest.raises(IndexError):
+            ds.item(6)
+
+    def test_load_all_windows(self, tmp_path, rng):
+        shape = (16 * 11, 9, 7)
+        cube = rng.normal(size=shape).astype(np.float32)
+        path = str(tmp_path / "cube")
+        zarrlite.write_group(path, {"cube": cube}, chunks=(16, 1, 7))
+        ds = ZarrCubeDataset(path, spec=SPEC)
+        x = ds.load_all_windows()
+        assert x.shape == (6 * 4, 4, 7, 1)
+        x_sub = ds.load_all_windows(indices=[2, 0])
+        np.testing.assert_allclose(x_sub[:4], ds.item(2))
+        np.testing.assert_allclose(x_sub[4:], ds.item(0))
+
+    def test_synthetic_cube_labels_align(self, tmp_path):
+        spec = CubeSpec(
+            chunk_size=16, window_rows=4, channel_start=1, channel_stride=2
+        )
+        path = str(tmp_path / "syn")
+        labels = make_synthetic_cube(
+            path, n_time=16 * 11, n_channels=5, n_freq=31,
+            n_classes=3, chunk_rows=16, seed=1, spec=spec,
+        )
+        ds = ZarrCubeDataset(path, spec=spec)
+        assert labels.shape == (ds.n_windows,)
+        # Energy-weighted center frequency should separate by planted class:
+        # higher class index -> higher center frequency (synthetic_windows
+        # places class centers at increasing frequencies).
+        x = ds.load_all_windows()[..., 0]  # (n, 4, 31)
+        e = np.maximum(x, 0.0).sum(axis=1)  # (n, 31)
+        f = np.arange(31)
+        centroid = (e * f).sum(-1) / np.maximum(e.sum(-1), 1e-9)
+        means = [centroid[labels == k].mean() for k in range(3)]
+        assert means[0] < means[1] < means[2]
+
+    def test_train_val_split(self):
+        tra, val = train_val_split(10, train_frac=0.7, seed=2009)
+        assert len(tra) == 7 and len(val) == 3
+        assert sorted(np.concatenate([tra, val]).tolist()) == list(range(10))
+        tra2, _ = train_val_split(10, train_frac=0.7, seed=2009)
+        np.testing.assert_array_equal(tra, tra2)
