@@ -30,6 +30,19 @@ cli       : entry points (runDC equivalent + H5 console tools)
 
 __version__ = "0.1.0"
 
-from spectrogram_cube_clustering_tpu import core, ops, models, cluster, data, train  # noqa: F401
+from spectrogram_cube_clustering_tpu import (  # noqa: F401
+    analysis,
+    cluster,
+    core,
+    data,
+    models,
+    ops,
+    train,
+    utils,
+    workflow,
+)
 
-__all__ = ["core", "ops", "models", "cluster", "data", "train", "__version__"]
+__all__ = [
+    "analysis", "cluster", "core", "data", "models", "ops", "train",
+    "utils", "workflow", "__version__",
+]

@@ -1,0 +1,135 @@
+"""Clustering-quality metrics.
+
+Parity target: `cluster_metrics` / `silhouette_samples_X`
+(Cluster/models.py:237-362, 1271-1299) — per class: sample counts, inner
+product to the class mean, MSE/MAE to the class mean, and silhouette scores
+in latent (Z) and data (X, decimated by RF) spaces; writes 7 `.npy` files
+and `cluster_performance.csv`.
+
+The silhouettes run on-device (cluster.silhouette); the per-class moments
+are a handful of small reductions done in numpy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from spectrogram_cube_clustering_tpu.cluster.silhouette import silhouette_samples
+
+
+def silhouette_samples_X(
+    x: np.ndarray, labels: np.ndarray, rf: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    """Data-space silhouettes on an RF-decimated grid
+    (reference models.py:1271-1299).
+
+    x is (M, H, W, C) or (M, C, H, W); the trailing spatial axes are
+    strided by RF before flattening.
+    """
+    if x.ndim == 4:
+        if x.shape[-1] == 1:       # NHWC
+            x_ = x[:, :: int(rf), :: int(rf), 0]
+        else:                      # NCHW
+            x_ = x[:, 0, :: int(rf), :: int(rf)]
+    else:
+        x_ = x[:, :: int(rf), :: int(rf)]
+    m = x_.shape[0]
+    flat = x_.reshape(m, -1)
+    k = int(np.max(labels)) + 1
+    scores = np.asarray(silhouette_samples(flat, labels, k))
+    return scores, x_
+
+
+def cluster_metrics(
+    path: Optional[str],
+    labels: np.ndarray,
+    x: np.ndarray,
+    z: np.ndarray,
+    save: bool = True,
+    rf: int = 3,
+) -> Dict[str, np.ndarray]:
+    """Compute per-class clustering metrics; optionally persist them.
+
+    Returns a dict with keys N, X_ip, X_MSE, X_MSE_avg, X_MAE, X_MAE_avg,
+    silh_scores_Z, silh_scores_X, class_silh_Z, class_silh_X, df.
+    """
+    import pandas as pd
+
+    labels = np.asarray(labels)
+    classes = np.unique(labels)
+    k = len(classes)
+
+    n_clusters = int(np.max(labels)) + 1
+    silh_z = np.asarray(silhouette_samples(np.asarray(z), labels, n_clusters))
+    silh_x, _ = silhouette_samples_X(np.asarray(x), labels, rf=rf)
+
+    x_flat = np.asarray(x).reshape(len(labels), -1)
+    d = x_flat.shape[1]
+
+    counts = np.zeros((k,), dtype=int)
+    x_ip_avg = np.zeros((k,))
+    x_mse = np.zeros((k, d))
+    x_mae = np.zeros((k, d))
+    x_mse_avg = np.zeros((k,))
+    x_mae_avg = np.zeros((k,))
+    class_silh_z = np.zeros((k,))
+    class_silh_x = np.zeros((k,))
+
+    for j, c in enumerate(classes):
+        sel = labels == c
+        xj = x_flat[sel]
+        counts[j] = len(xj)
+        mean = xj.mean(axis=0)
+        x_ip_avg[j] = float(np.mean(xj @ mean))
+        diff = xj - mean
+        x_mse[j] = np.mean(diff * diff, axis=0)
+        x_mae[j] = np.mean(np.abs(diff), axis=0)
+        x_mse_avg[j] = float(np.mean(x_mse[j]))
+        x_mae_avg[j] = float(np.mean(x_mae[j]))
+        class_silh_z[j] = float(np.mean(silh_z[sel]))
+        class_silh_x[j] = float(np.mean(silh_x[sel]))
+
+    df = pd.DataFrame(
+        data={
+            "class": classes,
+            "N": counts,
+            "inner_product": x_ip_avg,
+            "MSE_avg": x_mse_avg,
+            "MAE_avg": x_mae_avg,
+            "silh_score_Z": class_silh_z,
+            "silh_score_X": class_silh_x,
+        }
+    )
+    df.loc["mean"] = df.mean(numeric_only=True)
+    df.loc["mean", ["class", "N"]] = None
+    df.loc["mean", "silh_score_Z"] = float(np.mean(silh_z))
+    df.loc["mean", "silh_score_X"] = float(np.mean(silh_x))
+
+    if save:
+        if path is None:
+            raise ValueError("save=True requires a path")
+        np.save(os.path.join(path, "X_ip"), x_ip_avg)
+        np.save(os.path.join(path, "X_MSE"), x_mse)
+        np.save(os.path.join(path, "X_MSE_avg"), x_mse_avg)
+        np.save(os.path.join(path, "X_MAE"), x_mae)
+        np.save(os.path.join(path, "X_MAE_avg"), x_mae_avg)
+        np.save(os.path.join(path, "silh_scores_Z"), silh_z)
+        np.save(os.path.join(path, "silh_scores_X"), silh_x)
+        df.to_csv(os.path.join(path, "cluster_performance.csv"))
+
+    return {
+        "N": counts,
+        "X_ip": x_ip_avg,
+        "X_MSE": x_mse,
+        "X_MSE_avg": x_mse_avg,
+        "X_MAE": x_mae,
+        "X_MAE_avg": x_mae_avg,
+        "silh_scores_Z": silh_z,
+        "silh_scores_X": silh_x,
+        "class_silh_Z": class_silh_z,
+        "class_silh_X": class_silh_x,
+        "df": df,
+    }

@@ -11,33 +11,46 @@ into the device compute under jit.
 - sample_norm_cent     : (X - mean) / (max|X|+1e-8) (ZarrDataLoader.py:22-23;
                          the default everywhere, AEC_train.py:39)
 - vec_norm             : X / (||X||_2 + 1e-8)       (ZarrDataLoader.py:24-29)
+
+Accepted layouts: (..., H, W) or NHWC (..., H, W, 1) — a trailing
+singleton channel axis is treated as part of the window, so stats always
+span the full (H, W) spectrogram.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax.numpy as jnp
 
-_WINDOW_AXES = (-2, -1)
+
+def _window_axes(x: jnp.ndarray) -> Tuple[int, int]:
+    """The (freq-row, time-bin) axes of one window: the last two axes, or
+    the two before a trailing singleton channel axis (NHWC)."""
+    if x.ndim >= 3 and x.shape[-1] == 1:
+        return (-3, -2)
+    return (-2, -1)
 
 
 def sample_normalization(x: jnp.ndarray) -> jnp.ndarray:
     """Divide by the per-window max absolute value."""
-    denom = jnp.max(jnp.abs(x), axis=_WINDOW_AXES, keepdims=True)
+    axes = _window_axes(x)
+    denom = jnp.max(jnp.abs(x), axis=axes, keepdims=True)
     return x / denom
 
 
 def sample_norm_cent(x: jnp.ndarray) -> jnp.ndarray:
     """Subtract the per-window mean, divide by per-window absmax + 1e-8."""
-    mean = jnp.mean(x, axis=_WINDOW_AXES, keepdims=True)
-    denom = jnp.max(jnp.abs(x), axis=_WINDOW_AXES, keepdims=True) + 1e-8
+    axes = _window_axes(x)
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    denom = jnp.max(jnp.abs(x), axis=axes, keepdims=True) + 1e-8
     return (x - mean) / denom
 
 
 def vec_norm(x: jnp.ndarray) -> jnp.ndarray:
     """L2-normalize each flattened window."""
-    norm = jnp.sqrt(jnp.sum(x * x, axis=_WINDOW_AXES, keepdims=True)) + 1e-8
+    axes = _window_axes(x)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=True)) + 1e-8
     return x / norm
 
 

@@ -1,0 +1,23 @@
+"""Configuration (.ini), experiment trees, history CSVs, misc math utils."""
+
+from spectrogram_cube_clustering_tpu.utils.config import (
+    Configuration,
+    config_training,
+    load_config,
+    parse_nclusters,
+)
+from spectrogram_cube_clustering_tpu.utils.history import (
+    add_to_history,
+    save_history,
+    save_labels,
+)
+
+__all__ = [
+    "Configuration",
+    "config_training",
+    "load_config",
+    "parse_nclusters",
+    "add_to_history",
+    "save_history",
+    "save_labels",
+]

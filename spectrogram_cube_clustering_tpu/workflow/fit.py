@@ -1,0 +1,65 @@
+"""Workflow: GMM fitting in the frozen AEC latent space.
+
+Parity target: `gmm_fit` (Cluster/production.py:184-197) +
+`models.gmm_fit` (models.py:416-495):
+- sweeps config.hp['n_clusters'], each run writing to
+  `<AEC run>/GMM/n_clusters=K/` (utils.py:104-108);
+- per run: k-means-initialized GMM-EM on Z_AEC (models.py:365-413), saving
+  labels.npy / centroids.npy / Labels.csv and a t-SNE figure
+  (models.py:446-491).
+
+The k-means restarts and EM run on-device (cluster.kmeans / cluster.gmm);
+t-SNE stays host-side like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from spectrogram_cube_clustering_tpu import cluster as _cluster
+from spectrogram_cube_clustering_tpu import utils as _utils
+from spectrogram_cube_clustering_tpu.analysis import plotting
+from spectrogram_cube_clustering_tpu.workflow.data import load_data
+
+
+def gmm_fit(config, figures: bool = True) -> List[Dict]:
+    """Run the n_clusters sweep. Returns per-run dicts of labels/centroids."""
+    z = np.asarray(load_data(config), np.float32)
+    print(f"Dataset has {len(z)} samples.")
+
+    results = []
+    for run_count, n_clusters in enumerate(config.hp["n_clusters"], start=1):
+        print("-" * 80)
+        print(f"GMM Run {run_count}/{config.runs}: n_clusters={n_clusters}")
+        config.init_output_env(n_clusters=n_clusters)
+        labels, centroids = _cluster.gmm(
+            z, int(n_clusters),
+            n_init=int(getattr(config, "km_n_init", 100)),
+            kmeans_max_iter=int(getattr(config, "km_max_iter", 1000)),
+            seed=int(getattr(config, "seed", 2009) or 2009),
+        )
+        labels = np.asarray(labels)
+        centroids = np.asarray(centroids)
+
+        _utils.save_labels(
+            [{"idx": i, "label": int(labels[i])} for i in range(len(z))],
+            config.savepath_run,
+        )
+        np.save(os.path.join(config.savepath_run, "labels"), labels)
+        np.save(os.path.join(config.savepath_run, "centroids"), centroids)
+
+        if figures:
+            tsne_results = _cluster.tsne(z)
+            fig = plotting.view_tsne(tsne_results, labels, "GMM")
+            fig.savefig(
+                os.path.join(config.savepath_run, "t-SNE.png"),
+                dpi=300, facecolor="w",
+            )
+        results.append(
+            {"n_clusters": int(n_clusters), "labels": labels,
+             "centroids": centroids, "savepath_run": config.savepath_run}
+        )
+    return results

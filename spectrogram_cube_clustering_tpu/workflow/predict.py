@@ -1,0 +1,172 @@
+"""Workflow: full-catalog inference.
+
+Parity target: `predict` (Cluster/production.py:65-106) +
+`model_prediction` (models.py:577-733):
+- batched full-dataset forward pass (batch 4096, production.py:68);
+- DEC artifacts: q_DEC / Z_DEC / Xr_DEC / labels_DEC / centroids_DEC `.npy`
+  + Labels.csv, cluster metrics (cluster_performance.csv + 7 .npy),
+  silhouette figures, t-SNE figure (models.py:622-701);
+- AEC artifacts: Loss_AEC / Z_AEC / Xr_AEC `.npy` + MSE.txt
+  (models.py:705-733).
+
+Saved spectrogram arrays keep the reference's NCHW layout (M, 1, 4, W) so
+downstream consumers of the artifact tree see identical shapes
+(models.py:612).
+
+TPU-first mechanics: the forward pass is one jitted scan over
+device-resident batches (train.full_eval / the AEC eval scan) instead of a
+per-batch H2D/D2H loop.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from spectrogram_cube_clustering_tpu import cluster as _cluster
+from spectrogram_cube_clustering_tpu import models as _models
+from spectrogram_cube_clustering_tpu import train as _train
+from spectrogram_cube_clustering_tpu import utils as _utils
+from spectrogram_cube_clustering_tpu.analysis import plotting
+from spectrogram_cube_clustering_tpu.workflow.data import load_data
+from spectrogram_cube_clustering_tpu.workflow.train import (
+    _normalize,
+    load_aec_params,
+    make_model,
+)
+
+PREDICT_BATCH = 4096  # reference production.py:68
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def _aec_eval_scan(apply_fn, params, xb, maskb):
+    def step(_, batch):
+        x, mask = batch
+        x_rec, z = apply_fn({"params": params}, x)
+        d = x_rec - x
+        per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
+        return None, (z, x_rec, jnp.sum(per * mask))
+
+    _, (z, xr, loss_sums) = lax.scan(step, None, (xb, maskb))
+    return (
+        z.reshape(-1, z.shape[-1]),
+        xr.reshape(-1, *xr.shape[2:]),
+        jnp.sum(loss_sums) / jnp.maximum(jnp.sum(maskb), 1.0),
+    )
+
+
+def _to_nchw_np(x: jnp.ndarray) -> np.ndarray:
+    return np.asarray(jnp.transpose(x, (0, 3, 1, 2)))
+
+
+def predict(config, mesh=None, figures: bool = True) -> Dict:
+    """Run inference and write the artifact tree. Returns the arrays."""
+    x_np = _normalize(config, load_data(config))
+    print(f"Dataset has {len(x_np)} samples.")
+    savepath = config.savepath_exp
+    batch = int(getattr(config, "batch_size_predict", PREDICT_BATCH))
+    data = _train.make_batched_data(x_np, batch_size=min(batch, len(x_np)), mesh=mesh)
+    m = data.n_samples
+
+    model = make_model(config)
+    params = load_aec_params(config, model)
+
+    if config.model == "DEC":
+        q, labels, z = _train.full_eval(model, params, data)
+        # reconstructions from the same params (one more scan)
+        _, xr, _ = _aec_eval_scan(
+            lambda v, x: _models.AEC().apply(
+                {"params": {"encoder": v["params"]["encoder"],
+                            "decoder": v["params"]["decoder"]}}, x
+            ),
+            params, data.x, data.mask,
+        )
+        xr = xr[:m]
+        q_np = np.asarray(q, np.float32)
+        z_np = np.asarray(z, np.float32)
+        labels_np = np.asarray(labels)
+        centroids_np = np.asarray(params["centroids"], np.float32)
+
+        _utils.save_labels(
+            [{"idx": i, "label": int(labels_np[i])} for i in range(m)],
+            savepath,
+        )
+        np.save(os.path.join(savepath, "q_DEC"), q_np)
+        np.save(os.path.join(savepath, "Z_DEC"), z_np)
+        np.save(os.path.join(savepath, "Xr_DEC"), _to_nchw_np(xr))
+        np.save(os.path.join(savepath, "labels_DEC"), labels_np)
+        np.save(os.path.join(savepath, "centroids_DEC"), centroids_np)
+
+        metrics = _cluster.cluster_metrics(
+            savepath, labels_np, _to_nchw_np(jnp.asarray(x_np)), z_np,
+            save=True,
+        )
+        if figures:
+            k = int(config.n_clusters)
+            fig = plotting.view_silhscore(
+                metrics["silh_scores_Z"], labels_np, k, config.model
+            )
+            fig.savefig(
+                os.path.join(savepath, "silh_score_Z.png"), dpi=300,
+                facecolor="w",
+            )
+            fig = plotting.view_silhscore(
+                metrics["silh_scores_X"], labels_np, k, config.model
+            )
+            fig.savefig(
+                os.path.join(savepath, "silh_score_X.png"), dpi=300,
+                facecolor="w",
+            )
+            for name in ("T-SNE", "Gallery", "LatentSpace", "CDF", "PDF"):
+                os.makedirs(os.path.join(savepath, name), exist_ok=True)
+            tsne_results = _cluster.tsne(z_np)
+            plotting.view_tsne(tsne_results, labels_np, "DEC").savefig(
+                os.path.join(savepath, "T-SNE", "t-SNE.png"), dpi=300,
+                facecolor="w",
+            )
+            # centroid decodes through the trained decoder
+            dec_out = _models.Decoder().apply(
+                {"params": params["decoder"]}, jnp.asarray(centroids_np)
+            )
+            plotting.cluster_gallery(
+                x_np, z_np, labels_np, centroids_np,
+                centroid_decodes=np.asarray(dec_out),
+            ).savefig(
+                os.path.join(savepath, "Gallery", "gallery.png"), dpi=300,
+                facecolor="w",
+            )
+            plotting.view_latent_space(z_np, labels_np).savefig(
+                os.path.join(savepath, "LatentSpace", "latent.png"), dpi=300,
+                facecolor="w",
+            )
+            plotting.view_class_cdf(z_np, labels_np, centroids_np).savefig(
+                os.path.join(savepath, "CDF", "cdf.png"), dpi=300,
+                facecolor="w",
+            )
+            plotting.view_class_pdf(z_np, labels_np, centroids_np).savefig(
+                os.path.join(savepath, "PDF", "pdf.png"), dpi=300,
+                facecolor="w",
+            )
+        return {
+            "q": q_np, "z": z_np, "labels": labels_np,
+            "centroids": centroids_np, "metrics": metrics,
+        }
+
+    # AEC mode (models.py:705-733)
+    z, xr, total_loss = _aec_eval_scan(model.apply, params, data.x, data.mask)
+    z_np = np.asarray(z[:m], np.float32)
+    xr_np = _to_nchw_np(xr[:m])
+    total_loss = float(total_loss)
+    print(f"Dataset MSE = {total_loss:.4e}")
+    with open(os.path.join(savepath, "MSE.txt"), "w") as f:
+        f.write(f"MSE = {total_loss:.4e}")
+    np.save(os.path.join(savepath, "Loss_AEC"), total_loss)
+    np.save(os.path.join(savepath, "Z_AEC"), z_np)
+    np.save(os.path.join(savepath, "Xr_AEC"), xr_np)
+    return {"z": z_np, "x_rec": xr_np, "loss": total_loss}

@@ -1,0 +1,248 @@
+"""Workflow: hyperparameter-sweep training (AEC pretrain / DEC refine).
+
+Parity target: `train` (Cluster/production.py:109-181) + the engine entry
+`model_training` (models.py:736-1268):
+- cartesian hp sweep (production.py:120) with per-run output dirs
+  `Run_<hp-string>/` and `tmp/` checkpoints (utils.py:84-100);
+- AEC: MSE + Adam, early stopping on validation, best-weights final
+  (models.py:761-926); artifacts AEC_history.csv, AEC_Params_Final,
+  tmp/AEC_Best_Weights;
+- DEC: loads AEC weights, cluster init, Student-t refinement with
+  delta-label stop (models.py:929-1231); artifacts DEC_Params_Initial,
+  DEC_Params_Final, DEC_history.csv, Delta_history.csv;
+- TensorBoard scalars per run when config.tb.
+
+Deviations (deliberate, SURVEY.md §2.3 defect 2): the architecture AEC-mode
+trains is the one AEC-mode predicts and DEC inherits — config key `arch`
+('AEC' default | 'UNet') picks it globally; the reference trains UNet but
+predicts AEC, silently discarding pretraining. Checkpoints are orbax
+directories (optimizer state included for the final state), not .pt files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrogram_cube_clustering_tpu import models as _models
+from spectrogram_cube_clustering_tpu import ops as _ops
+from spectrogram_cube_clustering_tpu import train as _train
+from spectrogram_cube_clustering_tpu import utils as _utils
+from spectrogram_cube_clustering_tpu.train.checkpoint import restore, save
+from spectrogram_cube_clustering_tpu.workflow.data import load_data
+
+
+def make_model(config, n_clusters: Optional[int] = None):
+    """Instantiate the configured architecture."""
+    arch = getattr(config, "arch", None) or "AEC"
+    if config.model == "DEC" or n_clusters is not None:
+        return _models.DEC(n_clusters=int(n_clusters or config.n_clusters))
+    if arch == "UNet":
+        return _models.UNet()
+    if arch == "AEC":
+        return _models.AEC()
+    raise ValueError(f"unknown arch {arch!r}")
+
+
+def _tb_writer(config, logdir):
+    if not getattr(config, "tb", False):
+        return None, None
+    from torch.utils.tensorboard import SummaryWriter
+
+    writer = SummaryWriter(log_dir=logdir)
+
+    def log_scalar(tag, value, step):
+        writer.add_scalar(tag, value, step)
+
+    return writer, log_scalar
+
+
+def sample_input(x: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(x[: min(2, len(x))])
+
+
+def _normalize(config, x: Optional[np.ndarray]) -> Optional[np.ndarray]:
+    if x is None or len(x) == 0:
+        return x
+    fn = _ops.make_normalizer(getattr(config, "transform", None))
+    return np.asarray(fn(jnp.asarray(x)))
+
+
+def _init_template(model) -> dict:
+    return model.init(
+        jax.random.key(0),
+        jnp.zeros((1, _models.INPUT_HEIGHT, _models.INPUT_WIDTH, 1)),
+    )["params"]
+
+
+def load_aec_params(config, model) -> dict:
+    """Restore params from config.saved_weights (an orbax checkpoint dir).
+
+    For a DEC model in train mode the checkpoint holds *AEC* params
+    (pretraining output) and the encoder/decoder transfer into a fresh DEC
+    template (reference load_state_dict strict=False, models.py:977-979).
+    In every other case (AEC predict, DEC predict) the checkpoint's
+    structure matches the model itself.
+    """
+    template = _init_template(model)
+    if isinstance(model, _models.DEC) and config.mode == "train":
+        if getattr(config, "arch", "AEC") != "AEC":
+            raise ValueError(
+                "DEC inherits the AEC encoder/decoder; arch must be 'AEC' "
+                "(the reference's UNet-pretrain/AEC-refine mismatch transfers "
+                "no weights, SURVEY.md §2.3 defect 2)"
+            )
+        aec_params = restore(config.saved_weights, _init_template(_models.AEC()))
+        from spectrogram_cube_clustering_tpu.models.dec import (
+            load_encoder_decoder_from_aec,
+        )
+
+        return load_encoder_decoder_from_aec(template, aec_params)
+    return restore(config.saved_weights, template)
+
+
+def _gmm_artifacts_dir(config, n_clusters: int) -> str:
+    run_dir = os.path.abspath(os.path.join(config.saved_weights, os.pardir))
+    return os.path.join(run_dir, "GMM", f"n_clusters={n_clusters}")
+
+
+def train(config, mesh=None):
+    """Run the full hp sweep. Returns a list of per-run result dicts."""
+    tra_x, val_x = load_data(config)
+    tra_x = _normalize(config, tra_x)
+    val_x = _normalize(config, val_x)
+    print(
+        f"Dataset has {len(tra_x) + (len(val_x) if val_x is not None else 0)}"
+        " samples."
+    )
+
+    results = []
+    for run_count, hp in enumerate(config.sweep(), start=1):
+        print("-" * 80)
+        print(f"Hyperparameter Tuning Run {run_count}/{config.runs}: {hp}")
+        config.init_output_env(**hp)
+        if config.model == "AEC":
+            out = _train_aec_run(config, hp, tra_x, val_x, mesh)
+        elif config.model == "DEC":
+            out = _train_dec_run(config, hp, tra_x, mesh)
+        else:
+            raise ValueError(f"unknown model {config.model!r}")
+        results.append(out)
+    return results
+
+
+def _train_aec_run(config, hp, tra_x, val_x, mesh):
+    batch_size, lr = int(hp["batch_size"]), float(hp["lr"])
+    model = make_model(config)
+    tra = _train.make_batched_data(tra_x, batch_size=batch_size, mesh=mesh)
+    val = (
+        _train.make_batched_data(val_x, batch_size=batch_size, mesh=mesh)
+        if val_x is not None and len(val_x)
+        else None
+    )
+    state = _train.create_train_state(
+        model, jax.random.key(getattr(config, "seed", 0) or 0),
+        sample_input(tra_x), lr=lr,
+    )
+    writer, log_scalar = _tb_writer(config, config.savepath_run)
+
+    def save_checkpoint(name, params):
+        path = os.path.join(config.savepath_chkpnt, name)
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        save(path, params)
+
+    out = _train.train_aec(
+        model, state, tra, val,
+        _train.AECConfig(
+            n_epochs=int(config.n_epochs),
+            lr=lr,
+            early_stopping=bool(getattr(config, "early_stopping", True)),
+            patience=int(getattr(config, "patience", 10)),
+            verbose=bool(getattr(config, "show", False)),
+        ),
+        log_scalar=log_scalar,
+        save_checkpoint=save_checkpoint,
+    )
+    _utils.save_history(
+        {"Epoch": out["history"]["epoch"],
+         "Training MSE": out["history"]["train"],
+         "Validation MSE": out["history"]["validation"]},
+        os.path.join(config.savepath_run, "AEC_history.csv"),
+    )
+    save(os.path.join(config.savepath_run, "AEC_Params_Final"), out["final_params"])
+    if writer is not None:
+        writer.close()
+    out["savepath_run"] = config.savepath_run
+    return out
+
+
+def _train_dec_run(config, hp, tra_x, mesh):
+    batch_size, lr = int(hp["batch_size"]), float(hp["lr"])
+    n_clusters = int(hp.get("n_clusters", getattr(config, "n_clusters", 5)))
+    gamma = float(hp.get("gamma", 0.001))
+    tol = float(hp.get("tol", 0.003))
+
+    model = make_model(config, n_clusters=n_clusters)
+    data = _train.make_batched_data(tra_x, batch_size=batch_size, mesh=mesh)
+    state = _train.create_train_state(
+        model, jax.random.key(getattr(config, "seed", 0) or 0),
+        sample_input(tra_x), lr=lr,
+    )
+    # Inherit the pretrained autoencoder (reference models.py:977-979).
+    params = load_aec_params(config, model)
+    state = state.replace(params=params)
+
+    init_mode = getattr(config, "init", "gmm")
+    initial = None
+    if init_mode == "load":
+        gmm_dir = _gmm_artifacts_dir(config, n_clusters)
+        initial = (
+            np.load(os.path.join(gmm_dir, "labels.npy")),
+            np.load(os.path.join(gmm_dir, "centroids.npy")),
+        )
+
+    writer, log_scalar = _tb_writer(config, config.savepath_run)
+    out = _train.train_dec(
+        model, state, data,
+        _train.DECConfig(
+            n_clusters=n_clusters,
+            n_epochs=int(config.n_epochs),
+            lr=lr,
+            gamma=gamma,
+            tol=tol,
+            update_interval=int(getattr(config, "update_interval", -1)),
+            init=init_mode,
+            verbose=bool(getattr(config, "show", False)),
+        ),
+        initial=initial,
+        log_scalar=log_scalar,
+    )
+    save(
+        os.path.join(config.savepath_run, "DEC_Params_Initial"),
+        out["initial_params"],
+    )
+    save(os.path.join(config.savepath_run, "DEC_Params_Final"), out["state"].params)
+    _utils.save_history(
+        {"Iteration": out["history"]["iteration"],
+         "Loss": out["history"]["total"],
+         "MSE": out["history"]["reconstruction"],
+         "KLD": out["history"]["clustering"]},
+        os.path.join(config.savepath_run, "DEC_history.csv"),
+    )
+    if out["deltas"]["iteration"]:
+        _utils.save_history(
+            {"Iteration": out["deltas"]["iteration"],
+             "Delta": out["deltas"]["delta"]},
+            os.path.join(config.savepath_run, "Delta_history.csv"),
+        )
+    if writer is not None:
+        writer.close()
+    out["savepath_run"] = config.savepath_run
+    return out

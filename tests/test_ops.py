@@ -40,6 +40,15 @@ class TestNormalizers:
         want = np.asarray(ops.sample_norm_cent(jnp.asarray(x[1, 3])))
         np.testing.assert_allclose(got[1, 3], want, rtol=1e-6)
 
+    def test_nhwc_matches_hw(self, rng):
+        # NHWC (B, H, W, 1) must normalize over the full (H, W) window,
+        # identically to the channel-less layout.
+        x = rng.normal(size=(3, 4, 101)).astype(np.float32)
+        for fn in (ops.sample_norm_cent, ops.sample_normalization, ops.vec_norm):
+            got = np.asarray(fn(jnp.asarray(x[..., None])))[..., 0]
+            want = np.asarray(fn(jnp.asarray(x)))
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
     def test_make_normalizer_dispatch(self):
         assert ops.make_normalizer(None)(jnp.ones((4, 4))).sum() == 16
         with pytest.raises(ValueError):

@@ -1,0 +1,150 @@
+"""Integration test: the 3-stage AEC -> GMM -> DEC workflow driven through
+the .ini config surface on a synthetic Zarr cube (SURVEY.md §4 item 2).
+
+Asserts: losses decrease, artifact tree matches the reference layout
+(Exp/Run/GMM/Prediction, SURVEY.md §5 Checkpoint), the delta-label stop
+criterion machinery runs, and final clustering recovers the planted classes
+(NMI).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from spectrogram_cube_clustering_tpu import utils as scc_utils
+from spectrogram_cube_clustering_tpu import workflow
+from spectrogram_cube_clustering_tpu.data import CubeSpec, make_synthetic_cube
+
+N_CLASSES = 3
+SPEC = CubeSpec(chunk_size=64, window_rows=4, channel_start=1, channel_stride=2)
+
+
+@pytest.fixture(scope="module")
+def cube(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wf")
+    cube_path = str(root / "cube.zarr")
+    labels = make_synthetic_cube(
+        cube_path, n_time=64 * 11, n_channels=25, n_freq=101,
+        n_classes=N_CLASSES, chunk_rows=64, seed=3, spec=SPEC,
+    )  # 2 usable chunks x 12 channels x 16 windows = 384 samples
+    return root, cube_path, labels
+
+
+def _make_config(root, cube_path, model, mode, parameters=None, hp=None):
+    universal = {
+        "fname_dataset": cube_path,
+        "savepath": str(root / "Outputs"),
+        "configpath": str(root / "Config"),
+        "transform": "sample_norm_cent",
+        "chunk_size": SPEC.chunk_size,
+        "channel_start": SPEC.channel_start,
+        "channel_stride": SPEC.channel_stride,
+    }
+    params = {"model": model, "mode": mode, "tb": "False", "show": "False"}
+    params.update(parameters or {})
+    ini = scc_utils.config_training(universal, params, hp)
+    config = scc_utils.load_config(ini)
+    config.init_exp_env()
+    config.save_exp_config()
+    return config
+
+
+def test_full_workflow(cube):
+    root, cube_path, true_labels = cube
+
+    # ---- stage 1: AEC pretrain (sweep of one) --------------------------
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 25, "early_stopping": "True", "patience": 10},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    assert config.runs == 1
+    [aec_out] = workflow.train(config)
+    hist = aec_out["history"]["train"]
+    assert hist[-1] < hist[0], "AEC training loss must decrease"
+    run_dir = aec_out["savepath_run"]
+    assert os.path.basename(run_dir) == "Run_BatchSz=64_LR=0.001"
+    assert os.path.isdir(os.path.join(run_dir, "AEC_Params_Final"))
+    assert os.path.exists(os.path.join(run_dir, "AEC_history.csv"))
+    assert glob.glob(os.path.join(os.path.dirname(run_dir), "ExpConfig*.ini"))
+    saved_weights = os.path.join(run_dir, "AEC_Params_Final")
+
+    # ---- stage 1b: AEC predict -> Z_AEC.npy ----------------------------
+    config = _make_config(
+        root, cube_path, "AEC", "predict", {"saved_weights": saved_weights}
+    )
+    out = workflow.predict(config)
+    pred_dir = os.path.join(run_dir, "Prediction")
+    assert os.path.exists(os.path.join(pred_dir, "Z_AEC.npy"))
+    assert os.path.exists(os.path.join(pred_dir, "Xr_AEC.npy"))
+    assert os.path.exists(os.path.join(pred_dir, "MSE.txt"))
+    z = np.load(os.path.join(pred_dir, "Z_AEC.npy"))
+    assert z.shape == (len(true_labels), 9)
+    xr = np.load(os.path.join(pred_dir, "Xr_AEC.npy"))
+    assert xr.shape == (len(true_labels), 1, 4, 101)  # reference NCHW layout
+    assert np.isfinite(out["loss"])
+
+    # ---- stage 2: GMM fit in latent space ------------------------------
+    config = _make_config(
+        root, cube_path, "GMM", "fit",
+        {"saved_weights": saved_weights, "km_n_init": 10, "km_max_iter": 100},
+        {"n_clusters": str(N_CLASSES)},
+    )
+    [gmm_out] = workflow.gmm_fit(config, figures=False)
+    gmm_dir = os.path.join(run_dir, "GMM", f"n_clusters={N_CLASSES}")
+    assert os.path.exists(os.path.join(gmm_dir, "labels.npy"))
+    assert os.path.exists(os.path.join(gmm_dir, "centroids.npy"))
+    assert os.path.exists(os.path.join(gmm_dir, "Labels.csv"))
+    assert gmm_out["centroids"].shape == (N_CLASSES, 9)
+
+    # ---- stage 3: DEC refine with loaded GMM init ----------------------
+    config = _make_config(
+        root, cube_path, "DEC", "train",
+        {
+            "n_epochs": 5, "saved_weights": saved_weights, "init": "load",
+            "update_interval": -1,
+        },
+        {
+            "batch_size": "64", "lr": "0.0005",
+            "n_clusters": str(N_CLASSES), "gamma": "0.01", "tol": "0.001",
+        },
+    )
+    [dec_out] = workflow.train(config)
+    dec_run = dec_out["savepath_run"]
+    assert os.path.basename(dec_run) == (
+        f"Run_Clusters={N_CLASSES}_BatchSz=64_LR=0.0005_gamma=0.01_tol=0.001"
+    )
+    assert os.path.isdir(os.path.join(dec_run, "DEC_Params_Initial"))
+    assert os.path.isdir(os.path.join(dec_run, "DEC_Params_Final"))
+    assert os.path.exists(os.path.join(dec_run, "DEC_history.csv"))
+    assert dec_out["labels"].shape == (len(true_labels),)
+    assert dec_out["centroids"].shape == (N_CLASSES, 9)
+
+    # clustering quality: DEC labels must recover the planted classes
+    from sklearn.metrics import normalized_mutual_info_score
+
+    nmi = normalized_mutual_info_score(true_labels, dec_out["labels"])
+    assert nmi > 0.5, f"DEC NMI vs planted classes too low: {nmi:.3f}"
+
+    # ---- stage 3b: DEC predict -----------------------------------------
+    config = _make_config(
+        root, cube_path, "DEC", "predict",
+        {"saved_weights": os.path.join(dec_run, "DEC_Params_Final")},
+    )
+    assert config.n_clusters == N_CLASSES  # parsed from the run-dir name
+    out = workflow.predict(config, figures=False)
+    dec_pred = os.path.join(dec_run, "Prediction")
+    for fname in (
+        "q_DEC.npy", "Z_DEC.npy", "Xr_DEC.npy", "labels_DEC.npy",
+        "centroids_DEC.npy", "Labels.csv", "cluster_performance.csv",
+        "silh_scores_Z.npy", "silh_scores_X.npy",
+    ):
+        assert os.path.exists(os.path.join(dec_pred, fname)), fname
+    q = np.load(os.path.join(dec_pred, "q_DEC.npy"))
+    assert q.shape == (len(true_labels), N_CLASSES)
+    np.testing.assert_allclose(q.sum(axis=1), 1.0, atol=2e-4)
+    # predict labels match training's final labels (same params, same data)
+    labels_pred = np.load(os.path.join(dec_pred, "labels_DEC.npy"))
+    assert np.mean(labels_pred == dec_out["labels"]) > 0.99
