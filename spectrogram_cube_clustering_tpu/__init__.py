@@ -32,6 +32,7 @@ __version__ = "0.1.0"
 
 from spectrogram_cube_clustering_tpu import (  # noqa: F401
     analysis,
+    cli,
     cluster,
     core,
     data,
@@ -43,6 +44,6 @@ from spectrogram_cube_clustering_tpu import (  # noqa: F401
 )
 
 __all__ = [
-    "analysis", "cluster", "core", "data", "models", "ops", "train",
+    "analysis", "cli", "cluster", "core", "data", "models", "ops", "train",
     "utils", "workflow", "__version__",
 ]

@@ -2,6 +2,8 @@
 
 from spectrogram_cube_clustering_tpu.data.synthetic import synthetic_windows
 from spectrogram_cube_clustering_tpu.data import zarrlite
+from spectrogram_cube_clustering_tpu.data import h5
+from spectrogram_cube_clustering_tpu.data.h5 import SeismicDataset
 from spectrogram_cube_clustering_tpu.data.cube import (
     CubeSpec,
     ZarrCubeDataset,
@@ -12,6 +14,8 @@ from spectrogram_cube_clustering_tpu.data.cube import (
 __all__ = [
     "synthetic_windows",
     "zarrlite",
+    "h5",
+    "SeismicDataset",
     "CubeSpec",
     "ZarrCubeDataset",
     "make_synthetic_cube",

@@ -228,7 +228,9 @@ class Configuration:
         )
         shutil.copyfile(self.init_path, f"{fname}.ini")
         state = {
-            k: v for k, v in self.__dict__.items() if k != "tbpid"
+            k: (str(v) if k == "device" else v)
+            for k, v in self.__dict__.items()
+            if k != "tbpid"
         }
         with open(f"{fname}.txt", "w") as f:
             f.write(str(state))

@@ -1,0 +1,90 @@
+"""CLI tests: run-dc end-to-end from an .ini file, console tools."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from spectrogram_cube_clustering_tpu import cli, utils as scc_utils
+from spectrogram_cube_clustering_tpu.data import CubeSpec, make_synthetic_cube
+
+SPEC = CubeSpec(chunk_size=32, window_rows=4, channel_start=1, channel_stride=2)
+
+
+def test_run_dc_aec_train(tmp_path, capsys):
+    cube_path = str(tmp_path / "cube.zarr")
+    make_synthetic_cube(
+        cube_path, n_time=32 * 11, n_channels=9, n_freq=101,
+        n_classes=3, chunk_rows=32, seed=5, spec=SPEC,
+    )
+    ini = scc_utils.config_training(
+        {
+            "fname_dataset": cube_path,
+            "savepath": str(tmp_path / "Outputs"),
+            "configpath": str(tmp_path / "Config"),
+            "transform": "sample_norm_cent",
+            "chunk_size": SPEC.chunk_size,
+            "channel_start": SPEC.channel_start,
+            "channel_stride": SPEC.channel_stride,
+        },
+        {
+            "model": "AEC", "mode": "train", "n_epochs": 2,
+            "early_stopping": "False", "tb": "False", "show": "False",
+            "send_message": "True",
+        },
+        {"batch_size": "32", "lr": "0.001"},
+    )
+    config = cli.run_dc(init_path=ini)
+    out = capsys.readouterr().out
+    assert "Executing training mode for AEC" in out
+    assert "completed" in out
+    # notify fix: completion file written (reference's notify is broken)
+    assert os.path.exists(os.path.join(config.savepath_exp, "COMPLETED.txt"))
+    runs = [d for d in os.listdir(config.savepath_exp) if d.startswith("Run_")]
+    assert len(runs) == 1
+
+
+def test_run_dc_missing_dataset(tmp_path):
+    ini = scc_utils.config_training(
+        {
+            "fname_dataset": str(tmp_path / "nope.zarr"),
+            "savepath": str(tmp_path / "Outputs"),
+            "configpath": str(tmp_path / "Config"),
+        },
+        {"model": "AEC", "mode": "train", "n_epochs": 1, "tb": "False"},
+        {"batch_size": "8", "lr": "0.001"},
+    )
+    with pytest.raises(ValueError, match="Dataset file not found"):
+        cli.run_dc(init_path=ini)
+
+
+def test_console_tools(tmp_path, capsys):
+    path = str(tmp_path / "cat.h5")
+    rng = np.random.default_rng(0)
+    with h5py.File(path, "w") as f:
+        g = f.require_group("/4.0")
+        g.create_dataset("Spectrogram", data=rng.normal(size=(6, 88, 101)))
+        g.create_dataset("Trace", data=rng.normal(size=(6, 50)))
+        g.create_dataset(
+            "Catalogue",
+            data=np.array(
+                [json.dumps({"Station": "DR01"})] * 6,
+                dtype=h5py.string_dtype(),
+            ),
+        )
+    cli.query_h5size([path])
+    assert "6 samples with dimensions [88,101]" in capsys.readouterr().out
+
+    cli.generate_sample_index(["4", path, str(tmp_path)])
+    assert os.path.exists(os.path.join(str(tmp_path), "TraValIndex_M=4.pkl"))
+
+    dest = str(tmp_path / "cat.npy")
+    cli.convert_h5_to_np([path, "--dest", dest])
+    assert np.load(dest).shape == (6, 1, 87, 100)
+
+    sub = str(tmp_path / "sub.h5")
+    cli.extract_h5dataset([path, sub, "--include", '["DR01"]'])
+    with h5py.File(sub, "r") as f:
+        assert f["/4.0/Spectrogram"].shape[0] == 5  # indices 1..5

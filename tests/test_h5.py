@@ -1,0 +1,114 @@
+"""HDF5 catalog tests: SeismicDataset contract, metadata, tools.
+
+The reference stores raw 88x101 spectrograms (row 87 = time vector,
+col 0 = freq vector; utils.py:975-981); after crop -> (1, 87, 100).
+"""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from spectrogram_cube_clustering_tpu.data import h5 as h5mod
+
+M, H_RAW, W_RAW = 12, 88, 101
+
+
+@pytest.fixture(scope="module")
+def catalog(tmp_path_factory, ):
+    rng = np.random.default_rng(7)
+    path = str(tmp_path_factory.mktemp("h5") / "cat.h5")
+    spec = rng.normal(size=(M, H_RAW, W_RAW)).astype(np.float64)
+    spec[:, 87, 1:] = np.arange(W_RAW - 1)          # time vector
+    spec[:, 0:87, 0] = np.linspace(0, 10, 87)       # freq vector
+    trace = rng.normal(size=(M, 200)).astype(np.float64)
+    stations = [h5mod.STATION_LIST[i % 4] for i in range(M)]
+    meta = [
+        json.dumps({"Station": stations[i], "StartTime": f"2015-01-{i+1:02d} 00:00:00.0"})
+        for i in range(M)
+    ]
+    with h5py.File(path, "w") as f:
+        g = f.require_group("/4.0")
+        g.create_dataset("Spectrogram", data=spec)
+        g.create_dataset("Trace", data=trace)
+        g.create_dataset("Catalogue", data=np.array(meta, dtype=h5py.string_dtype()))
+        g.create_dataset("Scalogram", data=rng.normal(size=(M, 4, 4)))
+    return path, spec, stations
+
+
+class TestSeismicDataset:
+    def test_shapes_and_default_pipeline(self, catalog):
+        path, spec, _ = catalog
+        ds = h5mod.SeismicDataset(path, "h5")
+        assert len(ds) == M
+        idx, x = ds[3]
+        assert idx == 3
+        assert x.shape == (1, 87, 100)
+        # default pipeline: crop then vec_norm (utils.py:249-257)
+        cropped = spec[3, :-1, 1:]
+        want = cropped / (np.linalg.norm(cropped.ravel()) + 1e-8)
+        np.testing.assert_allclose(x[0], want, rtol=1e-6)
+
+    def test_np_roundtrip(self, catalog, tmp_path):
+        path, _, _ = catalog
+        dest = str(tmp_path / "cat.npy")
+        h5mod.convert_h5_to_np(path, dest)
+        ds = h5mod.SeismicDataset(dest, "np", transform=None, crop=False)
+        assert len(ds) == M
+        _, x0 = ds[0]
+        assert x0.shape == (1, 1, 87, 100)  # stored with channel dim already
+
+    def test_query_and_vectors(self, catalog):
+        path, spec, _ = catalog
+        assert h5mod.query_db_size(path) == (M, H_RAW, W_RAW)
+        tvec, fvec = h5mod.get_timefreqvec(path)
+        np.testing.assert_allclose(tvec, np.arange(W_RAW - 1))
+        assert fvec.shape == (87,)
+
+    def test_metadata(self, catalog):
+        path, _, stations = catalog
+        meta = h5mod.get_metadata([0, 1], [2, 5], path)
+        assert meta[0]["Station"] == stations[2]
+        assert meta[1]["Station"] == stations[5]
+
+    def test_station_tables(self):
+        assert h5mod.get_station(0) == "DR01"
+        assert h5mod.get_station("RS18") == 33
+        assert h5mod.get_channel(2) == "HHZ"
+        assert h5mod.get_network(0) == "XH"
+
+
+class TestTraValIndex:
+    def test_roundtrip(self, catalog, tmp_path):
+        path, _, _ = catalog
+        tra, val, pkl = h5mod.save_traval_index(10, path, str(tmp_path), seed=1)
+        assert len(tra) == 8 and len(val) == 2
+        tra2, val2 = h5mod.load_traval_index(pkl)
+        np.testing.assert_array_equal(tra, tra2)
+        np.testing.assert_array_equal(val, val2)
+        assert 0 not in np.concatenate([tra, val])  # reference draws from [1, M)
+
+
+class TestExtract:
+    def test_station_filter(self, catalog, tmp_path):
+        path, _, stations = catalog
+        dest = str(tmp_path / "sub.h5")
+        keep_station = stations[1]
+        kept = h5mod.extract_h5_dataset(path, dest, include=[keep_station])
+        # samples 1..M-1 (reference skips index 0) with matching station
+        want = sum(1 for i in range(1, M) if stations[i] == keep_station)
+        assert kept == want
+        with h5py.File(dest, "r") as f:
+            assert f["/4.0/Spectrogram"].shape[0] == kept
+            meta = json.loads(f["/4.0/Catalogue"][0])
+            assert meta["Station"] == keep_station
+
+    def test_time_filter(self, catalog, tmp_path):
+        path, _, stations = catalog
+        dest = str(tmp_path / "sub2.h5")
+        kept = h5mod.extract_h5_dataset(
+            path, dest, include=list(set(stations)), after="20150105T000000"
+        )
+        assert 0 < kept < M - 1
