@@ -11,6 +11,12 @@ from spectrogram_cube_clustering_tpu.utils.history import (
     save_history,
     save_labels,
 )
+from spectrogram_cube_clustering_tpu.utils.mathutils import (
+    distance_matrix,
+    fractional_distance,
+    measure_class_inertia,
+    measure_label_change,
+)
 
 __all__ = [
     "Configuration",
@@ -20,4 +26,8 @@ __all__ = [
     "add_to_history",
     "save_history",
     "save_labels",
+    "fractional_distance",
+    "distance_matrix",
+    "measure_class_inertia",
+    "measure_label_change",
 ]

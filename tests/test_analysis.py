@@ -1,0 +1,155 @@
+"""Analysis tests: LabelCatalogue statistics, math utils, figure smoke."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spectrogram_cube_clustering_tpu import utils as scc_utils
+from spectrogram_cube_clustering_tpu.analysis import LabelCatalogue, plotting
+
+
+@pytest.fixture
+def catalogue(tmp_path, rng):
+    n = 60
+    times = pd.date_range("2015-01-01", "2016-09-01", periods=n)
+    det = pd.DataFrame(
+        {
+            "Index": np.arange(n),
+            "network": "XH",
+            "station": [["DR01", "DR02", "RS01"][i % 3] for i in range(n)],
+            "channel": "HHZ",
+            "dt_on": times - pd.Timedelta(seconds=5),
+            "dt_peak": times,
+            "dt_off": times + pd.Timedelta(seconds=5),
+            "fs": 100.0,
+            "delta": 0.01,
+            "npts": 1000,
+            "STA": 1.0,
+            "LTA": 10.0,
+            "on": 2.5,
+            "off": 1.0,
+            "spec_start": 0,
+            "spec_stop": 100,
+            "peak": rng.lognormal(size=n),
+            "unit": "m/s",
+            "idx": np.arange(n),
+        }
+    )
+    lab = pd.DataFrame({"label": np.arange(n) % 4})
+    det_path = str(tmp_path / "detections.csv")
+    lab_path = str(tmp_path / "labels.csv")
+    det.to_csv(det_path, index=False)
+    lab.to_csv(lab_path, index=False)
+    return LabelCatalogue([det_path, lab_path])
+
+
+class TestLabelCatalogue:
+    def test_build_df(self, catalogue):
+        assert list(catalogue.label_list) == [0, 1, 2, 3]
+        assert set(catalogue.station_list) == {"DR01", "DR02", "RS01"}
+        # merge drops detection internals, keeps analysis columns
+        for col in ("station", "label", "peak", "idx"):
+            assert col in catalogue.df.columns
+        assert "STA" not in catalogue.df.columns
+        assert catalogue.df.index.name == "time"
+
+    def test_amplitude_statistics(self, catalogue):
+        stats = catalogue.amplitude_statistics()
+        assert list(stats.index) == [1, 2, 3, 4]
+        assert (stats["Maximum"] >= stats["Median"]).all()
+
+    def test_gather_counts(self, catalogue):
+        counts = catalogue.gather_counts("DR01", freq="month")
+        assert counts.values.sum() == (catalogue.df["station"] == "DR01").sum()
+        with pytest.raises(ValueError):
+            catalogue.gather_counts("DR01", freq="minute")
+
+    def test_seasonal_statistics(self, catalogue):
+        s = catalogue.seasonal_statistics()
+        assert set(s.columns) == {"JFM", "JJA"}
+        full = catalogue.seasonal_statistics(mode="full")
+        assert full["total"].sum() == len(catalogue.df)
+
+    def test_station_statistics(self, catalogue):
+        s = catalogue.station_statistics()
+        assert s["N"].sum() == len(catalogue.df)
+        assert s["percent"].sum() == pytest.approx(100.0)
+
+    def test_threshold(self, catalogue):
+        n_before = len(catalogue.df)
+        catalogue.apply_threshold(float(catalogue.df["peak"].median()))
+        assert 0 < len(catalogue.df) < n_before
+
+
+class TestMathUtils:
+    def test_fractional_distance(self, rng):
+        x = rng.normal(size=(5, 3))
+        y = rng.normal(size=(5, 3))
+        d2 = scc_utils.fractional_distance(x, y, 2.0)
+        np.testing.assert_allclose(d2, np.linalg.norm(x - y, axis=1), rtol=1e-12)
+
+    def test_distance_matrix(self, rng):
+        x = rng.normal(size=(4, 3))
+        d = scc_utils.distance_matrix(x, x, 2.0)
+        assert d.shape == (4, 4)
+        np.testing.assert_allclose(np.diag(d), 0.0, atol=1e-12)
+        np.testing.assert_allclose(d, d.T, rtol=1e-12)
+
+    def test_measure_class_inertia(self, rng):
+        z = rng.normal(size=(10, 2))
+        c = np.zeros((2, 2))
+        inertia = scc_utils.measure_class_inertia(z, c, 2)
+        want = np.sum(z**2)
+        np.testing.assert_allclose(inertia, [want, want], rtol=1e-12)
+
+    def test_measure_label_change(self):
+        l1 = np.array([0, 0, 1, 1, 2, 2])
+        l2 = np.array([0, 1, 1, 2, 2, 0])
+        df = scc_utils.measure_label_change(l1, l2)
+        assert df.loc[0, "N_j"] == 1       # one 0 -> 1
+        assert df.loc["total", "N_j"] == 3  # three changes total
+        # Reference layout (utils.py:1045-1051): column "Class j+1" holds
+        # the migration histogram FROM original class j, indexed by
+        # destination: class 1 -> class 2 lands at row 2 of "Class 2".
+        assert df.loc[2, "Class 2"] == 1
+        assert df.loc[1, "Class 1"] == 1  # class 0 -> class 1
+
+
+class TestFigures:
+    """Smoke tests: every figure family renders and returns a Figure."""
+
+    def test_all_families(self, rng):
+        m, k, d = 40, 3, 9
+        z = rng.normal(size=(m, d)).astype(np.float32)
+        labels = rng.integers(0, k, size=m)
+        centroids = rng.normal(size=(k, d)).astype(np.float32)
+        x = rng.normal(size=(m, 4, 101, 1)).astype(np.float32)
+        emb = rng.normal(size=(m, 2)).astype(np.float32)
+        scores = rng.uniform(-1, 1, size=m)
+
+        figs = [
+            plotting.view_tsne(emb, labels, "t"),
+            plotting.view_silhscore(scores, labels, k, "DEC"),
+            plotting.view_history_aec(
+                {"epoch": [1, 2], "train": [1.0, 0.5], "validation": [1.1, 0.6]}
+            ),
+            plotting.view_history_dec(
+                {"iteration": [1, 2], "total": [1, 0.5],
+                 "reconstruction": [0.9, 0.4], "clustering": [0.1, 0.1]},
+                {"iteration": [1, 2], "delta": [0.5, 0.1]},
+            ),
+            plotting.view_specgram_training(x[:4], x[:4]),
+            plotting.view_latent_space(z, labels),
+            plotting.view_centroid_output(rng.normal(size=(k, 4, 101, 1))),
+            plotting.cluster_gallery(
+                x, z, labels, centroids,
+                centroid_decodes=rng.normal(size=(k, 4, 101, 1)),
+            ),
+            plotting.view_class_cdf(z, labels, centroids),
+            plotting.view_class_pdf(z, labels, centroids),
+            plotting.view_cluster_stats([2, 3, 4], [10, 5, 3], [0.3, 0.5, 0.4]),
+            plotting.view_dec_output(x[0], labels[0], x[0], z[0]),
+        ]
+        for fig in figs:
+            assert fig is not None
+            assert len(fig.axes) >= 1
