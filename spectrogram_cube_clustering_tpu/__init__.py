@@ -38,12 +38,14 @@ from spectrogram_cube_clustering_tpu import (  # noqa: F401
     data,
     models,
     ops,
+    parallel,
+    signal,
     train,
     utils,
     workflow,
 )
 
 __all__ = [
-    "analysis", "cli", "cluster", "core", "data", "models", "ops", "train",
-    "utils", "workflow", "__version__",
+    "analysis", "cli", "cluster", "core", "data", "models", "ops",
+    "parallel", "signal", "train", "utils", "workflow", "__version__",
 ]

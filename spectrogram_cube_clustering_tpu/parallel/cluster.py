@@ -1,0 +1,67 @@
+"""Distributed clustering primitives: psum-reduced sufficient statistics.
+
+The reference's k-means/GMM run single-device via sklearn/cuML
+(Cluster/models.py:365-413). At cube scale the latent matrix is sharded
+across the data mesh; one Lloyd / EM step then needs only two global
+reductions — per-cluster sums and counts — expressed as `psum` inside
+`shard_map` (SURVEY.md §5 "Distributed communication backend": the same
+pattern carries GMM-EM responsibilities).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spectrogram_cube_clustering_tpu.core.mesh import DATA_AXIS
+
+
+def _local_stats(z, centers):
+    """Per-shard assignment + sufficient statistics.
+
+    z (m_local, D), centers (K, D) -> (labels (m_local,), sums (K, D),
+    counts (K,)).
+    """
+    d2 = (
+        jnp.sum(z * z, axis=1, keepdims=True)
+        - 2.0 * z @ centers.T
+        + jnp.sum(centers * centers, axis=1)[None, :]
+    )
+    labels = jnp.argmin(d2, axis=1)
+    onehot = jax.nn.one_hot(labels, centers.shape[0], dtype=z.dtype)
+    sums = onehot.T @ z               # (K, D) — MXU matmul
+    counts = jnp.sum(onehot, axis=0)  # (K,)
+    return labels, sums, counts
+
+
+def sharded_kmeans_step(z, centers, mesh: Mesh):
+    """One Lloyd iteration over latents sharded on the data mesh.
+
+    Returns (labels (M,) sharded like z, new_centers (K, D) replicated).
+    Empty clusters keep their previous center (sklearn's relocation
+    heuristic is a host-side concern; the reference seeds k-means++ so
+    empties are rare).
+    """
+
+    def step(z_local, centers_rep):
+        labels, sums, counts = _local_stats(z_local, centers_rep)
+        sums = jax.lax.psum(sums, DATA_AXIS)
+        counts = jax.lax.psum(counts, DATA_AXIS)
+        new = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0),
+            centers_rep,
+        )
+        return labels, new
+
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P()),
+    )
+    z = jax.device_put(z, NamedSharding(mesh, P(DATA_AXIS)))
+    centers = jax.device_put(centers, NamedSharding(mesh, P()))
+    return mapped(z, centers)

@@ -1,0 +1,116 @@
+"""On-device STFT: raw waveform -> log-power spectrogram windows.
+
+The reference consumes *precomputed* spectrogram cubes (the STFT that built
+them lives outside the repo; SURVEY.md §5 "Long-context"). This module is
+the TPU-native upstream: a fused frame -> Hann window -> DFT -> power ->
+log10 pipeline that turns raw seismic/DAS waveforms into the exact
+(window_rows, n_freq) samples the models consume, entirely on device.
+
+Defaults produce reference-geometry windows: nperseg=200 -> 101 rFFT bins
+(the cube's freq width), contiguous 4-row time groups -> (4, 101) model
+windows.
+
+Two implementations with identical semantics:
+- `spectrogram` — jnp (rfft), used on CPU and as the parity oracle;
+- `ops.pallas_stft.spectrogram_pallas` — fused Pallas kernel computing the
+  DFT as two real matmuls on the MXU (freq-bin count is far below nperseg,
+  so the matmul DFT beats FFT's log factor while fusing window+power+log
+  into one VMEM pass).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(nperseg: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic Hann window (scipy.signal.get_window('hann') convention)."""
+    n = jnp.arange(nperseg, dtype=dtype)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / nperseg)
+
+
+def frame(x: jnp.ndarray, nperseg: int, hop: int) -> jnp.ndarray:
+    """(..., T) -> (..., n_frames, nperseg) via strided gather;
+    n_frames = (T - nperseg) // hop + 1 (trailing partial frame dropped)."""
+    t = x.shape[-1]
+    n_frames = (t - nperseg) // hop + 1
+    if n_frames <= 0:
+        raise ValueError(f"signal length {t} < nperseg {nperseg}")
+    starts = jnp.arange(n_frames) * hop
+    idx = starts[:, None] + jnp.arange(nperseg)[None, :]
+    return x[..., idx]
+
+
+@functools.partial(jax.jit, static_argnames=("nperseg", "hop", "log", "eps"))
+def spectrogram(
+    x: jnp.ndarray,
+    nperseg: int = 200,
+    hop: int = 100,
+    log: bool = True,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """Log-power spectrogram: (..., T) -> (..., n_frames, nperseg//2 + 1).
+
+    power = |rFFT(frame * hann)|^2, log10 when `log`.
+    """
+    frames = frame(x.astype(jnp.float32), nperseg, hop)
+    win = hann_window(nperseg)
+    spec = jnp.fft.rfft(frames * win, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if log:
+        return jnp.log10(power + eps)
+    return power
+
+
+def dft_matrices(nperseg: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Real/imag rDFT bases, window pre-folded OUT: (nperseg, nfreq) each,
+    so that rfft(f)[k] == f @ cos[:, k] - 1j * f @ sin[:, k]."""
+    nfreq = nperseg // 2 + 1
+    n = np.arange(nperseg)[:, None]
+    k = np.arange(nfreq)[None, :]
+    ang = 2.0 * np.pi * n * k / nperseg
+    return (
+        jnp.asarray(np.cos(ang), dtype),
+        jnp.asarray(np.sin(ang), dtype),
+    )
+
+
+def spectrogram_windows(
+    x: jnp.ndarray,
+    nperseg: int = 200,
+    hop: int = 100,
+    window_rows: int = 4,
+    transform: Optional[str] = "sample_norm_cent",
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Raw waveform(s) -> model-ready windows (N, window_rows, n_freq, 1).
+
+    Consecutive `window_rows` spectrogram frames form one sample (the Zarr
+    reader's 4-row windowing, ZarrDataLoader.py:72); trailing partial
+    windows are dropped; normalization fuses on device (ops.normalize).
+    `use_pallas=None` auto-selects the Pallas kernel on TPU backends.
+    """
+    from spectrogram_cube_clustering_tpu.ops.normalize import make_normalizer
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from spectrogram_cube_clustering_tpu.ops.pallas_stft import (
+            spectrogram_pallas,
+        )
+
+        spec = spectrogram_pallas(x, nperseg=nperseg, hop=hop)
+    else:
+        spec = spectrogram(x, nperseg=nperseg, hop=hop)
+    # (..., n_frames, n_freq) -> (N, window_rows, n_freq)
+    n_freq = spec.shape[-1]
+    spec = spec.reshape(-1, n_freq)
+    n_windows = spec.shape[0] // window_rows
+    spec = spec[: n_windows * window_rows].reshape(n_windows, window_rows, n_freq)
+    spec = make_normalizer(transform)(spec)
+    return spec[..., None]

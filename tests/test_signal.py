@@ -1,0 +1,109 @@
+"""Signal/parallel tests: STFT parity, Pallas kernel (interpret mode),
+halo-exchange sharded spectrogram on the 8-device CPU mesh, sharded
+k-means step vs single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spectrogram_cube_clustering_tpu import parallel, signal
+from spectrogram_cube_clustering_tpu.core import make_data_mesh
+from spectrogram_cube_clustering_tpu.ops.pallas_stft import spectrogram_pallas
+
+
+class TestSTFT:
+    def test_matches_numpy_rfft(self, rng):
+        x = rng.normal(size=(4_000,)).astype(np.float32)
+        spec = np.asarray(signal.spectrogram(jnp.asarray(x), nperseg=200, hop=100))
+        assert spec.shape == ((4_000 - 200) // 100 + 1, 101)
+        win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(200) / 200)
+        for f in (0, 7, spec.shape[0] - 1):
+            want = np.log10(
+                np.abs(np.fft.rfft(x[f * 100 : f * 100 + 200] * win)) ** 2
+                + 1e-12
+            )
+            np.testing.assert_allclose(spec[f], want, atol=2e-4)
+
+    def test_frame(self, rng):
+        x = rng.normal(size=(1_000,)).astype(np.float32)
+        f = np.asarray(signal.frame(jnp.asarray(x), 200, 100))
+        assert f.shape == (9, 200)
+        np.testing.assert_array_equal(f[3], x[300:500])
+
+    def test_batched(self, rng):
+        x = rng.normal(size=(3, 2_000)).astype(np.float32)
+        spec = np.asarray(signal.spectrogram(jnp.asarray(x)))
+        assert spec.shape == (3, 19, 101)
+        one = np.asarray(signal.spectrogram(jnp.asarray(x[1])))
+        np.testing.assert_allclose(spec[1], one, atol=1e-5)
+
+    def test_pallas_kernel_interpret(self, rng):
+        x = rng.normal(size=(60_000,)).astype(np.float32)
+        ref = np.asarray(signal.spectrogram(jnp.asarray(x)))
+        got = np.asarray(spectrogram_pallas(jnp.asarray(x), interpret=True))
+        assert got.shape == ref.shape
+        # matmul-DFT vs FFT in f32: tiny log-scale drift is expected
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_pallas_kernel_nondefault_geometry(self, rng):
+        x = rng.normal(size=(10_000,)).astype(np.float32)
+        ref = np.asarray(signal.spectrogram(jnp.asarray(x), nperseg=256, hop=64))
+        got = np.asarray(
+            spectrogram_pallas(
+                jnp.asarray(x), nperseg=256, hop=64, interpret=True,
+                frames_per_block=64,
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_spectrogram_windows_shapes(self, rng):
+        x = rng.normal(size=(10_000,)).astype(np.float32)
+        w = np.asarray(
+            signal.spectrogram_windows(jnp.asarray(x), use_pallas=False)
+        )
+        n_frames = (10_000 - 200) // 100 + 1
+        assert w.shape == (n_frames // 4, 4, 101, 1)
+        # normalized per window
+        assert np.abs(w.mean(axis=(1, 2, 3))).max() < 1e-5
+
+
+class TestShardedSpectrogram:
+    def test_matches_single_device(self, rng):
+        mesh = make_data_mesh()
+        n_dev = mesh.devices.size
+        assert n_dev == 8  # conftest pins the 8-device CPU mesh
+        t = n_dev * 100 * 30  # multiple of mesh * hop
+        x = rng.normal(size=(t,)).astype(np.float32)
+        want = np.asarray(signal.spectrogram(jnp.asarray(x)))
+        got = np.asarray(parallel.sharded_spectrogram(jnp.asarray(x), mesh))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_rejects_misaligned_length(self, rng):
+        mesh = make_data_mesh()
+        x = jnp.zeros((12345,), jnp.float32)
+        with pytest.raises(ValueError, match="multiple of mesh"):
+            parallel.sharded_spectrogram(x, mesh)
+
+
+class TestShardedKMeans:
+    def test_step_matches_dense(self, rng):
+        mesh = make_data_mesh()
+        m, d, k = 8 * 64, 9, 5
+        z = rng.normal(size=(m, d)).astype(np.float32)
+        centers = z[rng.choice(m, k, replace=False)]
+        labels, new = parallel.sharded_kmeans_step(
+            jnp.asarray(z), jnp.asarray(centers), mesh
+        )
+        labels = np.asarray(labels)
+        new = np.asarray(new)
+        # dense reference
+        d2 = ((z[:, None, :] - centers[None]) ** 2).sum(-1)
+        want_labels = d2.argmin(1)
+        np.testing.assert_array_equal(labels, want_labels)
+        for j in range(k):
+            if np.any(want_labels == j):
+                np.testing.assert_allclose(
+                    new[j], z[want_labels == j].mean(0), rtol=1e-4, atol=1e-5
+                )
