@@ -10,6 +10,10 @@ from spectrogram_cube_clustering_tpu.data.cube import (
     make_synthetic_cube,
     train_val_split,
 )
+from spectrogram_cube_clustering_tpu.data.prefetch import (
+    PrefetchLoader,
+    zarr_prefetch_loader,
+)
 
 __all__ = [
     "synthetic_windows",
@@ -20,4 +24,6 @@ __all__ = [
     "ZarrCubeDataset",
     "make_synthetic_cube",
     "train_val_split",
+    "PrefetchLoader",
+    "zarr_prefetch_loader",
 ]

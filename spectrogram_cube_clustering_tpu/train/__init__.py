@@ -16,12 +16,17 @@ Cluster/models.py:106-168, 1089-1163):
 
 from spectrogram_cube_clustering_tpu.train.layout import BatchedData, make_batched_data
 from spectrogram_cube_clustering_tpu.train.state import create_train_state
-from spectrogram_cube_clustering_tpu.train.aec import train_aec, AECConfig
+from spectrogram_cube_clustering_tpu.train.aec import (
+    train_aec,
+    train_aec_stream,
+    AECConfig,
+)
 from spectrogram_cube_clustering_tpu.train.dec import train_dec, DECConfig, full_eval
 from spectrogram_cube_clustering_tpu.train import checkpoint
 
 __all__ = [
     "BatchedData", "make_batched_data", "create_train_state",
-    "train_aec", "AECConfig", "train_dec", "DECConfig", "full_eval",
+    "train_aec", "train_aec_stream", "AECConfig",
+    "train_dec", "DECConfig", "full_eval",
     "checkpoint",
 ]

@@ -82,6 +82,79 @@ def make_epoch_fns(model):
     return train_epoch, eval_epoch
 
 
+def make_step_fns(model):
+    """Per-batch (train_step, eval_step) for the streaming path — same
+    masked-MSE semantics as the scan epoch, one jitted step per device
+    batch fed by data.prefetch.PrefetchLoader."""
+
+    def loss_fn(params, x, n_valid):
+        out = model.apply({"params": params}, x)
+        per = _masked_mse_per_sample(out[0], x)
+        mask = (jnp.arange(x.shape[0]) < n_valid).astype(x.dtype)
+        return jnp.sum(per * mask) / jnp.maximum(n_valid, 1.0)
+
+    @jax.jit
+    def train_step(state, x, n_valid):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, x, n_valid)
+        return state.apply_gradients(grads=grads), loss
+
+    @jax.jit
+    def eval_step(params, x, n_valid):
+        return loss_fn(params, x, n_valid)
+
+    return train_step, eval_step
+
+
+def train_aec_stream(
+    model, state, make_loader, config: AECConfig, make_val_loader=None
+):
+    """AEC pretraining over a streaming loader (windows exceed HBM).
+
+    `make_loader()` returns an iterable of (device_batch, n_valid) per
+    epoch (data.prefetch.PrefetchLoader). Host IO overlaps the jitted
+    step; epoch losses weight batches by valid count. Early-stopping and
+    history semantics match `train_aec`.
+    """
+    train_step, eval_step = make_step_fns(model)
+    best_val = float("inf")
+    best_params = None
+    strikes = 0
+    history = {"epoch": [], "train": [], "validation": []}
+    for epoch in range(config.n_epochs):
+        loss_sum = 0.0
+        n_sum = 0
+        for x, n_valid in make_loader():
+            state, loss = train_step(state, x, jnp.float32(n_valid))
+            loss_sum += float(loss) * n_valid
+            n_sum += n_valid
+        tra_loss = loss_sum / max(n_sum, 1)
+        if make_val_loader is not None:
+            v_sum, v_n = 0.0, 0
+            for x, n_valid in make_val_loader():
+                v_sum += float(eval_step(state.params, x, jnp.float32(n_valid))) * n_valid
+                v_n += n_valid
+            val_loss = v_sum / max(v_n, 1)
+        else:
+            val_loss = tra_loss
+        history["epoch"].append(epoch + 1)
+        history["train"].append(tra_loss)
+        history["validation"].append(val_loss)
+        if config.early_stopping:
+            if val_loss < best_val:
+                strikes = 0
+                best_val = val_loss
+                best_params = jax.tree.map(lambda a: a, state.params)
+            else:
+                strikes += 1
+            if epoch > config.patience and strikes > config.patience:
+                break
+    final = best_params if (config.early_stopping and best_params is not None) else state.params
+    return {
+        "state": state, "final_params": final, "best_val": best_val,
+        "history": history,
+    }
+
+
 def train_aec(
     model,
     state,

@@ -17,6 +17,7 @@ from spectrogram_cube_clustering_tpu.utils.mathutils import (
     measure_class_inertia,
     measure_label_change,
 )
+from spectrogram_cube_clustering_tpu.utils import profiling
 
 __all__ = [
     "Configuration",
@@ -30,4 +31,5 @@ __all__ = [
     "distance_matrix",
     "measure_class_inertia",
     "measure_label_change",
+    "profiling",
 ]

@@ -1,0 +1,111 @@
+"""Prefetch loader tests: ordering, batching, padding, profiling timer."""
+
+import numpy as np
+import pytest
+
+from spectrogram_cube_clustering_tpu.data import (
+    CubeSpec,
+    PrefetchLoader,
+    ZarrCubeDataset,
+    make_synthetic_cube,
+    zarr_prefetch_loader,
+)
+from spectrogram_cube_clustering_tpu.utils import profiling
+
+
+def _item_fn(i):
+    # item i yields 3 windows tagged with its index
+    return np.full((3, 2, 4, 1), float(i), np.float32)
+
+
+class TestPrefetchLoader:
+    def test_order_and_batching(self):
+        loader = PrefetchLoader(_item_fn, n_items=5, batch_size=4, num_workers=3)
+        batches = list(loader)
+        # 15 windows -> 3 full batches of 4 + 1 padded batch
+        assert len(batches) == 4
+        flat = np.concatenate([np.asarray(b[0]) for b in batches], axis=0)
+        want = np.repeat(np.arange(5, dtype=np.float32), 3)
+        np.testing.assert_array_equal(flat[:15, 0, 0, 0], want)
+        # last batch: 3 valid + 1 zero pad
+        assert batches[-1][1] == 3
+        np.testing.assert_array_equal(np.asarray(batches[-1][0])[3], 0.0)
+        for b in batches[:-1]:
+            assert b[1] == 4
+
+    def test_custom_indices(self):
+        loader = PrefetchLoader(
+            _item_fn, n_items=5, batch_size=3, num_workers=2, indices=[4, 1]
+        )
+        batches = list(loader)
+        flat = np.concatenate([np.asarray(b[0]) for b in batches], axis=0)
+        np.testing.assert_array_equal(
+            flat[:6, 0, 0, 0], [4, 4, 4, 1, 1, 1]
+        )
+
+    def test_multiple_epochs(self):
+        loader = PrefetchLoader(_item_fn, n_items=2, batch_size=6, num_workers=2)
+        first = [np.asarray(b[0]) for b in loader]
+        second = [np.asarray(b[0]) for b in loader]
+        assert len(first) == len(second) == 1
+        np.testing.assert_array_equal(first[0], second[0])
+
+    def test_over_zarr_cube(self, tmp_path):
+        spec = CubeSpec(chunk_size=16, window_rows=4, channel_start=1,
+                        channel_stride=2)
+        path = str(tmp_path / "cube")
+        make_synthetic_cube(
+            path, n_time=16 * 11, n_channels=5, n_freq=31,
+            n_classes=2, chunk_rows=16, seed=0, spec=spec,
+        )
+        ds = ZarrCubeDataset(path, spec=spec)
+        loader = zarr_prefetch_loader(ds, batch_size=8, num_workers=2)
+        batches = list(loader)
+        total_windows = sum(b[1] for b in batches)
+        assert total_windows == ds.n_windows
+        flat = np.concatenate([np.asarray(b[0]) for b in batches], axis=0)
+        np.testing.assert_allclose(flat[:4], ds.item(0), rtol=1e-6)
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        timer = profiling.StepTimer(warmup=1)
+        for _ in range(5):
+            with timer:
+                pass
+        stats = timer.stats(items_per_step=100)
+        assert stats["steps"] == 4  # warmup skipped
+        assert stats["items_per_sec"] > 0
+        assert stats["p95_s"] >= stats["p50_s"]
+
+    def test_annotate_runs(self):
+        with profiling.annotate("test-span"):
+            pass
+
+
+class TestStreamingTraining:
+    def test_train_aec_stream_matches_loss_decrease(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import spectrogram_cube_clustering_tpu as scc
+
+        x, _ = scc.data.synthetic_windows(96, n_classes=3, seed=1)
+        x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+
+        def make_loader():
+            return scc.data.PrefetchLoader(
+                lambda i: x[i * 8 : (i + 1) * 8], n_items=12, batch_size=32,
+                num_workers=2,
+            )
+
+        model = scc.models.AEC()
+        state = scc.train.create_train_state(
+            model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+        )
+        out = scc.train.train_aec_stream(
+            model, state, make_loader,
+            scc.train.AECConfig(n_epochs=5, early_stopping=False),
+        )
+        hist = out["history"]["train"]
+        assert hist[-1] < hist[0]
+        assert len(hist) == 5
