@@ -17,6 +17,7 @@ accounting (models.py:160-167).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -163,9 +164,20 @@ def train_aec(
     config: AECConfig,
     log_scalar: Optional[Callable[[str, float, int], None]] = None,
     save_checkpoint: Optional[Callable[[str, object], None]] = None,
+    snapshot_path: Optional[str] = None,
+    snapshot_every: int = 1,
+    resume: bool = False,
 ) -> Dict:
     """Run AEC pretraining. Returns dict with final state, best params,
-    history, and the stop epoch."""
+    history, and the stop epoch.
+
+    With `snapshot_path`, a full train-state snapshot (optimizer state +
+    loop metadata) is written every `snapshot_every` epochs; `resume=True`
+    picks training up from it after preemption (the reference restarts
+    from scratch — it never saves optimizer state, SURVEY.md §5).
+    """
+    from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
+
     train_epoch, eval_epoch = make_epoch_fns(model)
 
     best_val = float("inf")
@@ -173,9 +185,23 @@ def train_aec(
     strikes = 0
     finished = False
     history: Dict[str, List[float]] = {"epoch": [], "train": [], "validation": []}
+    start_epoch = 0
 
-    epoch = -1
-    for epoch in range(config.n_epochs):
+    if resume and snapshot_path is not None and os.path.exists(snapshot_path):
+        state, meta, extra = ckpt.restore_snapshot(
+            snapshot_path, state, extra_template=state.params
+        )
+        start_epoch = meta["epoch"]
+        history = meta["history"]
+        best_val = meta["best_val"]
+        strikes = meta["strikes"]
+        if meta.get("have_best"):
+            best_params = extra
+        if config.verbose:
+            print(f"Resumed from {snapshot_path} at epoch {start_epoch}")
+
+    epoch = start_epoch - 1
+    for epoch in range(start_epoch, config.n_epochs):
         state, tra_loss = train_epoch(state, tra.x, tra.mask)
         tra_loss = float(tra_loss)
         val_loss = (
@@ -209,6 +235,15 @@ def train_aec(
                 break
         elif save_checkpoint is not None:
             save_checkpoint(f"AEC_Params_{epoch + 1:03d}", state.params)
+
+        if snapshot_path is not None and (epoch + 1) % snapshot_every == 0:
+            ckpt.save_snapshot(
+                snapshot_path, state,
+                {"epoch": epoch + 1, "history": history,
+                 "best_val": best_val, "strikes": strikes,
+                 "have_best": best_params is not None},
+                extra=best_params if best_params is not None else state.params,
+            )
 
     # Final = best-validation params when early stopping (models.py:916-923).
     final_params = (

@@ -40,3 +40,60 @@ def restore(path: str, template: Optional[Any] = None) -> Any:
         template = jax.tree.map(np.asarray, jax.device_get(template))
         return ckpt.restore(path, template)
     return ckpt.restore(path)
+
+
+# -- preemption-safe training snapshots -------------------------------------
+#
+# The reference can only save weights; a killed run restarts from scratch
+# (SURVEY.md §5 "Failure detection ... none"). A snapshot carries the full
+# optimizer state plus loop metadata (epoch, histories, early-stop
+# counters), so training resumes exactly where it stopped.
+
+
+def save_snapshot(path: str, state, meta: dict, extra: Optional[Any] = None) -> str:
+    """Atomically persist train state (params + optimizer + step), JSON
+    loop metadata, and an optional extra array pytree (e.g. best params).
+    Overwrites any snapshot already at `path`."""
+    import json
+    import shutil
+
+    path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    tree = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if extra is not None:
+        tree["extra"] = extra
+    save(tmp, tree)
+    with open(os.path.join(tmp, "loop_meta.json"), "w") as f:
+        json.dump(meta, f)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return path
+
+
+def restore_snapshot(path: str, state, extra_template: Optional[Any] = None) -> tuple:
+    """Restore (state, meta, extra) from a snapshot; `state` is a freshly
+    created TrainState providing the structure."""
+    import json
+
+    path = os.path.abspath(path)
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if extra_template is not None:
+        template["extra"] = extra_template
+    tree = restore(path, template)
+    with open(os.path.join(path, "loop_meta.json")) as f:
+        meta = json.load(f)
+    state = state.replace(
+        params=tree["params"], opt_state=tree["opt_state"], step=tree["step"]
+    )
+    return state, meta, tree.get("extra")

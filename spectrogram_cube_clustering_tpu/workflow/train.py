@@ -169,6 +169,10 @@ def _train_aec_run(config, hp, tra_x, val_x, mesh):
         ),
         log_scalar=log_scalar,
         save_checkpoint=save_checkpoint,
+        # preemption-safe: full-state snapshot in tmp/, resumable via
+        # config `resume = True` pointing the run dir at the same place
+        snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
+        resume=bool(getattr(config, "resume", False)),
     )
     _utils.save_history(
         {"Epoch": out["history"]["epoch"],

@@ -1,0 +1,78 @@
+"""Checkpoint/resume tests: preemption-safe training snapshots."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import spectrogram_cube_clustering_tpu as scc
+from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
+
+
+@pytest.fixture
+def setup(rng):
+    x, _ = scc.data.synthetic_windows(64, n_classes=3, seed=2)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    model = scc.models.AEC()
+    data = scc.train.make_batched_data(x, batch_size=32)
+
+    def fresh_state():
+        return scc.train.create_train_state(
+            model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+        )
+
+    return model, data, fresh_state
+
+
+def test_snapshot_roundtrip(tmp_path, setup):
+    model, data, fresh_state = setup
+    state = fresh_state()
+    train_epoch, _ = scc.train.aec.make_epoch_fns(model)
+    state, _ = train_epoch(state, data.x, data.mask)
+    path = str(tmp_path / "snap")
+    ckpt.save_snapshot(path, state, {"epoch": 1, "note": "x"})
+    restored, meta, _ = ckpt.restore_snapshot(path, fresh_state())
+    assert meta["epoch"] == 1
+    assert int(restored.step) == int(state.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params, state.params,
+    )
+    # optimizer moments restored too
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(restored.opt_state), jax.device_get(state.opt_state),
+    )
+
+
+def test_resume_matches_uninterrupted(tmp_path, setup):
+    model, data, fresh_state = setup
+    cfg_full = scc.train.AECConfig(n_epochs=6, early_stopping=False)
+
+    # uninterrupted run
+    full = scc.train.train_aec(model, fresh_state(), data, None, cfg_full)
+
+    # interrupted: 3 epochs with snapshots, then resume to 6
+    snap = str(tmp_path / "snap")
+    cfg_half = scc.train.AECConfig(n_epochs=3, early_stopping=False)
+    scc.train.train_aec(
+        model, fresh_state(), data, None, cfg_half,
+        snapshot_path=snap, snapshot_every=1,
+    )
+    assert os.path.exists(snap)
+    resumed = scc.train.train_aec(
+        model, fresh_state(), data, None, cfg_full,
+        snapshot_path=snap, resume=True,
+    )
+    assert resumed["history"]["epoch"] == full["history"]["epoch"]
+    np.testing.assert_allclose(
+        resumed["history"]["train"], full["history"]["train"], rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        resumed["state"].params, full["state"].params,
+    )
