@@ -321,3 +321,211 @@ def view_dec_output(x, label, x_rec, z, idx: int = 0, show: bool = False):
     _img(axes[2], _to_hw(np.asarray(x_rec)))
     axes[2].set_title("Reconstruction")
     return _finish(fig, show)
+
+
+def compare_silhscore(
+    scores_z, scores_x, labels, n_clusters, xlim=(-1, 1), show: bool = False
+):
+    """Side-by-side latent/data-space silhouette plots (reference
+    compare_silhscore, plotting.py:562-640)."""
+    labels = np.asarray(labels)
+    colors = cmap_lifeaquatic(n_clusters)
+    fig, axes = plt.subplots(
+        1, 2, figsize=(12, max(n_clusters, 2)), sharey=True
+    )
+    for ax, scores, name in (
+        (axes[0], np.asarray(scores_z), "Latent Space"),
+        (axes[1], np.asarray(scores_x), "Data Space"),
+    ):
+        y_lower = 10
+        for j in range(n_clusters):
+            cs = np.sort(scores[labels == j])
+            y_upper = y_lower + len(cs)
+            ax.fill_betweenx(
+                np.arange(y_lower, y_upper), 0, cs,
+                facecolor=colors[j], edgecolor=colors[j], alpha=0.7,
+            )
+            y_lower = y_upper + 10
+        ax.axvline(float(np.mean(scores)), color="red", linestyle="--")
+        ax.set_title(name)
+        ax.set_xlim(list(xlim))
+        ax.set_xlabel("Silhouette Coefficient")
+        ax.set_yticks([])
+    return _finish(fig, show)
+
+
+def centroid_dashboard(z, labels, centroids, p: int = 2, show: bool = False):
+    """Per-class distance summaries: box plot of distance-to-centroid plus
+    inter-centroid distance matrix (reference centroid_dashboard,
+    plotting.py:162-284)."""
+    z = np.asarray(z)
+    labels = np.asarray(labels)
+    centroids = np.asarray(centroids)
+    k = len(centroids)
+    fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+    dists = [
+        np.linalg.norm(z[labels == j] - centroids[j], ord=p, axis=1)
+        for j in range(k)
+    ]
+    axes[0].boxplot(
+        [d if len(d) else [0.0] for d in dists],
+        tick_labels=[str(j + 1) for j in range(k)],
+    )
+    axes[0].set_xlabel("Class")
+    axes[0].set_ylabel(f"L{p} distance to centroid")
+    axes[0].set_title("Within-class distances")
+    cc = np.linalg.norm(
+        centroids[:, None, :] - centroids[None, :, :], ord=p, axis=2
+    )
+    im = axes[1].imshow(cc, cmap="viridis")
+    axes[1].set_title("Inter-centroid distances")
+    axes[1].set_xticks(range(k))
+    axes[1].set_yticks(range(k))
+    fig.colorbar(im, ax=axes[1])
+    return _finish(fig, show)
+
+
+def view_specgram(
+    x, tvec=None, fvec=None, figtitle: str = "Spectrogram", show: bool = False
+):
+    """Spectrogram panel with physical time/freq axes when provided
+    (reference view_specgram, plotting.py:1805-1836)."""
+    x2d = _to_hw(np.asarray(x))
+    fig, ax = plt.subplots(figsize=(8, 4))
+    extent = None
+    if tvec is not None and fvec is not None:
+        extent = [tvec[0], tvec[-1], fvec[0], fvec[-1]]
+    im = ax.imshow(
+        x2d, aspect="auto", origin="lower", cmap="viridis", extent=extent
+    )
+    ax.set_xlabel("Time (s)" if tvec is not None else "Time bin")
+    ax.set_ylabel("Frequency (Hz)" if fvec is not None else "Frequency bin")
+    ax.set_title(figtitle)
+    fig.colorbar(im, ax=ax, label="log power")
+    return _finish(fig, show)
+
+
+def view_detections(
+    fname_dataset, img_index, figsize=(12, 9), show: bool = False
+):
+    """Gallery of catalog samples: spectrogram + trace per index (reference
+    view_detections, plotting.py:1265-1333)."""
+    import json
+
+    import h5py
+
+    n = len(img_index)
+    fig, axes = plt.subplots(2, n, figsize=figsize, squeeze=False)
+    with h5py.File(fname_dataset, "r") as f:
+        spec_d = f["/4.0/Spectrogram"]
+        trace_d = f["/4.0/Trace"]
+        cat_d = f["/4.0/Catalogue"]
+        for i, idx in enumerate(img_index):
+            spec = np.asarray(spec_d[idx])[:-1, 1:]
+            trace = np.asarray(trace_d[idx])
+            meta = json.loads(cat_d[idx])
+            _img(axes[0, i], spec)
+            axes[0, i].set_title(f"{meta.get('Station', '?')} #{idx}")
+            axes[1, i].plot(trace, lw=0.5)
+            axes[1, i].set_xticks([])
+    axes[0, 0].set_ylabel("Spectrogram")
+    axes[1, 0].set_ylabel("Trace")
+    return _finish(fig, show)
+
+
+def view_series(
+    station: str,
+    aws: str,
+    path_to_data: str,
+    path_to_catalogue: str,
+    path_to_labels: str,
+    env_vars=("tide", "sea_ice_conc", "temp", "wind_spd"),
+    times=None,
+    freq: str = "month",
+    threshold=None,
+    log: bool = False,
+    figsize=(12, 9),
+    show: bool = False,
+):
+    """Environmental series stacked over per-class detection counts
+    (reference view_series, plotting.py:1601-1757)."""
+    from spectrogram_cube_clustering_tpu.analysis.catalogue import (
+        EnvironmentCatalogue,
+        LabelCatalogue,
+    )
+
+    df_env = EnvironmentCatalogue(station, aws, path_to_data).df
+    catalogue = LabelCatalogue(
+        [path_to_catalogue, path_to_labels], threshold=threshold
+    )
+    counts = catalogue.gather_counts(station=station, freq=freq)
+    if times is not None:
+        df_env = df_env.loc[(df_env.index >= times[0]) & (df_env.index <= times[1])]
+        counts = counts.loc[(counts.index >= times[0]) & (counts.index <= times[1])]
+
+    env_vars = [v for v in env_vars if v in df_env.columns]
+    n_rows = len(env_vars) + 1
+    fig, axes = plt.subplots(n_rows, 1, figsize=figsize, sharex=True, squeeze=False)
+    for i, var in enumerate(env_vars):
+        axes[i, 0].plot(df_env.index, df_env[var], lw=0.8)
+        axes[i, 0].set_ylabel(var)
+    ax = axes[-1, 0]
+    colors = cmap_lifeaquatic(counts.shape[1])
+    for j, col in enumerate(counts.columns):
+        ax.plot(counts.index, counts[col], color=colors[j], label=f"Class {col}")
+    if log:
+        ax.set_yscale("log")
+    ax.set_ylabel(f"Detections / {freq}")
+    ax.legend(ncol=min(counts.shape[1], 5), fontsize=8)
+    fig.suptitle(f"{station} — environment vs class activity")
+    return _finish(fig, show)
+
+
+def analyze_dec(
+    x, z_aec, z_dec, labels_gmm, labels_dec, centroids_gmm, centroids_dec,
+    tsne_results, epoch: int = 0, centroid_decodes=None, show: bool = False,
+):
+    """DEC snapshot figure set (reference analyze_dec, plotting.py:31-133):
+    t-SNE, gallery, latent space, CDF, PDF — returned as a dict keyed by
+    the reference's figure-directory names."""
+    return {
+        "T-SNE": view_tsne(
+            tsne_results, labels_dec, f"t-SNE Results - Epoch {epoch}", show
+        ),
+        "Gallery": cluster_gallery(
+            x, z_dec, labels_dec, centroids_dec,
+            centroid_decodes=centroid_decodes, show=show,
+        ),
+        "LatentSpace": view_latent_space(z_dec, labels_dec, show),
+        "CDF": view_class_cdf(z_dec, labels_dec, centroids_dec, show=show),
+        "PDF": view_class_pdf(z_dec, labels_dec, centroids_dec, show=show),
+    }
+
+
+def save_figures(figs: dict, base_dir: str, epoch=None, dpi: int = 300):
+    """Persist an analyze_dec figure dict into the reference's directory
+    layout (<base>/<name>/<name>[_epoch].png; models.py:663-701)."""
+    import os
+
+    paths = []
+    suffix = f"_{epoch:03d}" if epoch is not None else ""
+    for name, fig in figs.items():
+        d = os.path.join(base_dir, name)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{name}{suffix}.png")
+        fig.savefig(p, dpi=dpi, facecolor="w")
+        paths.append(p)
+    return paths
+
+
+def plotter_async(figs: dict, base_dir: str, epoch=None):
+    """Run save_figures on a background thread (the reference's plotting
+    thread is commented out because pyplot isn't thread-safe,
+    models.py:1041-1046; figure *saving* on Agg is)."""
+    import threading
+
+    t = threading.Thread(
+        target=save_figures, args=(figs, base_dir, epoch), daemon=True
+    )
+    t.start()
+    return t

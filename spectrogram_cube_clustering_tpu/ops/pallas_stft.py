@@ -61,14 +61,13 @@ def _windowed_dft_bases(nperseg: int, hop: int, nfreq_pad: int):
 
 def _stft_kernel(
     x_hbm, cos_ref, sin_ref, out_ref, seg_ref, sem,
-    *, frames_per_block, ratio, eps,
+    *, frames_per_block, ratio, seg_rows, eps,
 ):
     i = pl.program_id(0)
-    seg_rows = frames_per_block + ratio - 1
 
     # Overlapping waveform rows for this frame block: HBM -> VMEM. The
     # waveform arrives pre-reshaped to (rows, LANE) hop-chunks; frame f
-    # spans rows f .. f+ratio-1.
+    # spans rows f .. f+ratio-1. seg_rows is 8-aligned (f32 sublane tile).
     dma = pltpu.make_async_copy(
         x_hbm.at[pl.ds(i * frames_per_block, seg_rows), :],
         seg_ref,
@@ -79,12 +78,15 @@ def _stft_kernel(
 
     # frames @ B = sum_j seg[j : j+F] @ B_chunk[j] — `ratio` accumulated
     # (F, LANE) @ (LANE, nfreq_pad) matmuls on the MXU; the frame matrix
-    # never materializes.
+    # never materializes. The row shift uses pltpu.roll + an aligned
+    # from-zero slice (Mosaic miscompiles sublane-offset slices as matmul
+    # operands).
     seg = seg_ref[:]
-    c = jnp.zeros_like(out_ref)
-    s = jnp.zeros_like(out_ref)
+    c = jnp.zeros(out_ref.shape, jnp.float32)
+    s = jnp.zeros(out_ref.shape, jnp.float32)
     for j in range(ratio):
-        rows = seg[j : j + frames_per_block]
+        shifted = pltpu.roll(seg, shift=seg_rows - j, axis=0) if j else seg
+        rows = shifted[:frames_per_block]
         c += jnp.dot(
             rows, cos_ref[j * LANE : (j + 1) * LANE, :],
             preferred_element_type=jnp.float32,
@@ -134,7 +136,9 @@ def spectrogram_pallas(
 
     ratio = nperseg // hop
     n_blocks = -(-n_frames // frames_per_block)
-    rows_total = n_blocks * frames_per_block + ratio - 1
+    # segment DMA length rounded to the f32 sublane tile (8)
+    seg_rows = _round_up(frames_per_block + ratio - 1, 8)
+    rows_total = n_blocks * frames_per_block + (seg_rows - frames_per_block)
     # hop-chunk layout, each row padded to the 128-lane tile
     x2 = x.reshape(-1, t).astype(jnp.float32)
     x2 = jnp.pad(x2, ((0, 0), (0, rows_total * hop - t)))
@@ -146,9 +150,9 @@ def spectrogram_pallas(
         _stft_kernel,
         frames_per_block=frames_per_block,
         ratio=ratio,
+        seg_rows=seg_rows,
         eps=eps,
     )
-    seg_rows = frames_per_block + ratio - 1
 
     call = pl.pallas_call(
         kernel,

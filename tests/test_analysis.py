@@ -153,3 +153,52 @@ class TestFigures:
         for fig in figs:
             assert fig is not None
             assert len(fig.axes) >= 1
+
+    def test_extended_families(self, rng, tmp_path):
+        m, k, d = 30, 3, 9
+        z = rng.normal(size=(m, d)).astype(np.float32)
+        labels = rng.integers(0, k, size=m)
+        centroids = rng.normal(size=(k, d)).astype(np.float32)
+        x = rng.normal(size=(m, 4, 101, 1)).astype(np.float32)
+        scores = rng.uniform(-1, 1, size=m)
+
+        assert plotting.compare_silhscore(scores, scores, labels, k) is not None
+        assert plotting.centroid_dashboard(z, labels, centroids) is not None
+        assert plotting.view_specgram(
+            x[0], tvec=np.arange(101), fvec=np.arange(4)
+        ) is not None
+
+        figs = plotting.analyze_dec(
+            x, z, z, labels, labels, centroids, centroids,
+            rng.normal(size=(m, 2)), epoch=4,
+        )
+        assert set(figs) == {"T-SNE", "Gallery", "LatentSpace", "CDF", "PDF"}
+        paths = plotting.save_figures(figs, str(tmp_path), epoch=4)
+        import os
+
+        assert len(paths) == 5
+        for p in paths:
+            assert os.path.exists(p) and p.endswith("_004.png")
+        t = plotting.plotter_async(figs, str(tmp_path / "async"))
+        t.join(timeout=30)
+        assert not t.is_alive()
+
+    def test_view_detections(self, rng, tmp_path):
+        import json
+
+        import h5py
+
+        path = str(tmp_path / "cat.h5")
+        with h5py.File(path, "w") as f:
+            g = f.require_group("/4.0")
+            g.create_dataset("Spectrogram", data=rng.normal(size=(4, 88, 101)))
+            g.create_dataset("Trace", data=rng.normal(size=(4, 100)))
+            g.create_dataset(
+                "Catalogue",
+                data=np.array(
+                    [json.dumps({"Station": "DR01"})] * 4,
+                    dtype=h5py.string_dtype(),
+                ),
+            )
+        fig = plotting.view_detections(path, [0, 2])
+        assert fig is not None
