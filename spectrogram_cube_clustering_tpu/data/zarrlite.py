@@ -68,6 +68,24 @@ class ZarrArray:
         arr = np.frombuffer(raw, dtype=self.dtype)
         return arr.reshape(self.chunks)
 
+    def _read_chunks_batch(self, idx_list) -> np.ndarray:
+        """(n, *chunks): decode many chunks at once — through the native
+        thread-pool decoder (native/zarr_decode.cpp) when available and
+        worthwhile, else the Python path. fill_value must be 0 for the
+        native path (zarr_decode zero-fills missing chunks)."""
+        if len(idx_list) > 1 and self.fill_value in (0, None):
+            from spectrogram_cube_clustering_tpu import native
+
+            out = native.decode_chunks(
+                [self._chunk_path(i) for i in idx_list],
+                self.chunks,
+                self.dtype,
+                self.compressor_id,
+            )
+            if out is not None:
+                return out
+        return np.stack([self._read_chunk(i) for i in idx_list])
+
     def __getitem__(self, key) -> np.ndarray:
         if not isinstance(key, tuple):
             key = (key,)
@@ -95,9 +113,12 @@ class ZarrArray:
         c0 = [s // c for s, c in zip(starts, self.chunks)]
         c1 = [max(-(-e // c), s // c + 1) for s, e, c in zip(starts, stops, self.chunks)]
 
-        for cidx in np.ndindex(*[b - a for a, b in zip(c0, c1)]):
-            chunk_idx = [a + i for a, i in zip(c0, cidx)]
-            chunk = self._read_chunk(chunk_idx)
+        chunk_ids = [
+            [a + i for a, i in zip(c0, cidx)]
+            for cidx in np.ndindex(*[b - a for a, b in zip(c0, c1)])
+        ]
+        chunks = self._read_chunks_batch(chunk_ids)
+        for chunk_idx, chunk in zip(chunk_ids, chunks):
             src, dst = [], []
             for d in range(self.ndim):
                 cs = chunk_idx[d] * self.chunks[d]

@@ -1,0 +1,108 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Currently: `zarr_decode` — a threaded Zarr v2 chunk decoder (see
+zarr_decode.cpp) used by data.zarrlite for bulk cube loads. The library is
+compiled on first use with the system toolchain (`g++ -O3 -shared -lz`)
+and cached next to the source; every consumer must keep a pure-Python
+fallback, so a missing toolchain only costs speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "zarr_decode.cpp")
+_LIB = os.path.join(_HERE, "_zarr_decode.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-o", _LIB, _SRC, "-lz", "-pthread",
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=120
+        )
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The compiled library, building it on first call; None if the
+    toolchain is unavailable (callers fall back to Python)."""
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_LIB) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                _failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _failed = True
+            return None
+        lib.scc_decode_chunks.restype = ctypes.c_int
+        lib.scc_decode_chunks.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def decode_chunks(
+    paths: List[str],
+    chunk_shape,
+    dtype,
+    compressor: Optional[str],
+    n_threads: Optional[int] = None,
+) -> Optional[np.ndarray]:
+    """Decode `paths` into a (len(paths), *chunk_shape) array with the
+    native thread pool; None when the library is unavailable. Missing
+    files zero-fill. Raises IOError on corrupt chunks."""
+    lib = load()
+    if lib is None:
+        return None
+    dtype = np.dtype(dtype)
+    out = np.empty((len(paths), *chunk_shape), dtype)
+    chunk_bytes = int(np.prod(chunk_shape)) * dtype.itemsize
+    arr = (ctypes.c_char_p * len(paths))(
+        *[p.encode() for p in paths]
+    )
+    comp = 0 if compressor is None else 1
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    failures = lib.scc_decode_chunks(
+        arr, len(paths), chunk_bytes,
+        out.ctypes.data_as(ctypes.c_char_p), comp, n_threads,
+    )
+    if failures:
+        raise IOError(f"{failures} zarr chunk(s) failed to decode")
+    return out
