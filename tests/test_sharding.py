@@ -1,0 +1,91 @@
+"""Distributed-equivalence tests (SURVEY.md §4 item 3): the sharded train
+step must match the single-device step up to reduction order, and sharded
+DEC must reach the same clustering. Plus bf16/f32 numerics tolerances
+(SURVEY.md §4 item 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import spectrogram_cube_clustering_tpu as scc
+
+
+@pytest.fixture(scope="module")
+def windows():
+    x, y = scc.data.synthetic_windows(256, n_classes=3, seed=11)
+    return np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x))), y
+
+
+class TestShardedTraining:
+    def test_aec_epoch_matches_single_device(self, windows):
+        x, _ = windows
+        mesh = scc.core.make_data_mesh()
+        model = scc.models.AEC()
+
+        def run(mesh_arg):
+            data = scc.train.make_batched_data(x, batch_size=64, mesh=mesh_arg)
+            state = scc.train.create_train_state(
+                model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+            )
+            out = scc.train.train_aec(
+                model, state, data, None,
+                scc.train.AECConfig(n_epochs=3, early_stopping=False),
+            )
+            return out["history"]["train"], out["state"].params
+
+        losses_1, params_1 = run(None)
+        losses_8, params_8 = run(mesh)
+        np.testing.assert_allclose(losses_1, losses_8, rtol=1e-4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            ),
+            params_1, params_8,
+        )
+
+    def test_dec_clustering_matches_single_device(self, windows):
+        x, y = windows
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        mesh = scc.core.make_data_mesh()
+        model = scc.models.DEC(n_clusters=3)
+
+        def run(mesh_arg):
+            data = scc.train.make_batched_data(x, batch_size=64, mesh=mesh_arg)
+            state = scc.train.create_train_state(
+                model, jax.random.key(1), jnp.asarray(x[:2]), lr=5e-4
+            )
+            out = scc.train.train_dec(
+                model, state, data,
+                scc.train.DECConfig(
+                    n_clusters=3, n_epochs=2, tol=0.0, init="kmeans",
+                    kmeans_n_init=4, kmeans_max_iter=50,
+                ),
+            )
+            return out["labels"]
+
+        labels_1 = run(None)
+        labels_8 = run(mesh)
+        # same clustering structure on both paths (labels may permute)
+        assert nmi(labels_1, labels_8) > 0.99
+        assert abs(nmi(y, labels_1) - nmi(y, labels_8)) < 0.01
+
+
+class TestPrecisionModes:
+    def test_bf16_compute_close_to_f32(self, windows):
+        x, _ = windows
+        xj = jnp.asarray(x[:64])
+        f32 = scc.models.AEC()
+        bf16 = scc.models.AEC(dtype=jnp.bfloat16)
+        params = f32.init(jax.random.key(2), xj[:2])["params"]
+        xr32, z32 = f32.apply({"params": params}, xj)
+        xr16, z16 = bf16.apply({"params": params}, xj)
+        assert xr16.dtype == jnp.bfloat16 and z16.dtype == jnp.bfloat16
+        # bf16 has ~3 decimal digits; activations should track f32 closely
+        np.testing.assert_allclose(
+            np.asarray(z16, np.float32), np.asarray(z32), atol=0.05
+        )
+        np.testing.assert_allclose(
+            np.asarray(xr16, np.float32), np.asarray(xr32), atol=0.05
+        )
