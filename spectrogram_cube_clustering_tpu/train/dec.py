@@ -167,6 +167,8 @@ def train_dec(
     config: DECConfig,
     initial: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     log_scalar: Optional[Callable[[str, float, int], None]] = None,
+    snapshot_cb: Optional[Callable] = None,
+    snapshot_every: int = 4,
 ) -> Dict:
     """Run DEC refinement. Returns final state, histories, labels, deltas."""
     m = data.n_samples
@@ -253,6 +255,18 @@ def train_dec(
             print(
                 f"Epoch [{epoch + 1}/{config.n_epochs}] "
                 f"Loss={accum[0]:.4e} MSE={accum[1]:.4e} KLD={accum[2]:.4e}"
+            )
+        # figure-snapshot hook every `snapshot_every` epochs (reference
+        # models.py:1166-1192 takes a full eval + t-SNE every 4 epochs)
+        if (
+            snapshot_cb is not None
+            and not finished
+            and (epoch + 1) % snapshot_every == 0
+        ):
+            q_s, labels_s, z_s = full_eval(model, state.params, data)
+            snapshot_cb(
+                epoch + 1, np.asarray(labels_s), np.asarray(z_s),
+                np.asarray(state.params["centroids"]),
             )
         if finished:
             break

@@ -213,6 +213,22 @@ def _train_dec_run(config, hp, tra_x, mesh):
         )
 
     writer, log_scalar = _tb_writer(config, config.savepath_run)
+
+    snapshot_cb = None
+    if bool(getattr(config, "figures", False)):
+        from spectrogram_cube_clustering_tpu.analysis import plotting
+
+        def snapshot_cb(epoch, labels, z, centroids):
+            # t-SNE + figure families on the training snapshot, persisted
+            # off-thread (reference models.py:1166-1192)
+            from spectrogram_cube_clustering_tpu import cluster as _cluster
+
+            figs = plotting.analyze_dec(
+                tra_x, z, z, labels, labels, centroids, centroids,
+                _cluster.tsne(z), epoch=epoch,
+            )
+            plotting.plotter_async(figs, config.savepath_run, epoch=epoch)
+
     out = _train.train_dec(
         model, state, data,
         _train.DECConfig(
@@ -227,6 +243,7 @@ def _train_dec_run(config, hp, tra_x, mesh):
         ),
         initial=initial,
         log_scalar=log_scalar,
+        snapshot_cb=snapshot_cb,
     )
     save(
         os.path.join(config.savepath_run, "DEC_Params_Initial"),
@@ -247,6 +264,15 @@ def _train_dec_run(config, hp, tra_x, mesh):
             os.path.join(config.savepath_run, "Delta_history.csv"),
         )
     if writer is not None:
+        # run summary as TB hparams (reference models.py:1213-1225)
+        final = out["history"]
+        writer.add_hparams(
+            {"batch_size": batch_size, "lr": lr, "n_clusters": n_clusters,
+             "gamma": gamma, "tol": tol},
+            {"hparam/final_loss": final["total"][-1] if final["total"] else 0.0,
+             "hparam/epochs": out["last_epoch"],
+             "hparam/stopped_early": int(out["stopped_early"])},
+        )
         writer.close()
     out["savepath_run"] = config.savepath_run
     return out
