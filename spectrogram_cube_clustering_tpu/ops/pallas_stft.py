@@ -4,20 +4,19 @@ Why a matmul DFT instead of FFT: the spectrogram keeps only
 nfreq = nperseg/2 + 1 ~ 101 bins, so the DFT is a skinny
 (frames, nperseg) @ (nperseg, nfreq) contraction — two real matmuls that
 run on the MXU at full tilt, while window/power/log fuse into the same
-VMEM residency. An FFT would round-trip HBM twice (frames materialized at
-hop < nperseg overlap ~2x the waveform bytes, then the complex spectrum)
+VMEM residency; an FFT would round-trip the complex spectrum through HBM
 and its log-factor advantage is irrelevant at nperseg ~ 200.
 
-Layout: the waveform arrives as hop-sample rows padded to the 128-lane
-tile (hop <= 128; the pad lanes multiply zero basis rows, so alignment
-costs no correctness). The kernel DMAs overlapping row blocks HBM -> VMEM
-per grid step — framing never materializes in HBM — and accumulates the
-frame @ basis product as `ratio` shifted (F, 128) @ (128, nfreq) matmuls,
-because frame f is rows f..f+ratio-1 of the segment. (Mosaic supports
-neither lane-axis concat of sublane-shifted views nor non-128-aligned
-DMA lanes, hence this formulation.)
+Layout: the waveform is staged as `ratio = nperseg/hop` row planes of
+hop-sample rows padded to the 128-lane tile, plane j shifted by j rows —
+so frame f's j-th hop-chunk is plane[j][f] and the kernel is pure aligned
+BlockSpec pipelining: per grid step it reads a (ratio, F, 128) block and
+accumulates `ratio` (F, 128) @ (128, nfreq) MXU matmuls against
+hop-chunked windowed DFT bases. No sublane-shifted slices, rolls, or
+manual DMA — all three are Mosaic compile hazards (miscompiles or
+pathological compile times, found empirically on v5e).
 
-Numerics match signal.stft.spectrogram (rfft) to ~3e-4 absolute on the
+Numerics match signal.stft.spectrogram (rfft) to ~1e-3 absolute on the
 log10 scale.
 """
 
@@ -39,10 +38,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _windowed_dft_bases(nperseg: int, hop: int, nfreq_pad: int):
-    """Hann-windowed rDFT bases laid out per hop-chunk: (ratio * LANE,
-    nfreq_pad); chunk j rows [j*LANE, j*LANE + hop) hold windowed basis
-    rows [j*hop, (j+1)*hop), the pad rows are zero (they meet the
-    waveform's pad lanes)."""
+    """Hann-windowed rDFT bases laid out per hop-chunk:
+    (ratio, LANE, nfreq_pad); chunk j rows [0, hop) hold windowed basis
+    rows [j*hop, (j+1)*hop), pad rows are zero (they meet the waveform's
+    pad lanes)."""
     ratio = nperseg // hop
     nfreq = nperseg // 2 + 1
     n = np.arange(nperseg)[:, None]
@@ -51,50 +50,23 @@ def _windowed_dft_bases(nperseg: int, hop: int, nfreq_pad: int):
     win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(nperseg) / nperseg)
     full_cos = win[:, None] * np.cos(ang)
     full_sin = win[:, None] * np.sin(ang)
-    cos = np.zeros((ratio * LANE, nfreq_pad), np.float32)
-    sin = np.zeros((ratio * LANE, nfreq_pad), np.float32)
+    cos = np.zeros((ratio, LANE, nfreq_pad), np.float32)
+    sin = np.zeros((ratio, LANE, nfreq_pad), np.float32)
     for j in range(ratio):
-        cos[j * LANE : j * LANE + hop, :nfreq] = full_cos[j * hop : (j + 1) * hop]
-        sin[j * LANE : j * LANE + hop, :nfreq] = full_sin[j * hop : (j + 1) * hop]
+        cos[j, :hop, :nfreq] = full_cos[j * hop : (j + 1) * hop]
+        sin[j, :hop, :nfreq] = full_sin[j * hop : (j + 1) * hop]
     return jnp.asarray(cos), jnp.asarray(sin)
 
 
-def _stft_kernel(
-    x_hbm, cos_ref, sin_ref, out_ref, seg_ref, sem,
-    *, frames_per_block, ratio, seg_rows, eps,
-):
-    i = pl.program_id(0)
-
-    # Overlapping waveform rows for this frame block: HBM -> VMEM. The
-    # waveform arrives pre-reshaped to (rows, LANE) hop-chunks; frame f
-    # spans rows f .. f+ratio-1. seg_rows is 8-aligned (f32 sublane tile).
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * frames_per_block, seg_rows), :],
-        seg_ref,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-
-    # frames @ B = sum_j seg[j : j+F] @ B_chunk[j] — `ratio` accumulated
-    # (F, LANE) @ (LANE, nfreq_pad) matmuls on the MXU; the frame matrix
-    # never materializes. The row shift uses pltpu.roll + an aligned
-    # from-zero slice (Mosaic miscompiles sublane-offset slices as matmul
-    # operands).
-    seg = seg_ref[:]
+def _stft_kernel(planes_ref, cos_ref, sin_ref, out_ref, *, ratio, eps):
+    # planes_ref: (ratio, F, LANE) — plane j holds frame rows shifted by j;
+    # cos/sin: (ratio, LANE, nfreq_pad); out: (F, nfreq_pad).
     c = jnp.zeros(out_ref.shape, jnp.float32)
     s = jnp.zeros(out_ref.shape, jnp.float32)
     for j in range(ratio):
-        shifted = pltpu.roll(seg, shift=seg_rows - j, axis=0) if j else seg
-        rows = shifted[:frames_per_block]
-        c += jnp.dot(
-            rows, cos_ref[j * LANE : (j + 1) * LANE, :],
-            preferred_element_type=jnp.float32,
-        )
-        s += jnp.dot(
-            rows, sin_ref[j * LANE : (j + 1) * LANE, :],
-            preferred_element_type=jnp.float32,
-        )
+        rows = planes_ref[j]
+        c += jnp.dot(rows, cos_ref[j], preferred_element_type=jnp.float32)
+        s += jnp.dot(rows, sin_ref[j], preferred_element_type=jnp.float32)
     out_ref[:] = jnp.log10(c * c + s * s + eps)
 
 
@@ -136,35 +108,35 @@ def spectrogram_pallas(
 
     ratio = nperseg // hop
     n_blocks = -(-n_frames // frames_per_block)
-    # segment DMA length rounded to the f32 sublane tile (8)
-    seg_rows = _round_up(frames_per_block + ratio - 1, 8)
-    rows_total = n_blocks * frames_per_block + (seg_rows - frames_per_block)
-    # hop-chunk layout, each row padded to the 128-lane tile
+    rows_padded = n_blocks * frames_per_block
+    rows_needed = rows_padded + ratio - 1
+    # hop-row layout, each row padded to the 128-lane tile
     x2 = x.reshape(-1, t).astype(jnp.float32)
-    x2 = jnp.pad(x2, ((0, 0), (0, rows_total * hop - t)))
-    x2 = x2.reshape(-1, rows_total, hop)
+    x2 = jnp.pad(x2, ((0, 0), (0, rows_needed * hop - t)))
+    x2 = x2.reshape(-1, rows_needed, hop)
     if hop < LANE:
         x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, LANE - hop)))
+    # ratio shifted row planes: planes[:, j, f] = rows[f + j]
+    planes = jnp.stack(
+        [x2[:, j : j + rows_padded, :] for j in range(ratio)], axis=1
+    )  # (B, ratio, rows_padded, LANE)
 
-    kernel = functools.partial(
-        _stft_kernel,
-        frames_per_block=frames_per_block,
-        ratio=ratio,
-        seg_rows=seg_rows,
-        eps=eps,
-    )
+    kernel = functools.partial(_stft_kernel, ratio=ratio, eps=eps)
 
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # waveform stays in HBM
             pl.BlockSpec(
-                (ratio * LANE, nfreq_pad), lambda i: (0, 0),
+                (ratio, frames_per_block, LANE), lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (ratio * LANE, nfreq_pad), lambda i: (0, 0),
+                (ratio, LANE, nfreq_pad), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ratio, LANE, nfreq_pad), lambda i: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -175,13 +147,9 @@ def spectrogram_pallas(
         out_shape=jax.ShapeDtypeStruct(
             (n_blocks * frames_per_block, nfreq_pad), jnp.float32
         ),
-        scratch_shapes=[
-            pltpu.VMEM((seg_rows, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         interpret=interpret,  # CPU test path; compiled Mosaic on TPU
     )
 
-    out = jax.lax.map(lambda xb: call(xb, cos, sin), x2)
+    out = jax.lax.map(lambda pb: call(pb, cos, sin), planes)
     out = out[:, :n_frames, :nfreq]
     return out.reshape(*batch_shape, n_frames, nfreq)
