@@ -21,6 +21,23 @@ import sys
 import time
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: first-compile latency through the
+    remote TPU compile service is erratic (seconds to minutes); caching
+    insulates repeat bench runs from it."""
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def measure_aec_throughput(n_samples: int, batch_size: int, epochs: int = 3):
     import jax
     import jax.numpy as jnp
@@ -59,6 +76,7 @@ def main():
     if args.quick:
         args.samples = min(args.samples, 16384)
 
+    _enable_compile_cache()
     throughput, loss = measure_aec_throughput(args.samples, args.batch)
 
     baseline_path = os.path.join(

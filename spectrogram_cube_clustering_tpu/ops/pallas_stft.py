@@ -61,12 +61,21 @@ def _windowed_dft_bases(nperseg: int, hop: int, nfreq_pad: int):
 def _stft_kernel(planes_ref, cos_ref, sin_ref, out_ref, *, ratio, eps):
     # planes_ref: (ratio, F, LANE) — plane j holds frame rows shifted by j;
     # cos/sin: (ratio, LANE, nfreq_pad); out: (F, nfreq_pad).
+    # HIGHEST: the DFT cancels catastrophically at near-zero bins
+    # (DC/Nyquist under a Hann window), where the MXU's default bf16
+    # multiplies show up as O(1) errors on the log10 scale.
     c = jnp.zeros(out_ref.shape, jnp.float32)
     s = jnp.zeros(out_ref.shape, jnp.float32)
     for j in range(ratio):
         rows = planes_ref[j]
-        c += jnp.dot(rows, cos_ref[j], preferred_element_type=jnp.float32)
-        s += jnp.dot(rows, sin_ref[j], preferred_element_type=jnp.float32)
+        c += jnp.dot(
+            rows, cos_ref[j], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        s += jnp.dot(
+            rows, sin_ref[j], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     out_ref[:] = jnp.log10(c * c + s * s + eps)
 
 

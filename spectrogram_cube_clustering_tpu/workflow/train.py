@@ -37,14 +37,27 @@ from spectrogram_cube_clustering_tpu.workflow.data import load_data
 
 
 def make_model(config, n_clusters: Optional[int] = None):
-    """Instantiate the configured architecture."""
+    """Instantiate the configured architecture under the configured
+    precision policy (config key `precision` in {default, bf16}; params
+    stay f32 either way — core.precision)."""
+    from spectrogram_cube_clustering_tpu import core as _core
+
+    policy = {
+        "default": _core.DEFAULT, "bf16": _core.BF16, None: _core.DEFAULT,
+    }.get(getattr(config, "precision", None))
+    if policy is None:
+        raise ValueError(f"unknown precision {config.precision!r}")
+    kw = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+
     arch = getattr(config, "arch", None) or "AEC"
     if config.model == "DEC" or n_clusters is not None:
-        return _models.DEC(n_clusters=int(n_clusters or config.n_clusters))
+        return _models.DEC(
+            n_clusters=int(n_clusters or config.n_clusters), **kw
+        )
     if arch == "UNet":
-        return _models.UNet()
+        return _models.UNet(**kw)
     if arch == "AEC":
-        return _models.AEC()
+        return _models.AEC(**kw)
     raise ValueError(f"unknown arch {arch!r}")
 
 
