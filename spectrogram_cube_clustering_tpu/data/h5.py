@@ -56,6 +56,16 @@ def get_channel(channel_index: int) -> str:
     return CHANNEL_LIST[channel_index]
 
 
+def get_datetime(datetime_index: int):
+    """Day index -> timestamp within the RIS deployment window
+    (reference utils.py:916-925)."""
+    import pandas as pd
+
+    return pd.date_range("20141202T000000", "20161129T000000", freq="d")[
+        datetime_index
+    ]
+
+
 def get_network(network_index: int) -> str:
     return NETWORK_LIST[network_index]
 

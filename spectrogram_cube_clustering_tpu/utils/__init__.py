@@ -1,6 +1,7 @@
 """Configuration (.ini), experiment trees, history CSVs, misc math utils."""
 
 from spectrogram_cube_clustering_tpu.utils.config import (
+    init_project_env,
     Configuration,
     config_training,
     load_config,
@@ -24,6 +25,7 @@ __all__ = [
     "config_training",
     "load_config",
     "parse_nclusters",
+    "init_project_env",
     "add_to_history",
     "save_history",
     "save_labels",
