@@ -66,18 +66,63 @@ def measure_aec_throughput(n_samples: int, batch_size: int, epochs: int = 3):
     return n_samples * epochs / dt, float(loss)
 
 
+def measure_dec_throughput(n_samples: int, batch_size: int, epochs: int = 3):
+    """DEC refinement segment-scan throughput (the reference's hot loop,
+    Cluster/models.py:1089-1163): samples/sec through the jitted
+    MSE + gamma*KLD train step, target refresh excluded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import spectrogram_cube_clustering_tpu as scc
+    from spectrogram_cube_clustering_tpu.ops.student_t import target_distribution
+    from spectrogram_cube_clustering_tpu.train.dec import (
+        _pad_p,
+        make_segment_fn,
+    )
+
+    x, _ = scc.data.synthetic_windows(n_samples, n_classes=5, seed=0)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    data = scc.train.make_batched_data(x, batch_size=batch_size)
+
+    model = scc.models.DEC(n_clusters=5)
+    state = scc.train.create_train_state(
+        model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-3
+    )
+    q, _, _ = scc.train.full_eval(model, state.params, data)
+    p_all = _pad_p(target_distribution(q), data.n_batches, batch_size)
+    segment = make_segment_fn(model, 0.001, data.n_batches)
+
+    state, sums = segment(state, data.x, data.mask, p_all, jnp.array(0))
+    jax.tree.map(lambda a: a.block_until_ready(), sums)
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        state, sums = segment(state, data.x, data.mask, p_all, jnp.array(0))
+    jax.tree.map(lambda a: a.block_until_ready(), sums)
+    dt = time.perf_counter() - t0
+    return n_samples * epochs / dt, float(sums[0] / sums[3])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--samples", type=int, default=262144)
+    ap.add_argument(
+        "--metric", choices=["aec", "dec"], default="aec",
+        help="aec: pretrain step throughput (primary); dec: refinement step",
+    )
     args = ap.parse_args()
 
     if args.quick:
         args.samples = min(args.samples, 16384)
 
     _enable_compile_cache()
-    throughput, loss = measure_aec_throughput(args.samples, args.batch)
+    if args.metric == "dec":
+        throughput, loss = measure_dec_throughput(args.samples, args.batch)
+        metric = "dec_train_samples_per_sec"
+    else:
+        throughput, loss = measure_aec_throughput(args.samples, args.batch)
+        metric = "aec_train_samples_per_sec"
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -87,14 +132,14 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
-        ref = baseline.get("aec_train_samples_per_sec")
+        ref = baseline.get(metric)
         if ref:
             vs_baseline = throughput / ref
 
     print(
         json.dumps(
             {
-                "metric": "aec_train_samples_per_sec",
+                "metric": metric,
                 "value": round(throughput, 1),
                 "unit": "samples/sec",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

@@ -56,15 +56,9 @@ def build_reference_aec():
     return nn.Sequential(encoder, decoder)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--samples", type=int, default=8192)
-    ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--epochs", type=int, default=2)
-    args = ap.parse_args()
-
+def measure_aec(samples, batch, epochs):
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(args.samples, 1, 4, 101)).astype(np.float64)
+    x = rng.normal(size=(samples, 1, 4, 101)).astype(np.float64)
     data = torch.from_numpy(x)
 
     model = build_reference_aec().double()  # reference runs f64 (models.py:154)
@@ -72,25 +66,81 @@ def main():
     mse = nn.MSELoss(reduction="mean")
 
     # warmup
-    xb = data[: args.batch]
+    xb = data[:batch]
     loss = mse(model(xb), xb)
     loss.backward()
     opt.step()
 
     t0 = time.perf_counter()
     n = 0
-    for _ in range(args.epochs):
-        for i in range(0, args.samples, args.batch):
-            xb = data[i : i + args.batch]
+    for _ in range(epochs):
+        for i in range(0, samples, batch):
+            xb = data[i : i + batch]
             opt.zero_grad()
             loss = mse(model(xb), xb)
             loss.backward()
             opt.step()
             n += len(xb)
-    dt = time.perf_counter() - t0
+    return n / (time.perf_counter() - t0)
+
+
+def measure_dec(samples, batch, epochs, k=5):
+    """Reference DEC hot loop to spec (models.py:1089-1163): forward through
+    encoder/decoder + Student-t clustering layer, MSE + gamma*KLD(sum)/B,
+    Adam, f64."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(samples, 1, 4, 101)).astype(np.float64)
+    data = torch.from_numpy(x)
+
+    aec = build_reference_aec().double()
+    encoder, decoder = aec[0], aec[1]
+    centroids = nn.Parameter(torch.randn(k, 9, dtype=torch.float64))
+    params = list(aec.parameters()) + [centroids]
+    opt = torch.optim.Adam(params, lr=1e-3)
+    mse = nn.MSELoss(reduction="mean")
+    kld = nn.KLDivLoss(reduction="sum")
+    gamma = 0.001
+
+    def forward(xb):
+        z = encoder(xb)
+        xr = decoder(z)
+        d2 = torch.sum((z[:, None, :] - centroids[None]) ** 2, dim=-1)
+        q = (1.0 + d2) ** -1.0
+        q = q / q.sum(dim=1, keepdim=True)
+        return q, xr
+
+    with torch.no_grad():
+        q0, _ = forward(data[:batch])
+        p = (q0**2 / q0.sum(0)) / (q0**2 / q0.sum(0)).sum(1, keepdim=True)
+
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(epochs):
+        for i in range(0, samples, batch):
+            xb = data[i : i + batch]
+            opt.zero_grad()
+            q, xr = forward(xb)
+            tar = p[: len(xb)]
+            loss = mse(xr, xb) + gamma * kld(torch.log(q), tar) / len(xb)
+            loss.backward()
+            opt.step()
+            n += len(xb)
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--epochs", type=int, default=2)
+    args = ap.parse_args()
+
+    aec_tput = measure_aec(args.samples, args.batch, args.epochs)
+    dec_tput = measure_dec(args.samples, args.batch, args.epochs)
 
     out = {
-        "aec_train_samples_per_sec": round(n / dt, 1),
+        "aec_train_samples_per_sec": round(aec_tput, 1),
+        "dec_train_samples_per_sec": round(dec_tput, 1),
         "hardware": f"host CPU ({platform.processor() or 'unknown'}, "
         f"{torch.get_num_threads()} torch threads)",
         "note": (
