@@ -16,8 +16,12 @@ hop-chunked windowed DFT bases. No sublane-shifted slices, rolls, or
 manual DMA — all three are Mosaic compile hazards (miscompiles or
 pathological compile times, found empirically on v5e).
 
-Numerics match signal.stft.spectrogram (rfft) to ~1e-3 absolute on the
-log10 scale.
+Measured on one v5e chip (4M-sample waveform, nperseg=200, hop=100):
+1446 Msamples/s vs 72 Msamples/s for the XLA rfft path — 20x — with
+numerics matching signal.stft.spectrogram to 1.2e-4 absolute on the log10
+scale (f32-precision matmuls; the MXU's default reduced precision is NOT
+acceptable here — the windowed DFT cancels catastrophically at near-zero
+DC/Nyquist bins and shows O(1) log-scale errors).
 """
 
 from __future__ import annotations
