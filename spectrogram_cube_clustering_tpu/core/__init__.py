@@ -2,6 +2,7 @@
 
 from spectrogram_cube_clustering_tpu.core.precision import Precision, DEFAULT, BF16, PARITY64
 from spectrogram_cube_clustering_tpu.core.mesh import (
+    initialize_distributed,
     make_data_mesh,
     batch_sharding,
     replicated_sharding,
@@ -11,6 +12,6 @@ from spectrogram_cube_clustering_tpu.core.mesh import (
 
 __all__ = [
     "Precision", "DEFAULT", "BF16", "PARITY64",
-    "make_data_mesh", "batch_sharding", "replicated_sharding",
+    "make_data_mesh", "initialize_distributed", "batch_sharding", "replicated_sharding",
     "pad_to_multiple", "shard_batch",
 ]

@@ -21,6 +21,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` so
+    `jax.devices()` spans all hosts' chips (SURVEY.md §5 'Distributed
+    communication backend'). On TPU pods the arguments auto-discover from
+    the environment; pass them explicitly elsewhere. Idempotent."""
+    import jax.distributed as jdist
+
+    try:
+        jdist.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_data_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     if devices is None:

@@ -41,10 +41,43 @@ def _cube_spec(config) -> CubeSpec:
     return CubeSpec(**kwargs)
 
 
+def _waveform_windows(config) -> np.ndarray:
+    """Raw waveform (.npy, 1-D or (channels, T)) -> spectrogram windows via
+    the on-device STFT — the upstream stage the reference assumes was run
+    elsewhere (SURVEY.md §5 'Long-context'). Config keys nperseg/hop
+    override the 200/100 defaults; normalization happens later with the
+    configured transform like every other source."""
+    import jax.numpy as jnp
+
+    from spectrogram_cube_clustering_tpu.signal.stft import (
+        spectrogram_windows,
+    )
+
+    wave = np.load(config.fname_dataset)
+    out = spectrogram_windows(
+        jnp.asarray(wave),
+        nperseg=int(getattr(config, "nperseg", None) or 200),
+        hop=int(getattr(config, "hop", None) or 100),
+        window_rows=int(getattr(config, "window_rows", None) or 4),
+        transform=None,  # workflow applies config.transform afterwards
+    )
+    return np.asarray(out)
+
+
 def load_windows(
     config, split: bool
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Materialize cube windows as float32 arrays: (train, val or None)."""
+    """Materialize windows as float32 arrays: (train, val or None).
+
+    datafiletype 'zarr' (default) reads the chunked cube; 'waveform' runs
+    the on-device STFT over a raw .npy waveform first.
+    """
+    if getattr(config, "datafiletype", None) == "waveform":
+        x = _waveform_windows(config)
+        if not split:
+            return x, None
+        idx_tra, idx_val = train_val_split(len(x))
+        return x[idx_tra], x[idx_val]
     ds = ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
     if not split:
         return ds.load_all_windows(), None

@@ -107,3 +107,24 @@ class TestShardedKMeans:
                 np.testing.assert_allclose(
                     new[j], z[want_labels == j].mean(0), rtol=1e-4, atol=1e-5
                 )
+
+
+class TestWaveformWorkflow:
+    def test_load_data_waveform(self, rng, tmp_path):
+        """Config-driven raw-waveform -> STFT -> windows path."""
+        import types
+
+        from spectrogram_cube_clustering_tpu.workflow.data import load_data
+
+        wave = rng.normal(size=(20_000,)).astype(np.float32)
+        path = str(tmp_path / "wave.npy")
+        np.save(path, wave)
+        config = types.SimpleNamespace(
+            model="AEC", mode="train", fname_dataset=path,
+            datafiletype="waveform",
+        )
+        tra, val = load_data(config)
+        n_frames = (20_000 - 200) // 100 + 1
+        n_windows = n_frames // 4
+        assert tra.shape[0] + val.shape[0] == n_windows
+        assert tra.shape[1:] == (4, 101, 1)
