@@ -21,12 +21,17 @@ from spectrogram_cube_clustering_tpu.train.aec import (
     train_aec_stream,
     AECConfig,
 )
-from spectrogram_cube_clustering_tpu.train.dec import train_dec, DECConfig, full_eval
+from spectrogram_cube_clustering_tpu.train.dec import (
+    train_dec,
+    train_dec_stream,
+    DECConfig,
+    full_eval,
+)
 from spectrogram_cube_clustering_tpu.train import checkpoint
 
 __all__ = [
     "BatchedData", "make_batched_data", "create_train_state",
     "train_aec", "train_aec_stream", "AECConfig",
-    "train_dec", "DECConfig", "full_eval",
+    "train_dec", "train_dec_stream", "DECConfig", "full_eval",
     "checkpoint",
 ]

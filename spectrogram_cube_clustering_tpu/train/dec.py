@@ -160,6 +160,170 @@ def initialize_clusters(
     return np.asarray(labels), np.asarray(centroids)
 
 
+def make_stream_fns(model, gamma: float):
+    """Per-batch jitted (train_step, eval_step) for the streaming path —
+    same loss semantics as the segment scan, fed by
+    data.prefetch.PrefetchLoader batches."""
+
+    @jax.jit
+    def train_step(state, x, p, n_valid):
+        mask = (jnp.arange(x.shape[0]) < n_valid).astype(x.dtype)
+
+        def lf(params):
+            q, x_rec, _ = model.apply({"params": params}, x)
+            d = x_rec - x
+            per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
+            nv = jnp.maximum(n_valid, 1.0)
+            rec = jnp.sum(per * mask) / nv
+            log_q = jnp.log(jnp.maximum(q, jnp.finfo(q.dtype).tiny))
+            row_kld = jnp.sum(xlogy(p, p) - p * log_q, axis=-1)
+            clust = gamma * jnp.sum(row_kld * mask) / nv
+            return rec + clust, (rec, clust)
+
+        (loss, (rec, clust)), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads=grads), loss, rec, clust
+
+    @jax.jit
+    def eval_step(params, x):
+        q, _, z = model.apply({"params": params}, x)
+        return jnp.round(q, 5), z
+
+    return train_step, eval_step
+
+
+def full_eval_stream(eval_step, params, make_loader, m_total: int):
+    """Streaming batch_eval: (q (M,K), labels (M,), z (M,D)) accumulated
+    on host while batches stream through the device."""
+    qs, zs = [], []
+    seen = 0
+    for x, n_valid in make_loader():
+        q, z = eval_step(params, x)
+        take = min(n_valid, m_total - seen)
+        qs.append(np.asarray(q[:take]))
+        zs.append(np.asarray(z[:take]))
+        seen += take
+    q = np.concatenate(qs, axis=0)
+    z = np.concatenate(zs, axis=0)
+    return q, q.argmax(axis=1), z
+
+
+def train_dec_stream(
+    model,
+    state,
+    make_loader,
+    m_total: int,
+    config: DECConfig,
+    initial: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+) -> Dict:
+    """DEC refinement over a streaming loader (windows exceed HBM).
+
+    `make_loader()` yields (device_batch (B, H, W, C), n_valid) in a fixed
+    order each epoch (the stale-p slicing, like the reference, requires
+    deterministic unshuffled iteration — models.py:1113-1114). Semantics
+    match `train_dec`; throughput trades the fused segment scan for
+    IO overlap.
+    """
+    train_step, eval_step = make_stream_fns(model, config.gamma)
+
+    # cluster init on streamed latents
+    if config.init == "load":
+        if initial is None:
+            raise ValueError("init='load' requires initial=(labels, centroids)")
+        labels_prev, centroids = (
+            np.asarray(initial[0]), np.asarray(initial[1]),
+        )
+    else:
+        from spectrogram_cube_clustering_tpu import cluster as _cluster
+
+        _, _, z = full_eval_stream(eval_step, state.params, make_loader, m_total)
+        fn = _cluster.kmeans if config.init == "kmeans" else _cluster.gmm
+        kw = (
+            dict(n_init=config.kmeans_n_init, max_iter=config.kmeans_max_iter)
+            if config.init == "kmeans"
+            else dict(n_init=config.kmeans_n_init,
+                      kmeans_max_iter=config.kmeans_max_iter)
+        )
+        labels_prev, centroids = fn(z, config.n_clusters, seed=config.seed, **kw)
+        labels_prev = np.asarray(labels_prev)
+        centroids = np.asarray(centroids)
+
+    state = state.replace(
+        params=replace_centroids(state.params, jnp.asarray(centroids))
+    )
+    q, _, _ = full_eval_stream(eval_step, state.params, make_loader, m_total)
+    p = np.asarray(target_distribution(jnp.asarray(q)))
+
+    history = {"iteration": [], "reconstruction": [], "clustering": [], "total": []}
+    deltas = {"iteration": [], "delta": []}
+    n_iter = 1
+    finished = False
+    epoch = -1
+
+    # batches per refresh (reference models.py:986-989 semantics)
+    for epoch in range(config.n_epochs):
+        batch_num = 0
+        offset = 0
+        running = np.zeros(4)
+        for x, n_valid in make_loader():
+            if config.update_interval == -1:
+                bsz = x.shape[0]
+                update_interval = max(int(np.ceil(m_total / (bsz * 2))), 1)
+            else:
+                update_interval = max(
+                    int(np.ceil(m_total / (x.shape[0] * config.update_interval))), 1
+                )
+            if batch_num % update_interval == 0 and not (
+                batch_num == 0 and epoch == 0
+            ):
+                q, labels, _ = full_eval_stream(
+                    eval_step, state.params, make_loader, m_total
+                )
+                p = np.asarray(target_distribution(jnp.asarray(q)))
+                delta = float(np.mean(labels != labels_prev))
+                deltas["iteration"].append(n_iter)
+                deltas["delta"].append(delta)
+                labels_prev = labels
+                if delta < config.tol:
+                    finished = True
+                    break
+            p_slice = p[offset : offset + x.shape[0]]
+            if len(p_slice) < x.shape[0]:  # trailing padded batch
+                p_slice = np.concatenate(
+                    [p_slice,
+                     np.zeros((x.shape[0] - len(p_slice), p.shape[1]),
+                              p.dtype)]
+                )
+            state, loss, rec, clust = train_step(
+                state, x, jnp.asarray(p_slice), jnp.float32(n_valid)
+            )
+            running += (
+                float(loss) * n_valid, float(rec) * n_valid,
+                float(clust) * n_valid, n_valid,
+            )
+            offset += n_valid
+            batch_num += 1
+            n_iter += 1
+            accum = running[:3] / max(running[3], 1.0)
+            history["iteration"].append(n_iter - 1)
+            history["total"].append(accum[0])
+            history["reconstruction"].append(accum[1])
+            history["clustering"].append(accum[2])
+        if finished:
+            break
+
+    return {
+        "state": state,
+        "history": history,
+        "deltas": deltas,
+        "labels": np.asarray(labels_prev),
+        "centroids": np.asarray(state.params["centroids"]),
+        "stopped_early": finished,
+        "last_epoch": epoch + 1,
+    }
+
+
 def train_dec(
     model,
     state,

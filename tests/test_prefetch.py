@@ -109,3 +109,42 @@ class TestStreamingTraining:
         hist = out["history"]["train"]
         assert hist[-1] < hist[0]
         assert len(hist) == 5
+
+    def test_train_dec_stream_matches_scan_path(self, rng):
+        """Streaming DEC reaches the same clustering as the device-resident
+        scan path on the same data."""
+        import jax
+        import jax.numpy as jnp
+        import spectrogram_cube_clustering_tpu as scc
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        x, y = scc.data.synthetic_windows(192, n_classes=3, seed=4)
+        x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+        model = scc.models.DEC(n_clusters=3)
+        cfg = scc.train.DECConfig(
+            n_clusters=3, n_epochs=2, tol=0.0, init="kmeans",
+            kmeans_n_init=4, kmeans_max_iter=50,
+        )
+
+        def fresh_state():
+            return scc.train.create_train_state(
+                model, jax.random.key(7), jnp.asarray(x[:2]), lr=5e-4
+            )
+
+        data = scc.train.make_batched_data(x, batch_size=64)
+        scan_out = scc.train.train_dec(model, fresh_state(), data, cfg)
+
+        def make_loader():
+            return scc.data.PrefetchLoader(
+                lambda i: x[i * 16 : (i + 1) * 16], n_items=12,
+                batch_size=64, num_workers=2,
+            )
+
+        stream_out = scc.train.train_dec_stream(
+            model, fresh_state(), make_loader, len(x), cfg
+        )
+        assert stream_out["labels"].shape == (len(x),)
+        # encoder is untrained here, so absolute clustering quality is
+        # meaningless — the contract is that both paths agree
+        assert nmi(scan_out["labels"], stream_out["labels"]) > 0.95
+        assert len(stream_out["history"]["total"]) > 0
