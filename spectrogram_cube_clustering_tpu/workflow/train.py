@@ -123,8 +123,134 @@ def _gmm_artifacts_dir(config, n_clusters: int) -> str:
     return os.path.join(run_dir, "GMM", f"n_clusters={n_clusters}")
 
 
+def _np_normalizer(config):
+    """Host-side per-window normalizer over NHWC stacks for the streaming
+    item path (same semantics as ops.normalize)."""
+    name = getattr(config, "transform", None)
+    if name is None:
+        return lambda x: x
+    from spectrogram_cube_clustering_tpu.data.h5 import normalize_specgram
+
+    def fn(x):  # (n, H, W, 1): stats over (H, W)
+        return normalize_specgram(
+            np.moveaxis(x, -1, 1), name
+        ).transpose(0, 2, 3, 1).astype(np.float32)
+
+    return fn
+
+
+def _train_stream(config):
+    """loadmode='stream': windows never materialize in host RAM at once —
+    Zarr items stream through the prefetch loader into per-batch jitted
+    steps (reference `loadmode` knob, AEC_train.py:55 / production.py
+    'ram' path; the reference only ever loads to RAM)."""
+    from spectrogram_cube_clustering_tpu.data import (
+        ZarrCubeDataset,
+        train_val_split,
+        zarr_prefetch_loader,
+    )
+    from spectrogram_cube_clustering_tpu.workflow.data import _cube_spec
+
+    ds = ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
+    normalize = _np_normalizer(config)
+    item_fn = lambda i: normalize(ds.item(i))  # noqa: E731
+
+    results = []
+    for run_count, hp in enumerate(config.sweep(), start=1):
+        print("-" * 80)
+        print(
+            f"Hyperparameter Tuning Run {run_count}/{config.runs} "
+            f"(stream): {hp}"
+        )
+        config.init_output_env(**hp)
+        batch_size, lr = int(hp["batch_size"]), float(hp["lr"])
+        sample = jnp.asarray(item_fn(0)[:2])
+
+        def make_loader(indices=None, n_items=len(ds)):
+            from spectrogram_cube_clustering_tpu.data import PrefetchLoader
+
+            return PrefetchLoader(
+                item_fn, n_items, batch_size,
+                num_workers=int(getattr(config, "workers", None) or 4),
+                indices=indices,
+            )
+
+        if config.model == "AEC":
+            idx_tra, idx_val = train_val_split(len(ds))
+            model = make_model(config)
+            state = _train.create_train_state(
+                model, jax.random.key(getattr(config, "seed", 0) or 0),
+                sample, lr=lr,
+            )
+            out = _train.train_aec_stream(
+                model, state,
+                lambda: make_loader(list(idx_tra)),
+                _train.AECConfig(
+                    n_epochs=int(config.n_epochs), lr=lr,
+                    early_stopping=bool(getattr(config, "early_stopping", True)),
+                    patience=int(getattr(config, "patience", 10)),
+                ),
+                make_val_loader=lambda: make_loader(list(idx_val)),
+            )
+            _utils.save_history(
+                {"Epoch": out["history"]["epoch"],
+                 "Training MSE": out["history"]["train"],
+                 "Validation MSE": out["history"]["validation"]},
+                os.path.join(config.savepath_run, "AEC_history.csv"),
+            )
+            save(
+                os.path.join(config.savepath_run, "AEC_Params_Final"),
+                out["final_params"],
+            )
+        elif config.model == "DEC":
+            n_clusters = int(hp.get("n_clusters", 5))
+            model = make_model(config, n_clusters=n_clusters)
+            state = _train.create_train_state(
+                model, jax.random.key(getattr(config, "seed", 0) or 0),
+                sample, lr=lr,
+            )
+            state = state.replace(params=load_aec_params(config, model))
+            init_mode = getattr(config, "init", "gmm")
+            initial = None
+            if init_mode == "load":
+                gmm_dir = _gmm_artifacts_dir(config, n_clusters)
+                initial = (
+                    np.load(os.path.join(gmm_dir, "labels.npy")),
+                    np.load(os.path.join(gmm_dir, "centroids.npy")),
+                )
+            out = _train.train_dec_stream(
+                model, state, make_loader, ds.n_windows,
+                _train.DECConfig(
+                    n_clusters=n_clusters, n_epochs=int(config.n_epochs),
+                    lr=lr, gamma=float(hp.get("gamma", 0.001)),
+                    tol=float(hp.get("tol", 0.003)),
+                    update_interval=int(getattr(config, "update_interval", -1)),
+                    init=init_mode,
+                ),
+                initial=initial,
+            )
+            save(
+                os.path.join(config.savepath_run, "DEC_Params_Final"),
+                out["state"].params,
+            )
+            _utils.save_history(
+                {"Iteration": out["history"]["iteration"],
+                 "Loss": out["history"]["total"],
+                 "MSE": out["history"]["reconstruction"],
+                 "KLD": out["history"]["clustering"]},
+                os.path.join(config.savepath_run, "DEC_history.csv"),
+            )
+        else:
+            raise ValueError(f"unknown model {config.model!r}")
+        out["savepath_run"] = config.savepath_run
+        results.append(out)
+    return results
+
+
 def train(config, mesh=None):
     """Run the full hp sweep. Returns a list of per-run result dicts."""
+    if getattr(config, "loadmode", "ram") == "stream":
+        return _train_stream(config)
     tra_x, val_x = load_data(config)
     tra_x = _normalize(config, tra_x)
     val_x = _normalize(config, val_x)

@@ -148,3 +148,21 @@ def test_full_workflow(cube):
     # predict labels match training's final labels (same params, same data)
     labels_pred = np.load(os.path.join(dec_pred, "labels_DEC.npy"))
     assert np.mean(labels_pred == dec_out["labels"]) > 0.99
+
+
+def test_stream_loadmode_aec(cube):
+    """loadmode='stream' trains AEC through the prefetch loader and writes
+    the same artifact names."""
+    root, cube_path, _ = cube
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 3, "early_stopping": "False", "loadmode": "stream",
+         "workers": "2"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [out] = workflow.train(config)
+    run_dir = out["savepath_run"]
+    assert os.path.isdir(os.path.join(run_dir, "AEC_Params_Final"))
+    assert os.path.exists(os.path.join(run_dir, "AEC_history.csv"))
+    hist = out["history"]["train"]
+    assert hist[-1] < hist[0]
