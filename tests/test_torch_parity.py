@@ -143,3 +143,108 @@ def test_attention_fixed_mode(data):
     # and the faithful path's Dense input is the reference's 84
     pq = models.Encoder(attention_faithful=True).init(jax.random.key(0), x)
     assert pq["params"]["Dense_0"]["kernel"].shape == (84, 9)
+
+
+class TorchRefUNet(nn.Module):
+    """Reference UNet architecture (networks.py:91-153), test-local,
+    omitting the unused down_convolution_5/up_transpose_4 like the live
+    forward path."""
+
+    @staticmethod
+    def _double(cin, cout, k):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, k, padding=1), nn.ReLU(True),
+            nn.Conv2d(cout, cout, k, padding=1), nn.ReLU(True),
+        )
+
+    def __init__(self):
+        super().__init__()
+        self.pool = nn.MaxPool2d(2, 2)
+        self.d1 = self._double(1, 16, (2, 4))
+        self.d2 = self._double(16, 32, (2, 4))
+        self.d3 = self._double(32, 64, (2, 4))
+        self.d4 = self._double(64, 128, (2, 4))
+        n = 128 * 4 * 8
+        self.down_flat = nn.Sequential(
+            nn.Flatten(),
+            nn.Linear(n, n // 4), nn.Sigmoid(),
+            nn.Linear(n // 4, n // 16), nn.Sigmoid(),
+            nn.Linear(n // 16, n // 64), nn.Sigmoid(),
+            nn.Linear(n // 64, n // 256), nn.Sigmoid(),
+        )
+        self.up_flat = nn.Sequential(
+            nn.Linear(n // 256, n // 256), nn.Sigmoid(),
+            nn.Linear(n // 256, n // 64), nn.Sigmoid(),
+            nn.Linear(n // 64, n // 16), nn.Sigmoid(),
+            nn.Linear(n // 16, n // 4), nn.Sigmoid(),
+            nn.Linear(n // 4, n), nn.Sigmoid(),
+            nn.Unflatten(1, (128, 4, 8)),
+        )
+        self.u1 = self._double(256, 128, 3)
+        self.t1 = nn.ConvTranspose2d(128, 64, (2, 6), 2, (2, 0), (0, 1))
+        self.u2 = self._double(128, 64, 3)
+        self.t2 = nn.ConvTranspose2d(64, 32, (2, 6), 2, (2, 0), (1, 1))
+        self.u3 = self._double(64, 32, 3)
+        self.t3 = nn.ConvTranspose2d(32, 16, (2, 6), 2, (2, 0), (0, 1))
+        self.u4 = self._double(32, 16, 3)
+        self.out = nn.Conv2d(16, 1, 3, padding=(0, 2))
+
+    def forward(self, x):
+        down_1 = self.d1(x)
+        down_3 = self.d2(self.pool(down_1))
+        down_5 = self.d3(self.pool(down_3))
+        down_7 = self.d4(self.pool(down_5))
+        z = self.down_flat(down_7)
+        up_0 = self.up_flat(z)
+        y = self.u1(torch.cat([down_7, up_0], 1))
+        y = self.u2(torch.cat([down_5, self.t1(y)], 1))
+        y = self.u3(torch.cat([down_3, self.t2(y)], 1))
+        y = self.u4(torch.cat([down_1, self.t3(y)], 1))
+        return self.out(y), z
+
+
+def _port_double(tseq):
+    return {
+        "Conv_0": {"kernel": t2j_conv(tseq[0].weight), "bias": t2j_bias(tseq[0].bias)},
+        "Conv_1": {"kernel": t2j_conv(tseq[2].weight), "bias": t2j_bias(tseq[2].bias)},
+    }
+
+
+def test_unet_parity(data):
+    tm = TorchRefUNet().eval()
+    with torch.no_grad():
+        t_out, t_z = tm(torch.from_numpy(data))
+
+    fm = models.UNet()
+    x = jnp.asarray(data.transpose(0, 2, 3, 1))
+    params = fm.init(jax.random.key(0), x)["params"]
+
+    new = dict(params)
+    for i, seq in enumerate((tm.d1, tm.d2, tm.d3, tm.d4)):
+        new[f"DoubleConv_{i}"] = _port_double(seq)
+    linears = [m for m in list(tm.down_flat) + list(tm.up_flat)
+               if isinstance(m, nn.Linear)]
+    for i, lin in enumerate(linears):
+        new[f"Dense_{i}"] = {
+            "kernel": t2j_dense(lin.weight), "bias": t2j_bias(lin.bias),
+        }
+    for i, seq in enumerate((tm.u1, tm.u2, tm.u3, tm.u4)):
+        new[f"DoubleConv_{4 + i}"] = _port_double(seq)
+    for i, ct in enumerate((tm.t1, tm.t2, tm.t3)):
+        new[f"TorchConvTranspose_{i}"] = {
+            "ConvTranspose_0": {
+                "kernel": t2j_convt(ct.weight), "bias": t2j_bias(ct.bias),
+            }
+        }
+    new["Conv_0"] = {
+        "kernel": t2j_conv(tm.out.weight), "bias": t2j_bias(tm.out.bias),
+    }
+
+    with jax.default_matmul_precision("float32"):
+        f_out, f_z = fm.apply({"params": new}, x)
+    np.testing.assert_allclose(
+        np.asarray(f_z), t_z.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_out)[..., 0], t_out.numpy()[:, 0], rtol=1e-3, atol=1e-4
+    )
