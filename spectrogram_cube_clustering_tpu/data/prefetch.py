@@ -55,6 +55,17 @@ class PrefetchLoader:
         fetched by a pool of threads but delivered in index order."""
         import concurrent.futures as cf
 
+        def put(item) -> bool:
+            # bounded put that notices consumer abandonment (a plain
+            # blocking put would wedge this thread on a full queue forever)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             futures = {}
             lookahead = self.num_workers + 2
@@ -65,10 +76,9 @@ class PrefetchLoader:
                         self.item_fn, self.indices[submitted]
                     )
                     submitted += 1
-                if stop.is_set():
+                if not put(futures.pop(pos).result()):
                     return
-                out_q.put(futures.pop(pos).result())
-        out_q.put(None)  # epoch sentinel
+        put(None)  # epoch sentinel
 
     def __iter__(self) -> Iterator:
         item_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)

@@ -148,3 +148,21 @@ class TestStreamingTraining:
         # meaningless — the contract is that both paths agree
         assert nmi(scan_out["labels"], stream_out["labels"]) > 0.95
         assert len(stream_out["history"]["total"]) > 0
+
+
+def test_abandoned_iteration_does_not_wedge_reader():
+    """Breaking out of iteration early must release the reader thread."""
+    import threading
+
+    before = threading.active_count()
+    loader = PrefetchLoader(_item_fn, n_items=50, batch_size=3,
+                            num_workers=2, queue_depth=2)
+    for i, _ in enumerate(loader):
+        if i == 1:
+            break
+    import time
+
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1  # reader drained/stopped
