@@ -10,7 +10,6 @@ pattern carries GMM-EM responsibilities).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,7 @@ Frame alignment requires each shard's length to be a multiple of `hop`
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
