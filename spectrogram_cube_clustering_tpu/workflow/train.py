@@ -319,8 +319,11 @@ def _train_aec_run(config, hp, tra_x, val_x, mesh):
          "Validation MSE": out["history"]["validation"]},
         os.path.join(config.savepath_run, "AEC_history.csv"),
     )
-    save(os.path.join(config.savepath_run, "AEC_Params_Final"), out["final_params"])
+    final_path = os.path.join(config.savepath_run, "AEC_Params_Final")
+    save(final_path, out["final_params"])
     if writer is not None:
+        # breadcrumb (reference models.py:924)
+        writer.add_text("Path to Saved Weights", final_path)
         writer.close()
     out["savepath_run"] = config.savepath_run
     return out
@@ -403,6 +406,12 @@ def _train_dec_run(config, hp, tra_x, mesh):
             os.path.join(config.savepath_run, "Delta_history.csv"),
         )
     if writer is not None:
+        # breadcrumbs (reference models.py:992-998, 1229)
+        writer.add_text("Pretrained AEC Weights", str(config.saved_weights))
+        writer.add_text(
+            "Path to Saved Weights",
+            os.path.join(config.savepath_run, "DEC_Params_Final"),
+        )
         # run summary as TB hparams (reference models.py:1213-1225)
         final = out["history"]
         writer.add_hparams(
