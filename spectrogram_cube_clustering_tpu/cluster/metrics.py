@@ -50,11 +50,19 @@ def cluster_metrics(
     z: np.ndarray,
     save: bool = True,
     rf: int = 3,
+    silh_max_samples: Optional[int] = None,
+    seed: int = 2009,
 ) -> Dict[str, np.ndarray]:
     """Compute per-class clustering metrics; optionally persist them.
 
     Returns a dict with keys N, X_ip, X_MSE, X_MSE_avg, X_MAE, X_MAE_avg,
     silh_scores_Z, silh_scores_X, class_silh_Z, class_silh_X, df.
+
+    Silhouettes are O(M^2); `silh_max_samples` caps them on a seeded
+    subsample for very large catalogs (scores for unsampled rows are NaN;
+    class/overall means use sampled rows only). The reference decimates
+    only the X features (RF), not the sample count, and cannot run at cube
+    scale.
     """
     import pandas as pd
 
@@ -63,8 +71,26 @@ def cluster_metrics(
     k = len(classes)
 
     n_clusters = int(np.max(labels)) + 1
-    silh_z = np.asarray(silhouette_samples(np.asarray(z), labels, n_clusters))
-    silh_x, _ = silhouette_samples_X(np.asarray(x), labels, rf=rf)
+    m = len(labels)
+    if silh_max_samples is not None and m > silh_max_samples:
+        sel = np.sort(
+            np.random.default_rng(seed).choice(
+                m, silh_max_samples, replace=False
+            )
+        )
+        silh_z = np.full(m, np.nan, np.float32)
+        silh_x = np.full(m, np.nan, np.float32)
+        silh_z[sel] = np.asarray(
+            silhouette_samples(np.asarray(z)[sel], labels[sel], n_clusters)
+        )
+        silh_x[sel], _ = silhouette_samples_X(
+            np.asarray(x)[sel], labels[sel], rf=rf
+        )
+    else:
+        silh_z = np.asarray(
+            silhouette_samples(np.asarray(z), labels, n_clusters)
+        )
+        silh_x, _ = silhouette_samples_X(np.asarray(x), labels, rf=rf)
 
     x_flat = np.asarray(x).reshape(len(labels), -1)
     d = x_flat.shape[1]
@@ -89,8 +115,9 @@ def cluster_metrics(
         x_mae[j] = np.mean(np.abs(diff), axis=0)
         x_mse_avg[j] = float(np.mean(x_mse[j]))
         x_mae_avg[j] = float(np.mean(x_mae[j]))
-        class_silh_z[j] = float(np.mean(silh_z[sel]))
-        class_silh_x[j] = float(np.mean(silh_x[sel]))
+        with np.errstate(invalid="ignore"):
+            class_silh_z[j] = float(np.nanmean(silh_z[sel]))
+            class_silh_x[j] = float(np.nanmean(silh_x[sel]))
 
     df = pd.DataFrame(
         data={
@@ -105,8 +132,8 @@ def cluster_metrics(
     )
     df.loc["mean"] = df.mean(numeric_only=True)
     df.loc["mean", ["class", "N"]] = None
-    df.loc["mean", "silh_score_Z"] = float(np.mean(silh_z))
-    df.loc["mean", "silh_score_X"] = float(np.mean(silh_x))
+    df.loc["mean", "silh_score_Z"] = float(np.nanmean(silh_z))
+    df.loc["mean", "silh_score_X"] = float(np.nanmean(silh_x))
 
     if save:
         if path is None:

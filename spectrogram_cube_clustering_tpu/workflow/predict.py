@@ -103,9 +103,11 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
         np.save(os.path.join(savepath, "labels_DEC"), labels_np)
         np.save(os.path.join(savepath, "centroids_DEC"), centroids_np)
 
+        silh_cap = getattr(config, "silh_max_samples", None)
         metrics = _cluster.cluster_metrics(
             savepath, labels_np, _to_nchw_np(jnp.asarray(x_np)), z_np,
             save=True,
+            silh_max_samples=int(silh_cap) if silh_cap else None,
         )
         if figures:
             k = int(config.n_clusters)

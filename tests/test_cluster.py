@@ -132,3 +132,18 @@ class TestTSNE:
         e2 = cluster.tsne(x, n_iter=260)
         assert e1.shape == (120, 2)
         np.testing.assert_allclose(e1, e2, atol=1e-4)
+
+
+class TestMetricsSubsample:
+    def test_silh_cap(self, blobs, tmp_path):
+        from spectrogram_cube_clustering_tpu.cluster import cluster_metrics
+
+        z, y = blobs
+        x = np.tile(z[:, :4, None, None], (1, 1, 4, 5)).astype(np.float32)
+        out = cluster_metrics(
+            str(tmp_path), y, x, z, save=True, silh_max_samples=40
+        )
+        silh = out["silh_scores_Z"]
+        assert np.isnan(silh).sum() == len(y) - 40
+        assert np.isfinite(out["class_silh_Z"]).all()
+        assert np.isfinite(out["df"].loc["mean", "silh_score_Z"])
