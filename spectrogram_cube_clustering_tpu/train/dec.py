@@ -52,28 +52,33 @@ class DECConfig:
     verbose: bool = False
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn",))
-def _full_eval_jit(apply_fn, params, xb):
+@functools.partial(jax.jit, static_argnames=("apply_fn", "with_xr"))
+def _full_eval_jit(apply_fn, params, xb, with_xr=False):
     def step(_, x):
-        q, _, z = apply_fn({"params": params}, x)
-        return None, (q, z)
+        q, x_rec, z = apply_fn({"params": params}, x)
+        return None, (q, z, x_rec if with_xr else None)
 
-    _, (q, z) = lax.scan(step, None, xb)
+    _, (q, z, xr) = lax.scan(step, None, xb)
     q = q.reshape(-1, q.shape[-1])
     z = z.reshape(-1, z.shape[-1])
     # reference rounds q to 5 dp before use (models.py:94)
     q = jnp.round(q, 5)
     labels = jnp.argmax(q, axis=1)
-    return q, labels, z
+    if with_xr:
+        xr = xr.reshape(-1, *xr.shape[2:])
+    return q, labels, z, xr
 
 
-def full_eval(model, params, data: BatchedData):
-    """Full-dataset inference: (q (M,K), labels (M,), z (M,D)).
+def full_eval(model, params, data: BatchedData, with_xr: bool = False):
+    """Full-dataset inference: (q (M,K), labels (M,), z (M,D)) — plus the
+    reconstructions (M, H, W, C) when `with_xr`.
 
     Reference: batch_eval (models.py:41-103), minus the per-batch D2H copies.
     """
-    q, labels, z = _full_eval_jit(model.apply, params, data.x)
+    q, labels, z, xr = _full_eval_jit(model.apply, params, data.x, with_xr)
     m = data.n_samples
+    if with_xr:
+        return q[:m], labels[:m], z[:m], xr[:m]
     return q[:m], labels[:m], z[:m]
 
 

@@ -78,16 +78,7 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
     params = load_aec_params(config, model)
 
     if config.model == "DEC":
-        q, labels, z = _train.full_eval(model, params, data)
-        # reconstructions from the same params (one more scan)
-        _, xr, _ = _aec_eval_scan(
-            lambda v, x: _models.AEC().apply(
-                {"params": {"encoder": v["params"]["encoder"],
-                            "decoder": v["params"]["decoder"]}}, x
-            ),
-            params, data.x, data.mask,
-        )
-        xr = xr[:m]
+        q, labels, z, xr = _train.full_eval(model, params, data, with_xr=True)
         q_np = np.asarray(q, np.float32)
         z_np = np.asarray(z, np.float32)
         labels_np = np.asarray(labels)
