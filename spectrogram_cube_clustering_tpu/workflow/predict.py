@@ -65,8 +65,111 @@ def _to_nchw_np(x: jnp.ndarray) -> np.ndarray:
     return np.asarray(jnp.transpose(x, (0, 3, 1, 2)))
 
 
+def _predict_stream(config, figures: bool) -> Dict:
+    """loadmode='stream' inference: windows never materialize at once.
+
+    q/z/labels/Xr accumulate on host while batches stream through jitted
+    forwards; clustering metrics and figures run on a seeded subsample
+    (config `silh_max_samples`, default 20000) whose windows are re-read
+    from the cube — the only honest option when X exceeds host RAM.
+    """
+    from spectrogram_cube_clustering_tpu.data import ZarrCubeDataset
+    from spectrogram_cube_clustering_tpu.workflow.data import _cube_spec
+    from spectrogram_cube_clustering_tpu.workflow.train import (
+        _np_normalizer,
+    )
+
+    ds = ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
+    normalize = _np_normalizer(config)
+    item_fn = lambda i: normalize(ds.item(i))  # noqa: E731
+    m = ds.n_windows
+    savepath = config.savepath_exp
+    batch = int(getattr(config, "batch_size_predict", PREDICT_BATCH))
+
+    from spectrogram_cube_clustering_tpu.data import PrefetchLoader
+
+    def make_loader():
+        return PrefetchLoader(
+            item_fn, len(ds), batch,
+            num_workers=int(getattr(config, "workers", None) or 4),
+        )
+
+    model = make_model(config)
+    params = load_aec_params(config, model)
+
+    if config.model == "DEC":
+        @jax.jit
+        def step(x):
+            q, xr, z = model.apply({"params": params}, x)
+            return jnp.round(q, 5), xr, z
+    else:
+        @jax.jit
+        def step(x):
+            xr, z = model.apply({"params": params}, x)
+            d = xr - x
+            per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
+            return per, xr, z
+
+    firsts, xrs, zs = [], [], []
+    seen = 0
+    for x, n_valid in make_loader():
+        a, xr, z = step(x)
+        take = min(n_valid, m - seen)
+        firsts.append(np.asarray(a[:take]))
+        xrs.append(_to_nchw_np(xr[:take]))
+        zs.append(np.asarray(z[:take], np.float32))
+        seen += take
+    z_np = np.concatenate(zs, axis=0)
+    xr_np = np.concatenate(xrs, axis=0)
+
+    if config.model == "DEC":
+        q_np = np.concatenate(firsts, axis=0).astype(np.float32)
+        labels_np = q_np.argmax(axis=1)
+        centroids_np = np.asarray(params["centroids"], np.float32)
+        _utils.save_labels(
+            [{"idx": i, "label": int(labels_np[i])} for i in range(m)],
+            savepath,
+        )
+        np.save(os.path.join(savepath, "q_DEC"), q_np)
+        np.save(os.path.join(savepath, "Z_DEC"), z_np)
+        np.save(os.path.join(savepath, "Xr_DEC"), xr_np)
+        np.save(os.path.join(savepath, "labels_DEC"), labels_np)
+        np.save(os.path.join(savepath, "centroids_DEC"), centroids_np)
+
+        cap = int(getattr(config, "silh_max_samples", None) or 20000)
+        sel = np.sort(
+            np.random.default_rng(2009).choice(
+                m, min(cap, m), replace=False
+            )
+        )
+        wpi = ds.windows_per_item
+        x_sub = np.stack(
+            [item_fn(i // wpi)[i % wpi] for i in sel], axis=0
+        )
+        metrics = _cluster.cluster_metrics(
+            savepath, labels_np[sel],
+            _to_nchw_np(jnp.asarray(x_sub)), z_np[sel], save=True,
+        )
+        return {
+            "q": q_np, "z": z_np, "labels": labels_np,
+            "centroids": centroids_np, "metrics": metrics,
+        }
+
+    per = np.concatenate(firsts, axis=0)
+    total_loss = float(per.mean())
+    print(f"Dataset MSE = {total_loss:.4e}")
+    with open(os.path.join(savepath, "MSE.txt"), "w") as f:
+        f.write(f"MSE = {total_loss:.4e}")
+    np.save(os.path.join(savepath, "Loss_AEC"), total_loss)
+    np.save(os.path.join(savepath, "Z_AEC"), z_np)
+    np.save(os.path.join(savepath, "Xr_AEC"), xr_np)
+    return {"z": z_np, "x_rec": xr_np, "loss": total_loss}
+
+
 def predict(config, mesh=None, figures: bool = True) -> Dict:
     """Run inference and write the artifact tree. Returns the arrays."""
+    if getattr(config, "loadmode", "ram") == "stream":
+        return _predict_stream(config, figures)
     x_np = _normalize(config, load_data(config))
     print(f"Dataset has {len(x_np)} samples.")
     savepath = config.savepath_exp

@@ -166,3 +166,37 @@ def test_stream_loadmode_aec(cube):
     assert os.path.exists(os.path.join(run_dir, "AEC_history.csv"))
     hist = out["history"]["train"]
     assert hist[-1] < hist[0]
+
+
+def test_stream_loadmode_predict(cube):
+    """loadmode='stream' predict writes the same artifacts as the ram path
+    (AEC mode: Z_AEC/Xr_AEC/MSE)."""
+    root, cube_path, labels = cube
+    # train a quick AEC first
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 2, "early_stopping": "False"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [out] = workflow.train(config)
+    weights = os.path.join(out["savepath_run"], "AEC_Params_Final")
+
+    config = _make_config(
+        root, cube_path, "AEC", "predict",
+        {"saved_weights": weights, "loadmode": "stream", "workers": "2"},
+    )
+    res = workflow.predict(config)
+    pred = config.savepath_exp
+    z = np.load(os.path.join(pred, "Z_AEC.npy"))
+    assert z.shape == (len(labels), 9)
+    assert np.load(os.path.join(pred, "Xr_AEC.npy")).shape == (
+        len(labels), 1, 4, 101
+    )
+    assert np.isfinite(res["loss"])
+
+    # ram-path predict on the same weights must produce identical latents
+    config2 = _make_config(
+        root, cube_path, "AEC", "predict", {"saved_weights": weights}
+    )
+    res2 = workflow.predict(config2)
+    np.testing.assert_allclose(res["z"], res2["z"], atol=1e-5)
