@@ -88,3 +88,55 @@ def test_console_tools(tmp_path, capsys):
     cli.extract_h5dataset([path, sub, "--include", '["DR01"]'])
     with h5py.File(sub, "r") as f:
         assert f["/4.0/Spectrogram"].shape[0] == 5  # indices 1..5
+
+
+def test_run_dc_full_pipeline(tmp_path):
+    """All three stages dispatched through run-dc .ini configs."""
+    cube_path = str(tmp_path / "cube.zarr")
+    make_synthetic_cube(
+        cube_path, n_time=32 * 11, n_channels=9, n_freq=101,
+        n_classes=3, chunk_rows=32, seed=6, spec=SPEC,
+    )
+    universal = {
+        "fname_dataset": cube_path,
+        "savepath": str(tmp_path / "Outputs"),
+        "configpath": str(tmp_path / "Config"),
+        "transform": "sample_norm_cent",
+        "chunk_size": SPEC.chunk_size,
+        "channel_start": SPEC.channel_start,
+        "channel_stride": SPEC.channel_stride,
+    }
+
+    def run(params, hp):
+        p = {"tb": "False", "show": "False"}
+        p.update(params)
+        ini = scc_utils.config_training(universal, p, hp)
+        return cli.run_dc(init_path=ini)
+
+    cfg = run(
+        {"model": "AEC", "mode": "train", "n_epochs": 2,
+         "early_stopping": "False"},
+        {"batch_size": "32", "lr": "0.001"},
+    )
+    runs = [d for d in os.listdir(cfg.savepath_exp) if d.startswith("Run_")]
+    weights = os.path.join(cfg.savepath_exp, runs[0], "AEC_Params_Final")
+
+    cfg = run({"model": "AEC", "mode": "predict", "saved_weights": weights}, None)
+    assert os.path.exists(os.path.join(cfg.savepath_exp, "Z_AEC.npy"))
+
+    cfg = run(
+        {"model": "GMM", "mode": "fit", "saved_weights": weights,
+         "km_n_init": 4, "km_max_iter": 50},
+        {"n_clusters": "3"},
+    )
+    gmm_dir = os.path.join(cfg.savepath_exp, "n_clusters=3")
+    assert os.path.exists(os.path.join(gmm_dir, "centroids.npy"))
+
+    cfg = run(
+        {"model": "DEC", "mode": "train", "n_epochs": 1,
+         "saved_weights": weights, "init": "load"},
+        {"batch_size": "32", "lr": "0.0005", "n_clusters": "3",
+         "gamma": "0.001", "tol": "0.0"},
+    )
+    runs = [d for d in os.listdir(cfg.savepath_exp) if d.startswith("Run_")]
+    assert os.path.isdir(os.path.join(cfg.savepath_exp, runs[0], "DEC_Params_Final"))
