@@ -2,6 +2,7 @@
 
 from spectrogram_cube_clustering_tpu.cli.run_dc import main as run_dc
 from spectrogram_cube_clustering_tpu.cli.tools import (
+    build_cube,
     convert_h5_to_np,
     extract_h5dataset,
     generate_sample_index,
@@ -16,6 +17,6 @@ from spectrogram_cube_clustering_tpu.cli.drivers import (
 
 __all__ = [
     "run_dc", "query_h5size", "extract_h5dataset", "generate_sample_index",
-    "convert_h5_to_np", "aec_train", "aec_predict", "gmm_centroids",
+    "convert_h5_to_np", "build_cube", "aec_train", "aec_predict", "gmm_centroids",
     "dec_train",
 ]

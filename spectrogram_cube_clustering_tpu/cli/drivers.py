@@ -71,6 +71,10 @@ def aec_train(argv: Optional[list] = None) -> None:
     parser.add_argument("--lr", default="0.0001", help="sweep list")
     parser.add_argument("--patience", type=int, default=10)
     parser.add_argument("--no-early-stopping", action="store_true")
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the run's tmp/SNAPSHOT after preemption",
+    )
     args = parser.parse_args(argv)
     _run(
         _universal(args),
@@ -79,6 +83,7 @@ def aec_train(argv: Optional[list] = None) -> None:
             "early_stopping": str(not args.no_early_stopping),
             "patience": args.patience, "tb": str(args.tb),
             "tbport": args.tbport, "show": str(args.verbose),
+            "resume": str(args.resume),
         },
         {"batch_size": args.batch_size, "lr": args.lr},
     )

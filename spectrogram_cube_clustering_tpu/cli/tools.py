@@ -66,3 +66,49 @@ def convert_h5_to_np(argv: Optional[list] = None) -> None:
     args = parser.parse_args(argv)
     dest = h5mod.convert_h5_to_np(args.source, args.dest)
     print(f"Saved {dest}")
+
+
+def build_cube(argv: Optional[list] = None) -> None:
+    """Raw waveforms -> spectrogram Zarr cube (the upstream stage the
+    reference assumes was run elsewhere; SURVEY.md §5 'Long-context').
+
+    Input: .npy waveform, 1-D (T,) or (channels, T). Output: a Zarr v2
+    group holding a (time_frames, channels, n_freq) cube chunked like the
+    reference's (ZarrDataLoader.py:49), STFT computed on device (fused
+    Pallas kernel on TPU).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spectrogram_cube_clustering_tpu.data import zarrlite
+    from spectrogram_cube_clustering_tpu.signal.stft import spectrogram
+
+    parser = argparse.ArgumentParser(description=build_cube.__doc__)
+    parser.add_argument("waveform", help="path to .npy waveform")
+    parser.add_argument("dest", help="output Zarr group directory")
+    parser.add_argument("--nperseg", type=int, default=200)
+    parser.add_argument("--hop", type=int, default=100)
+    parser.add_argument("--chunk-rows", type=int, default=5758)
+    args = parser.parse_args(argv)
+
+    wave = np.load(args.waveform)
+    if wave.ndim == 1:
+        wave = wave[None, :]
+    if jax.default_backend() == "tpu" and args.nperseg % args.hop == 0:
+        from spectrogram_cube_clustering_tpu.ops.pallas_stft import (
+            spectrogram_pallas as stft,
+        )
+    else:
+        stft = spectrogram
+    spec = np.asarray(
+        stft(jnp.asarray(wave), nperseg=args.nperseg, hop=args.hop)
+    )  # (C, frames, nfreq)
+    cube = np.transpose(spec, (1, 0, 2)).astype(np.float32)
+    zarrlite.write_group(
+        args.dest, {"cube": cube},
+        chunks=(min(args.chunk_rows, cube.shape[0]), 1, cube.shape[2]),
+    )
+    print(
+        f"Wrote cube {cube.shape} (frames, channels, freq) to {args.dest}"
+    )

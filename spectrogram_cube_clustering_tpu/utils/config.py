@@ -47,6 +47,20 @@ DATATYPES: Dict[str, str] = {
     "gamma": "float",
     "tol": "float",
     "update_interval": "int",
+    # rebuild-only knobs (not in the reference's table, utils.py:37-53)
+    "resume": "bool",
+    "figures": "bool",
+    "km_n_init": "int",
+    "km_max_iter": "int",
+    "silh_max_samples": "int",
+    "nperseg": "int",
+    "hop": "int",
+    "window_rows": "int",
+    "chunk_size": "int",
+    "channel_start": "int",
+    "channel_stride": "int",
+    "seed": "int",
+    "batch_size_predict": "int",
 }
 
 _BOOL_TRUE = {"1", "yes", "true", "on"}

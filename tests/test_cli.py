@@ -140,3 +140,21 @@ def test_run_dc_full_pipeline(tmp_path):
     )
     runs = [d for d in os.listdir(cfg.savepath_exp) if d.startswith("Run_")]
     assert os.path.isdir(os.path.join(cfg.savepath_exp, runs[0], "DEC_Params_Final"))
+
+
+def test_build_cube_roundtrip(tmp_path, rng):
+    """build-cube writes a Zarr cube the window reader can consume."""
+    from spectrogram_cube_clustering_tpu.data import CubeSpec, ZarrCubeDataset
+
+    wave = rng.normal(size=(3, 6_000)).astype(np.float32)
+    wpath = str(tmp_path / "wave.npy")
+    np.save(wpath, wave)
+    dest = str(tmp_path / "built.zarr")
+    cli.build_cube([wpath, dest, "--chunk-rows", "44"])
+    spec = CubeSpec(chunk_size=44, window_rows=4, channel_start=0,
+                    channel_stride=1, time_num=1, time_den=1)
+    ds = ZarrCubeDataset(dest, spec=spec)
+    n_frames = (6_000 - 200) // 100 + 1
+    assert ds.shape == (n_frames, 3, 101)
+    item = ds.item(0)
+    assert item.shape == (11, 4, 101, 1)
