@@ -5,7 +5,9 @@ nfreq = nperseg/2 + 1 ~ 101 bins, so the DFT is a skinny
 (frames, nperseg) @ (nperseg, nfreq) contraction — two real matmuls that
 run on the MXU at full tilt, while window/power/log fuse into the same
 VMEM residency; an FFT would round-trip the complex spectrum through HBM
-and its log-factor advantage is irrelevant at nperseg ~ 200.
+and its log-factor advantage is irrelevant at nperseg ~ 200. (The same
+GEMM-native NDFT argument for accelerator frontends appears publicly in
+MelT, arXiv:2606.01009.)
 
 Layout: the waveform is staged as `ratio = nperseg/hop` row planes of
 hop-sample rows padded to the 128-lane tile, plane j shifted by j rows —
