@@ -82,15 +82,37 @@ def _lloyd_single(z, init_centers, max_iter, tol_abs):
     return centers, labels, inertia, n_iter
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "n_init", "max_iter"))
-def _kmeans_jit(z, key, n_clusters, n_init, max_iter, tol_abs):
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_clusters", "n_init", "max_iter", "restart_chunk"),
+)
+def _kmeans_jit(z, key, n_clusters, n_init, max_iter, tol_abs, restart_chunk):
+    # Restarts run `restart_chunk` at a time (vmap inside lax.map): each
+    # live restart holds O(M*K) working buffers, so fully vmapping 100
+    # restarts at cube scale would overflow HBM.
     keys = jax.random.split(key, n_init)
-    inits = jax.vmap(lambda k: _plus_plus_init(k, z, n_clusters))(keys)
-    centers, labels, inertia, _ = jax.vmap(
-        lambda c: _lloyd_single(z, c, max_iter, tol_abs)
-    )(inits)
+    chunk = min(restart_chunk, n_init)
+    n_chunks = -(-n_init // chunk)
+    pad = n_chunks * chunk - n_init
+    keys = jnp.concatenate([keys, keys[:1].repeat(pad, 0)]) if pad else keys
+
+    def run_chunk(kc):
+        inits = jax.vmap(lambda k: _plus_plus_init(k, z, n_clusters))(kc)
+        centers, _, inertia, _ = jax.vmap(
+            lambda c: _lloyd_single(z, c, max_iter, tol_abs)
+        )(inits)
+        return centers, inertia
+
+    centers, inertia = jax.lax.map(
+        run_chunk, keys.reshape(n_chunks, chunk, *keys.shape[1:])
+    )
+    centers = centers.reshape(-1, n_clusters, z.shape[1])[:n_init]
+    inertia = inertia.reshape(-1)[:n_init]
     best = jnp.argmin(inertia)
-    return labels[best], centers[best], inertia[best]
+    best_centers = centers[best]
+    # final assignment for the winning restart only
+    d2 = _sqdist(z, best_centers)
+    return jnp.argmin(d2, axis=-1), best_centers, inertia[best]
 
 
 def kmeans(
@@ -101,6 +123,7 @@ def kmeans(
     max_iter: int = 1000,
     tol: float = 1e-4,
     seed: int = 2009,
+    restart_chunk: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cluster rows of z_array (M, D) into n_clusters.
 
@@ -114,6 +137,7 @@ def kmeans(
         z = z.astype(jnp.float32)
     tol_abs = tol * jnp.mean(jnp.var(z, axis=0))
     labels, centers, _ = _kmeans_jit(
-        z, jax.random.key(seed), n_clusters, n_init, max_iter, tol_abs
+        z, jax.random.key(seed), n_clusters, n_init, max_iter, tol_abs,
+        restart_chunk,
     )
     return labels, centers
