@@ -18,10 +18,14 @@ from spectrogram_cube_clustering_tpu.parallel.halo import (
     halo_exchange_1d,
     sharded_spectrogram,
 )
-from spectrogram_cube_clustering_tpu.parallel.cluster import sharded_kmeans_step
+from spectrogram_cube_clustering_tpu.parallel.cluster import (
+    sharded_gmm_em_step,
+    sharded_kmeans_step,
+)
 
 __all__ = [
     "halo_exchange_1d",
     "sharded_spectrogram",
     "sharded_kmeans_step",
+    "sharded_gmm_em_step",
 ]

@@ -36,6 +36,56 @@ def _local_stats(z, centers):
     return labels, sums, counts
 
 
+def sharded_gmm_em_step(z, weights, means, covs, mesh: Mesh, reg_covar=1e-6):
+    """One EM iteration over latents sharded on the data mesh.
+
+    E-step responsibilities are computed per shard; the M-step reduces the
+    three sufficient statistics (responsibility mass Nk, first moments,
+    second moments) with `psum`, exactly reproducing the dense update of
+    cluster.gmm._m_step. Returns (weights, means, covs, mean
+    log-likelihood), all replicated.
+    """
+    from spectrogram_cube_clustering_tpu.cluster.gmm import (
+        _estimate_log_prob,
+    )
+
+    k, d = means.shape
+
+    def step(z_local, w, mu, cov):
+        logp = _estimate_log_prob(z_local, mu, cov) + jnp.log(w)[None, :]
+        norm = jax.scipy.special.logsumexp(logp, axis=1, keepdims=True)
+        resp = jnp.exp(logp - norm)                       # (m_local, K)
+
+        m_total = jax.lax.psum(z_local.shape[0], DATA_AXIS)
+        nk = jax.lax.psum(jnp.sum(resp, axis=0), DATA_AXIS)
+        nk = nk + 10.0 * jnp.finfo(resp.dtype).eps
+        first = jax.lax.psum(resp.T @ z_local, DATA_AXIS)         # (K, D)
+        second = jax.lax.psum(
+            jnp.einsum("mk,mi,mj->kij", resp, z_local, z_local),  # (K, D, D)
+            DATA_AXIS,
+        )
+        new_means = first / nk[:, None]
+        new_covs = (
+            second / nk[:, None, None]
+            - new_means[:, :, None] * new_means[:, None, :]
+            + reg_covar * jnp.eye(d, dtype=z_local.dtype)
+        )
+        lb = jax.lax.psum(jnp.sum(norm), DATA_AXIS) / m_total
+        return nk / m_total, new_means, new_covs, lb
+
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+    )
+    z = jax.device_put(z, NamedSharding(mesh, P(DATA_AXIS)))
+    return mapped(
+        jnp.asarray(z), jnp.asarray(weights), jnp.asarray(means),
+        jnp.asarray(covs),
+    )
+
+
 def sharded_kmeans_step(z, centers, mesh: Mesh):
     """One Lloyd iteration over latents sharded on the data mesh.
 

@@ -128,3 +128,32 @@ class TestWaveformWorkflow:
         n_windows = n_frames // 4
         assert tra.shape[0] + val.shape[0] == n_windows
         assert tra.shape[1:] == (4, 101, 1)
+
+
+class TestShardedGMM:
+    def test_em_step_matches_dense(self, rng):
+        from spectrogram_cube_clustering_tpu.cluster.gmm import (
+            _e_step,
+            _m_step,
+        )
+
+        mesh = make_data_mesh()
+        m, d, k = 8 * 48, 5, 3
+        z = rng.normal(size=(m, d)).astype(np.float32)
+        means = z[rng.choice(m, k, replace=False)]
+        weights = np.full(k, 1.0 / k, np.float32)
+        covs = np.stack([np.eye(d, dtype=np.float32)] * k)
+
+        w8, mu8, cov8, lb8 = parallel.sharded_gmm_em_step(
+            z, weights, means, covs, mesh
+        )
+        # dense reference: one E+M step
+        lb, log_resp = _e_step(
+            jnp.asarray(z), jnp.asarray(weights), jnp.asarray(means),
+            jnp.asarray(covs),
+        )
+        wd, mud, covd = _m_step(jnp.asarray(z), log_resp, 1e-6)
+        np.testing.assert_allclose(np.asarray(w8), np.asarray(wd), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mu8), np.asarray(mud), rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cov8), np.asarray(covd), rtol=2e-2, atol=2e-4)
+        np.testing.assert_allclose(float(lb8), float(lb), rtol=1e-4)
