@@ -43,11 +43,37 @@ def initialize_distributed(
             raise
 
 
+DCN_AXIS = "dcn"
+
+
 def make_data_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), axis_names=(DATA_AXIS,))
+
+
+def make_multislice_mesh(
+    n_slices: int, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """2-D (dcn, data) mesh for multi-slice pods: the outer axis crosses
+    slices over DCN, the inner axis rides ICI within a slice. Batches
+    shard over BOTH axes (data parallelism is the only parallelism this
+    workload needs — SURVEY.md §2.2), so gradient psums reduce
+    hierarchically: ICI within slices first, one small cross-slice hop
+    over DCN.
+
+    Device order follows jax.devices(), which groups by slice on
+    multi-slice TPU deployments.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) % n_slices != 0:
+        raise ValueError(
+            f"{len(devices)} devices do not split into {n_slices} slices"
+        )
+    grid = np.asarray(devices).reshape(n_slices, -1)
+    return Mesh(grid, axis_names=(DCN_AXIS, DATA_AXIS))
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:

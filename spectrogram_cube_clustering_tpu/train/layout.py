@@ -42,9 +42,13 @@ class BatchedData:
 
 
 def batched_sharding(mesh: Optional[Mesh], ndim: int) -> Optional[NamedSharding]:
+    """Within-batch axis sharded over EVERY mesh axis — on a 1-D mesh that
+    is plain DP over ICI; on a (dcn, data) multi-slice mesh the batch
+    splits across slices too and XLA reduces gradients hierarchically."""
     if mesh is None:
         return None
-    return NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (ndim - 2))))
+    axes = tuple(mesh.axis_names)
+    return NamedSharding(mesh, P(None, axes, *([None] * (ndim - 2))))
 
 
 def make_batched_data(

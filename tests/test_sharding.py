@@ -89,3 +89,30 @@ class TestPrecisionModes:
         np.testing.assert_allclose(
             np.asarray(xr16, np.float32), np.asarray(xr32), atol=0.05
         )
+
+
+class TestMultiSliceMesh:
+    def test_training_matches_1d_mesh(self, windows):
+        """(2, 4) dcn x data mesh trains identically to the 1-D mesh."""
+        x, _ = windows
+        mesh_2d = scc.core.make_multislice_mesh(2)
+        assert mesh_2d.devices.shape == (2, 4)
+        mesh_1d = scc.core.make_data_mesh()
+        model = scc.models.AEC()
+
+        def run(mesh):
+            data = scc.train.make_batched_data(x, batch_size=64, mesh=mesh)
+            state = scc.train.create_train_state(
+                model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+            )
+            out = scc.train.train_aec(
+                model, state, data, None,
+                scc.train.AECConfig(n_epochs=2, early_stopping=False),
+            )
+            return out["history"]["train"]
+
+        np.testing.assert_allclose(run(mesh_1d), run(mesh_2d), rtol=1e-4)
+
+    def test_rejects_uneven_slices(self):
+        with pytest.raises(ValueError, match="do not split"):
+            scc.core.make_multislice_mesh(3)
