@@ -76,3 +76,77 @@ def test_resume_matches_uninterrupted(tmp_path, setup):
         ),
         resumed["state"].params, full["state"].params,
     )
+
+
+def test_snapshot_overwrites_stale_tmp(tmp_path, setup):
+    """A crash mid-save leaves SNAPSHOT.tmp; the next save must recover."""
+    model, data, fresh_state = setup
+    state = fresh_state()
+    path = str(tmp_path / "snap")
+    # simulate an interrupted writer
+    os.makedirs(path + ".tmp")
+    with open(os.path.join(path + ".tmp", "garbage"), "w") as f:
+        f.write("partial")
+    ckpt.save_snapshot(path, state, {"epoch": 2})
+    restored, meta, _ = ckpt.restore_snapshot(path, fresh_state())
+    assert meta["epoch"] == 2
+    assert not os.path.exists(path + ".tmp")
+
+
+def test_sigkill_preemption_then_resume(tmp_path):
+    """Real process death between epochs; resume continues from the
+    snapshot (the reference restarts from scratch, SURVEY.md §5)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    snap = str(tmp_path / "snap")
+    script = textwrap.dedent(f"""
+        import os
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp, numpy as np
+        import spectrogram_cube_clustering_tpu as scc
+
+        x, _ = scc.data.synthetic_windows(64, n_classes=3, seed=2)
+        x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+        model = scc.models.AEC()
+        data = scc.train.make_batched_data(x, batch_size=32)
+        state = scc.train.create_train_state(
+            model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+        )
+
+        def die_after_2(tag, value, step):
+            if step == 2 and tag == "Validation MSE":
+                os._exit(137)   # simulated preemption
+
+        scc.train.train_aec(
+            model, state, data, None,
+            scc.train.AECConfig(n_epochs=5, early_stopping=False),
+            log_scalar=die_after_2,
+            snapshot_path={snap!r}, snapshot_every=1,
+        )
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, cwd="/root/repo"
+    )
+    assert proc.returncode == 137, proc.stderr.decode()[-500:]
+    assert os.path.exists(snap)
+
+    # resume in-process to completion
+    import jax
+    import jax.numpy as jnp
+
+    x, _ = scc.data.synthetic_windows(64, n_classes=3, seed=2)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    model = scc.models.AEC()
+    data = scc.train.make_batched_data(x, batch_size=32)
+    state = scc.train.create_train_state(
+        model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+    )
+    out = scc.train.train_aec(
+        model, state, data, None,
+        scc.train.AECConfig(n_epochs=5, early_stopping=False),
+        snapshot_path=snap, resume=True,
+    )
+    assert out["history"]["epoch"] == [1, 2, 3, 4, 5]
