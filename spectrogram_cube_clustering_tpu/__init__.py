@@ -21,11 +21,13 @@ models    : flax.linen network definitions (Encoder/Decoder/AEC/DEC/UNet)
 cluster   : on-device k-means, GMM-EM, metrics, t-SNE
 data      : Zarr cube + HDF5 catalog readers, synthetic data, prefetching
 train     : jit-compiled train steps, loops, checkpointing
-parallel  : sharding helpers and collectives
+signal    : on-device STFT (raw waveform -> spectrogram windows)
+parallel  : halo exchange, sharded STFT, distributed k-means/GMM steps
+native    : C++ runtime components (threaded Zarr chunk decoder)
 workflow  : train/predict/gmm_fit orchestration (reference production.py parity)
-utils     : configuration (.ini), experiment trees, history CSVs
-analysis  : plotting and label/environment catalogues
-cli       : entry points (runDC equivalent + H5 console tools)
+utils     : configuration (.ini), experiment trees, history CSVs, profiling
+analysis  : plotting, label/environment catalogues, seismic preprocessing
+cli       : entry points (runDC equivalent, drivers, H5/cube tools)
 """
 
 __version__ = "0.1.0"
