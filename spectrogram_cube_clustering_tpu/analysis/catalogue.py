@@ -292,9 +292,14 @@ class EnvironmentCatalogue:
             index=pd.date_range("2014-12-01", "2016-12-01", freq="10min"),
         )
         ice = loadmat(os.path.join(path, "Ice", "NSIDC-0051.mat"))
+        # .mat string cells round-trip as nested object arrays
+        dates = [
+            str(np.ravel(d)[0]) if isinstance(d, np.ndarray) else str(d)
+            for d in np.ravel(ice["date"])
+        ]
         df_ice = pd.DataFrame(
             {"sea_ice_conc": ice["C"].squeeze() * 100},
-            index=pd.to_datetime([str(d) for d in np.ravel(ice["date"])]),
+            index=pd.to_datetime(dates),
         )
         df_meteo = read_meteo(os.path.join(path, "Meteo", f"{aws}*.txt"))
         df_energy = read_era5(os.path.join(path, "ERA5", "*ERA5*.csv"))

@@ -202,3 +202,95 @@ class TestFigures:
             )
         fig = plotting.view_detections(path, [0, 2])
         assert fig is not None
+
+
+class TestEnvironmentCatalogue:
+    @pytest.fixture
+    def env_tree(self, tmp_path, rng):
+        """Synthetic environment data tree matching the reference layout
+        (environment.py:33-52)."""
+        from scipy.io import savemat
+
+        root = tmp_path / "env"
+        for sub in ("Tide", "Ice", "Meteo", "ERA5", "Seismo"):
+            (root / sub).mkdir(parents=True)
+        # tide: (stations, T) at 10-min cadence over the deployment
+        n_t = len(pd.date_range("2014-12-01", "2016-12-01", freq="10min"))
+        savemat(
+            str(root / "Tide" / "RIS_Tides.mat"),
+            {"z": rng.normal(size=(34, n_t))},
+        )
+        # sea ice: daily concentration
+        days = pd.date_range("2014-12-01", "2016-11-30", freq="D")
+        savemat(
+            str(root / "Ice" / "NSIDC-0051.mat"),
+            {
+                "C": rng.uniform(0, 1, size=(len(days), 1)),
+                "date": np.array(
+                    [d.strftime("%Y-%m-%d") for d in days], dtype=object
+                ),
+            },
+        )
+        # meteo: AWS-format space-separated file
+        rows = ["Year JulianDay Month Day Time temp x wind_spd"]
+        for d in days[:100]:
+            rows.append(
+                f"{d.year} {d.dayofyear} {d.month:02d} {d.day:02d} "
+                f"{d.strftime('%H%M')} {rng.normal():.1f} 0 "
+                f"{abs(rng.normal()):.1f}"
+            )
+        (root / "Meteo" / "AWS01.txt").write_text("\n".join(rows) + "\n")
+        # ERA5 csv
+        pd.DataFrame(
+            {
+                "time": days[:50],
+                "net_sfc_melt_energy": rng.uniform(0, 5, size=50),
+            }
+        ).to_csv(root / "ERA5" / "SDM_ERA5.csv", index=False)
+        # KPDR wave amplitude .mat with MATLAB datenums
+        dn0 = 735934.0  # ~2014-12-02
+        savemat(
+            str(root / "Seismo" / "KPDR_0.001_0.04.mat"),
+            {
+                "t": dn0 + np.arange(0, 10, 1 / 144.0),
+                "a": rng.uniform(size=1440),
+            },
+        )
+        return str(root)
+
+    def test_build_df(self, env_tree):
+        from spectrogram_cube_clustering_tpu.analysis import (
+            EnvironmentCatalogue,
+        )
+
+        cat = EnvironmentCatalogue("DR02", "AWS01", env_tree)
+        for col in ("tide", "sea_ice_conc", "temp", "wind_spd",
+                    "net_sfc_melt_energy", "wave_ampl"):
+            assert col in cat.df.columns, col
+        assert cat.df["tide"].notna().sum() > 1000
+        # interpolation filled the daily ice series between samples
+        assert cat.df["sea_ice_conc"].notna().sum() > len(
+            cat.df["sea_ice_conc"].dropna().index.normalize().unique()
+        )
+
+    def test_view_series(self, env_tree, tmp_path, rng):
+        from spectrogram_cube_clustering_tpu.analysis import plotting
+
+        n = 50
+        times = pd.date_range("2015-01-01", "2015-06-01", periods=n)
+        det = pd.DataFrame(
+            {
+                "network": "XH", "station": "DR02", "dt_peak": times,
+                "peak": rng.lognormal(size=n), "unit": "m/s",
+                "idx": np.arange(n),
+            }
+        )
+        lab = pd.DataFrame({"label": np.arange(n) % 3})
+        det_path = str(tmp_path / "det.csv")
+        lab_path = str(tmp_path / "lab.csv")
+        det.to_csv(det_path, index=False)
+        lab.to_csv(lab_path, index=False)
+        fig = plotting.view_series(
+            "DR02", "AWS01", env_tree, det_path, lab_path, freq="month"
+        )
+        assert fig is not None and len(fig.axes) >= 2
