@@ -157,3 +157,15 @@ class TestShardedGMM:
         np.testing.assert_allclose(np.asarray(mu8), np.asarray(mud), rtol=2e-3, atol=2e-4)
         np.testing.assert_allclose(np.asarray(cov8), np.asarray(covd), rtol=2e-2, atol=2e-4)
         np.testing.assert_allclose(float(lb8), float(lb), rtol=1e-4)
+
+    def test_pallas_kernel_hop_at_lane_boundary(self, rng):
+        # hop == 128 exactly: no lane padding in the hop-row layout
+        x = rng.normal(size=(12_000,)).astype(np.float32)
+        ref = np.asarray(signal.spectrogram(jnp.asarray(x), nperseg=256, hop=128))
+        got = np.asarray(
+            spectrogram_pallas(
+                jnp.asarray(x), nperseg=256, hop=128, interpret=True,
+                frames_per_block=32,
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-3)
