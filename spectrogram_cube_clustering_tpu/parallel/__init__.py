@@ -20,6 +20,7 @@ from spectrogram_cube_clustering_tpu.parallel.halo import (
 )
 from spectrogram_cube_clustering_tpu.parallel.cluster import (
     sharded_gmm_em_step,
+    sharded_kmeans,
     sharded_kmeans_step,
 )
 
@@ -28,4 +29,5 @@ __all__ = [
     "sharded_spectrogram",
     "sharded_kmeans_step",
     "sharded_gmm_em_step",
+    "sharded_kmeans",
 ]

@@ -36,6 +36,48 @@ def _local_stats(z, centers):
     return labels, sums, counts
 
 
+def sharded_kmeans(
+    z,
+    n_clusters: int,
+    mesh: Mesh,
+    *,
+    n_iter: int = 100,
+    n_init: int = 10,
+    init_subsample: int = 65536,
+    seed: int = 2009,
+):
+    """Full k-means over latents sharded on the data mesh.
+
+    Centers initialize from the best of `n_init` single-device k-means++
+    fits on a seeded `init_subsample` (cheap, replicated), then `n_iter`
+    Lloyd iterations run with psum-reduced sufficient statistics
+    (`sharded_kmeans_step`) so the (M, K) working set never leaves its
+    shard. Returns (labels sharded like z, centers replicated).
+    """
+    import numpy as np
+
+    from spectrogram_cube_clustering_tpu.cluster.kmeans import kmeans
+
+    m = z.shape[0]
+    sub = np.sort(
+        np.random.default_rng(seed).choice(
+            m, min(init_subsample, m), replace=False
+        )
+    )
+    _, centers = kmeans(
+        jnp.asarray(z)[sub], n_clusters, n_init=n_init, max_iter=100,
+        seed=seed,
+    )
+    labels = None
+    for _ in range(n_iter):
+        labels, new_centers = sharded_kmeans_step(z, centers, mesh)
+        if bool(jnp.allclose(new_centers, centers, atol=1e-6)):
+            centers = new_centers
+            break
+        centers = new_centers
+    return labels, centers
+
+
 def sharded_gmm_em_step(z, weights, means, covs, mesh: Mesh, reg_covar=1e-6):
     """One EM iteration over latents sharded on the data mesh.
 

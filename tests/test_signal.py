@@ -169,3 +169,19 @@ class TestShardedGMM:
             )
         )
         np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+class TestShardedKMeansFull:
+    def test_recovers_blobs(self, rng):
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        mesh = make_data_mesh()
+        k, d = 4, 6
+        centers_true = rng.normal(size=(k, d)).astype(np.float32) * 6
+        y = rng.integers(0, k, size=8 * 96)
+        z = centers_true[y] + rng.normal(size=(len(y), d)).astype(np.float32) * 0.3
+        labels, centers = parallel.sharded_kmeans(
+            jnp.asarray(z), k, mesh, n_iter=50, n_init=4, init_subsample=256
+        )
+        assert centers.shape == (k, d)
+        assert nmi(y, np.asarray(labels)) > 0.99
