@@ -19,6 +19,7 @@ from spectrogram_cube_clustering_tpu.parallel.halo import (
     sharded_spectrogram,
 )
 from spectrogram_cube_clustering_tpu.parallel.cluster import (
+    sharded_gmm,
     sharded_gmm_em_step,
     sharded_kmeans,
     sharded_kmeans_step,
@@ -30,4 +31,5 @@ __all__ = [
     "sharded_kmeans_step",
     "sharded_gmm_em_step",
     "sharded_kmeans",
+    "sharded_gmm",
 ]

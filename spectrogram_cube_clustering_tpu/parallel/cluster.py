@@ -78,6 +78,67 @@ def sharded_kmeans(
     return labels, centers
 
 
+def sharded_gmm(
+    z,
+    n_clusters: int,
+    mesh: Mesh,
+    *,
+    max_iter: int = 100,
+    tol: float = 1e-3,
+    n_init: int = 10,
+    seed: int = 2009,
+    reg_covar: float = 1e-6,
+):
+    """Full k-means-initialized GMM over sharded latents (the distributed
+    analog of cluster.gmm / reference models.py:365-413).
+
+    Returns (labels sharded like z, means replicated). Convergence follows
+    sklearn semantics: change in mean log-likelihood < tol.
+    """
+    import numpy as np
+
+    km_labels, centers = sharded_kmeans(
+        z, n_clusters, mesh, n_init=n_init, seed=seed
+    )
+    counts = jnp.bincount(
+        jnp.asarray(km_labels).reshape(-1), length=n_clusters
+    )
+    weights = (counts / counts.sum()).astype(jnp.float32)
+    means = jnp.asarray(centers)
+    d = means.shape[1]
+    covs = jnp.stack([jnp.eye(d, dtype=jnp.float32)] * n_clusters)
+
+    prev_lb = -jnp.inf
+    for _ in range(max_iter):
+        weights, means, covs, lb = sharded_gmm_em_step(
+            z, weights, means, covs, mesh, reg_covar
+        )
+        if bool(jnp.abs(lb - prev_lb) < tol):
+            break
+        prev_lb = lb
+
+    # final responsibilities -> labels, per shard
+    from spectrogram_cube_clustering_tpu.cluster.gmm import (
+        _estimate_log_prob,
+    )
+
+    def assign(z_local, w, mu, cov):
+        logp = _estimate_log_prob(z_local, mu, cov) + jnp.log(w)[None, :]
+        return jnp.argmax(logp, axis=1)
+
+    mapped = jax.shard_map(
+        assign,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(), P(), P()),
+        out_specs=P(DATA_AXIS),
+    )
+    z_sharded = jax.device_put(
+        jnp.asarray(z), NamedSharding(mesh, P(DATA_AXIS))
+    )
+    labels = mapped(z_sharded, weights, means, covs)
+    return labels, means
+
+
 def sharded_gmm_em_step(z, weights, means, covs, mesh: Mesh, reg_covar=1e-6):
     """One EM iteration over latents sharded on the data mesh.
 

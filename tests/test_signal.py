@@ -185,3 +185,22 @@ class TestShardedKMeansFull:
         )
         assert centers.shape == (k, d)
         assert nmi(y, np.asarray(labels)) > 0.99
+
+    def test_sharded_gmm_recovers_blobs(self, rng):
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        mesh = make_data_mesh()
+        k, d = 3, 5
+        centers_true = rng.normal(size=(k, d)).astype(np.float32) * 6
+        y = rng.integers(0, k, size=8 * 80)
+        z = centers_true[y] + rng.normal(size=(len(y), d)).astype(np.float32) * 0.3
+        labels, means = parallel.sharded_gmm(
+            jnp.asarray(z), k, mesh, n_init=4, max_iter=30
+        )
+        assert means.shape == (k, d)
+        assert nmi(y, np.asarray(labels)) > 0.99
+        # distributed result matches single-device gmm clustering
+        from spectrogram_cube_clustering_tpu import cluster as _cluster
+
+        labels_1, _ = _cluster.gmm(z, k, n_init=4, kmeans_max_iter=100)
+        assert nmi(np.asarray(labels_1), np.asarray(labels)) > 0.99
