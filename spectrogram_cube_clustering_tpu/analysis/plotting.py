@@ -529,3 +529,40 @@ def plotter_async(figs: dict, base_dir: str, epoch=None):
     )
     t.start()
     return t
+
+
+def compare_images(x, x_rec, idx: int = 0, show: bool = False):
+    """Original vs reconstruction pair with a difference panel (reference
+    compare_images, plotting.py:525-559)."""
+    a = _to_hw(np.asarray(x)[idx] if np.asarray(x).ndim == 4 else x)
+    b = _to_hw(np.asarray(x_rec)[idx] if np.asarray(x_rec).ndim == 4 else x_rec)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3))
+    _img(axes[0], a)
+    axes[0].set_title("Original")
+    _img(axes[1], b)
+    axes[1].set_title("Reconstruction")
+    _img(axes[2], a - b, cmap="coolwarm")
+    axes[2].set_title("Difference")
+    return _finish(fig, show)
+
+
+def centroid_distances(z, labels, centroids, p: int = 2, show: bool = False):
+    """Mean within-class distance to each centroid as a bar chart
+    (reference centroid_distances, plotting.py:287-303)."""
+    z = np.asarray(z)
+    labels = np.asarray(labels)
+    centroids = np.asarray(centroids)
+    k = len(centroids)
+    means = []
+    for j in range(k):
+        sel = labels == j
+        means.append(
+            float(np.linalg.norm(z[sel] - centroids[j], ord=p, axis=1).mean())
+            if np.any(sel) else 0.0
+        )
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.bar(np.arange(1, k + 1), means, color=cmap_lifeaquatic(k))
+    ax.set_xlabel("Class")
+    ax.set_ylabel(f"Mean L{p} distance to centroid")
+    ax.set_title("Centroid Distances")
+    return _finish(fig, show)

@@ -294,3 +294,12 @@ class TestEnvironmentCatalogue:
             "DR02", "AWS01", env_tree, det_path, lab_path, freq="month"
         )
         assert fig is not None and len(fig.axes) >= 2
+
+
+def test_remaining_figure_variants(rng):
+    x = rng.normal(size=(5, 4, 101, 1)).astype(np.float32)
+    z = rng.normal(size=(30, 9)).astype(np.float32)
+    labels = rng.integers(0, 3, size=30)
+    centroids = rng.normal(size=(3, 9)).astype(np.float32)
+    assert plotting.compare_images(x, x, idx=1) is not None
+    assert plotting.centroid_distances(z, labels, centroids) is not None
