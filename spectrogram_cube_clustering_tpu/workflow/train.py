@@ -321,7 +321,25 @@ def _train_aec_run(config, hp, tra_x, val_x, mesh):
     )
     final_path = os.path.join(config.savepath_run, "AEC_Params_Final")
     save(final_path, out["final_params"])
+
+    # final reconstruction panel (the reference's TB figure hook is
+    # commented out, models.py:810-841; here it lands in the run dir)
+    from spectrogram_cube_clustering_tpu.analysis import plotting
+
+    n_show = min(4, len(tra_x))
+    xr, _ = model.apply(
+        {"params": out["final_params"]}, jnp.asarray(tra_x[:n_show])
+    )
+    fig = plotting.view_specgram_training(
+        tra_x[:n_show], np.asarray(xr), n_samples=n_show,
+        figtitle=f"AEC reconstructions (epoch {out['last_epoch']})",
+    )
+    fig.savefig(
+        os.path.join(config.savepath_run, "AEC_reconstructions.png"),
+        dpi=200, facecolor="w",
+    )
     if writer is not None:
+        writer.add_figure("Reconstructions", fig)
         # breadcrumb (reference models.py:924)
         writer.add_text("Path to Saved Weights", final_path)
         writer.close()
