@@ -200,3 +200,37 @@ def test_stream_loadmode_predict(cube):
     )
     res2 = workflow.predict(config2)
     np.testing.assert_allclose(res["z"], res2["z"], atol=1e-5)
+
+
+def test_dec_figure_snapshots(cube):
+    """figures=True triggers the every-4-epochs snapshot figure set
+    (reference models.py:1166-1192)."""
+    root, cube_path, _ = cube
+    # reuse any AEC weights from an earlier quick train
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 2, "early_stopping": "False"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [aec] = workflow.train(config)
+    weights = os.path.join(aec["savepath_run"], "AEC_Params_Final")
+
+    config = _make_config(
+        root, cube_path, "DEC", "train",
+        {"n_epochs": 4, "saved_weights": weights, "init": "kmeans",
+         "km_n_init": 2, "figures": "True", "update_interval": 1},
+        {"batch_size": "64", "lr": "0.0005", "n_clusters": "3",
+         "gamma": "0.001", "tol": "0.0"},
+    )
+    [out] = workflow.train(config)
+    import time
+
+    deadline = time.time() + 60  # figures save on a background thread
+    wanted = [
+        os.path.join(out["savepath_run"], name, f"{name}_004.png")
+        for name in ("T-SNE", "Gallery", "LatentSpace", "CDF", "PDF")
+    ]
+    while not all(os.path.exists(w) for w in wanted) and time.time() < deadline:
+        time.sleep(0.5)
+    for w in wanted:
+        assert os.path.exists(w), w
