@@ -112,3 +112,17 @@ def build_cube(argv: Optional[list] = None) -> None:
     print(
         f"Wrote cube {cube.shape} (frames, channels, freq) to {args.dest}"
     )
+
+
+def convert_torch_checkpoint(argv: Optional[list] = None) -> None:
+    """Convert a trained reference `.pt` checkpoint to an orbax directory
+    usable as `saved_weights` by this framework (utils.torch_port)."""
+    from spectrogram_cube_clustering_tpu.utils import torch_port
+
+    parser = argparse.ArgumentParser(description=convert_torch_checkpoint.__doc__)
+    parser.add_argument("pt_path", help="path to the .pt state_dict")
+    parser.add_argument("out_dir", help="output orbax checkpoint directory")
+    parser.add_argument("--model", choices=["auto", "AEC", "DEC"], default="auto")
+    args = parser.parse_args(argv)
+    out = torch_port.convert_checkpoint(args.pt_path, args.out_dir, args.model)
+    print(f"Converted to {out}")

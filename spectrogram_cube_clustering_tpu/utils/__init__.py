@@ -19,6 +19,7 @@ from spectrogram_cube_clustering_tpu.utils.mathutils import (
     measure_label_change,
 )
 from spectrogram_cube_clustering_tpu.utils import profiling
+from spectrogram_cube_clustering_tpu.utils import torch_port
 
 __all__ = [
     "Configuration",
@@ -34,4 +35,5 @@ __all__ = [
     "measure_class_inertia",
     "measure_label_change",
     "profiling",
+    "torch_port",
 ]

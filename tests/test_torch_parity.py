@@ -248,3 +248,58 @@ def test_unet_parity(data):
     np.testing.assert_allclose(
         np.asarray(f_out)[..., 0], t_out.numpy()[:, 0], rtol=1e-3, atol=1e-4
     )
+
+
+def test_torch_checkpoint_port(tmp_path, data):
+    """A trained reference .pt checkpoint round-trips into flax params
+    with identical outputs (the migration path for reference users)."""
+    from collections import OrderedDict
+
+    from spectrogram_cube_clustering_tpu.utils import torch_port
+
+    enc = TorchRefEncoder().eval()
+    dec = TorchRefDecoder().eval()
+    with torch.no_grad():
+        t_z = enc(torch.from_numpy(data))
+        t_xr = dec(t_z)
+    centroids = torch.randn(5, 9, dtype=torch.float32)
+
+    # assemble a state_dict with the REFERENCE's key names
+    # (networks.py:172-214, 251-323)
+    sd = OrderedDict()
+    for n, i in zip((0, 2, 4), (0, 1, 2)):
+        sd[f"encoder.encoder.{n}.weight"] = enc.convs[i].weight
+        sd[f"encoder.encoder.{n}.bias"] = enc.convs[i].bias
+    sd["encoder.encoder.6.conv.weight"] = enc.att_conv.weight
+    sd["encoder.encoder.8.weight"] = enc.fc.weight
+    sd["encoder.encoder.8.bias"] = enc.fc.bias
+    sd["decoder.decoder.0.weight"] = dec.fc.weight
+    sd["decoder.decoder.0.bias"] = dec.fc.bias
+    for n, ct in zip((3, 5, 7, 9), (dec.ct0, dec.ct1, dec.ct2, dec.ct3)):
+        sd[f"decoder.decoder.{n}.weight"] = ct.weight
+        if ct.bias is not None:
+            sd[f"decoder.decoder.{n}.bias"] = ct.bias
+    sd["clustering.weights"] = centroids
+
+    pt = str(tmp_path / "DEC_Params_Final.pt")
+    torch.save(sd, pt)
+
+    out_dir = str(tmp_path / "ported")
+    torch_port.convert_checkpoint(pt, out_dir)  # auto-detects DEC
+
+    from spectrogram_cube_clustering_tpu.train.checkpoint import restore
+
+    dec_model = models.DEC(n_clusters=5)
+    x = jnp.asarray(data.transpose(0, 2, 3, 1))
+    template = dec_model.init(jax.random.key(0), x)["params"]
+    params = restore(out_dir, template)
+
+    with jax.default_matmul_precision("float32"):
+        q, xr, z = dec_model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(z), t_z.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(xr)[..., 0], t_xr.numpy()[:, 0], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["centroids"]), centroids.numpy(), rtol=1e-6
+    )
