@@ -12,6 +12,7 @@ from spectrogram_cube_clustering_tpu.cli.tools import (
 from spectrogram_cube_clustering_tpu.cli.drivers import (
     aec_predict,
     aec_train,
+    dec_predict,
     dec_train,
     gmm_centroids,
 )
@@ -19,5 +20,5 @@ from spectrogram_cube_clustering_tpu.cli.drivers import (
 __all__ = [
     "run_dc", "query_h5size", "extract_h5dataset", "generate_sample_index",
     "convert_h5_to_np", "build_cube", "convert_torch_checkpoint", "aec_train", "aec_predict", "gmm_centroids",
-    "dec_train",
+    "dec_train", "dec_predict",
 ]

@@ -159,3 +159,23 @@ def dec_train(argv: Optional[list] = None) -> None:
             "tol": args.tol,
         },
     )
+
+
+def dec_predict(argv: Optional[list] = None) -> None:
+    """DEC full-catalog inference: q/Z/Xr/labels/centroids artifacts +
+    metrics + figures (reference production.predict for model=DEC)."""
+    parser = argparse.ArgumentParser(description=dec_predict.__doc__)
+    _common(parser)
+    parser.add_argument(
+        "weights",
+        help="path to DEC_Params_Final (run dir name carries Clusters=K)",
+    )
+    parser.add_argument("--silh-max-samples", type=int, default=None)
+    args = parser.parse_args(argv)
+    params = {
+        "model": "DEC", "mode": "predict", "saved_weights": args.weights,
+        "tb": "False", "show": str(args.verbose),
+    }
+    if args.silh_max_samples:
+        params["silh_max_samples"] = args.silh_max_samples
+    _run(_universal(args), params, None)
