@@ -59,6 +59,11 @@ def sharded_kmeans(
     from spectrogram_cube_clustering_tpu.cluster.kmeans import kmeans
 
     m = z.shape[0]
+    if m % mesh.devices.size != 0:
+        raise ValueError(
+            f"{m} samples do not shard evenly over the "
+            f"{mesh.devices.size}-device mesh; pad or trim first"
+        )
     sub = np.sort(
         np.random.default_rng(seed).choice(
             m, min(init_subsample, m), replace=False

@@ -25,8 +25,12 @@ from spectrogram_cube_clustering_tpu.analysis import plotting
 from spectrogram_cube_clustering_tpu.workflow.data import load_data
 
 
-def gmm_fit(config, figures: bool = True) -> List[Dict]:
-    """Run the n_clusters sweep. Returns per-run dicts of labels/centroids."""
+def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
+    """Run the n_clusters sweep. Returns per-run dicts of labels/centroids.
+
+    With a `mesh`, the fit runs distributed: latents shard over the data
+    axis and EM sufficient statistics psum-reduce (parallel.sharded_gmm).
+    """
     z = np.asarray(load_data(config), np.float32)
     print(f"Dataset has {len(z)} samples.")
 
@@ -35,12 +39,21 @@ def gmm_fit(config, figures: bool = True) -> List[Dict]:
         print("-" * 80)
         print(f"GMM Run {run_count}/{config.runs}: n_clusters={n_clusters}")
         config.init_output_env(n_clusters=n_clusters)
-        labels, centroids = _cluster.gmm(
-            z, int(n_clusters),
-            n_init=int(getattr(config, "km_n_init", 100)),
-            kmeans_max_iter=int(getattr(config, "km_max_iter", 1000)),
-            seed=int(getattr(config, "seed", 2009) or 2009),
-        )
+        if mesh is not None:
+            from spectrogram_cube_clustering_tpu.parallel import sharded_gmm
+
+            labels, centroids = sharded_gmm(
+                z, int(n_clusters), mesh,
+                n_init=int(getattr(config, "km_n_init", 100)),
+                seed=int(getattr(config, "seed", 2009) or 2009),
+            )
+        else:
+            labels, centroids = _cluster.gmm(
+                z, int(n_clusters),
+                n_init=int(getattr(config, "km_n_init", 100)),
+                kmeans_max_iter=int(getattr(config, "km_max_iter", 1000)),
+                seed=int(getattr(config, "seed", 2009) or 2009),
+            )
         labels = np.asarray(labels)
         centroids = np.asarray(centroids)
 

@@ -234,3 +234,32 @@ def test_dec_figure_snapshots(cube):
         time.sleep(0.5)
     for w in wanted:
         assert os.path.exists(w), w
+
+
+def test_gmm_fit_on_mesh(cube):
+    """gmm_fit with a mesh runs the distributed EM and matches artifacts."""
+    root, cube_path, _ = cube
+    import spectrogram_cube_clustering_tpu as scc
+
+    # need Z_AEC.npy: quick AEC train + predict
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 2, "early_stopping": "False"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [aec] = workflow.train(config)
+    weights = os.path.join(aec["savepath_run"], "AEC_Params_Final")
+    workflow.predict(
+        _make_config(root, cube_path, "AEC", "predict",
+                     {"saved_weights": weights})
+    )
+
+    config = _make_config(
+        root, cube_path, "GMM", "fit",
+        {"saved_weights": weights, "km_n_init": 4, "km_max_iter": 50},
+        {"n_clusters": "3"},
+    )
+    mesh = scc.core.make_data_mesh()
+    [out] = workflow.gmm_fit(config, figures=False, mesh=mesh)
+    assert out["centroids"].shape == (3, 9)
+    assert os.path.exists(os.path.join(out["savepath_run"], "labels.npy"))
