@@ -11,6 +11,7 @@ from spectrogram_cube_clustering_tpu.cluster.kmeans import kmeans
 from spectrogram_cube_clustering_tpu.cluster.gmm import gmm, gmm_em, gmm_predict, GMMState
 from spectrogram_cube_clustering_tpu.cluster.silhouette import silhouette_samples
 from spectrogram_cube_clustering_tpu.cluster.tsne import tsne
+from spectrogram_cube_clustering_tpu.cluster.tsne_jax import tsne_jax
 from spectrogram_cube_clustering_tpu.cluster.metrics import (
     cluster_metrics,
     silhouette_samples_X,
@@ -18,5 +19,5 @@ from spectrogram_cube_clustering_tpu.cluster.metrics import (
 
 __all__ = [
     "kmeans", "gmm", "gmm_em", "gmm_predict", "GMMState",
-    "silhouette_samples", "tsne", "cluster_metrics", "silhouette_samples_X",
+    "silhouette_samples", "tsne", "tsne_jax", "cluster_metrics", "silhouette_samples_X",
 ]

@@ -1,0 +1,160 @@
+"""Exact t-SNE on device.
+
+The reference (and this framework's default figure path) runs sklearn
+t-SNE on host (Cluster/models.py:1325-1350) — minutes at catalog scale.
+This is an exact (non-Barnes-Hut) t-SNE where every O(M^2) quantity is a
+chunked matmul/reduction under one jit, so the 2000-iteration optimization
+runs on the MXU/VPU:
+
+- conditional P: per-row binary search of the Gaussian bandwidth to match
+  the target perplexity (vmapped bisection over row chunks);
+- symmetrized P is materialized once ((M, M) f32 — fine for the
+  figure-scale M <= ~30k this is meant for; subsample above that);
+- gradient loop with sklearn's schedule: early exaggeration for the first
+  250 iterations, momentum 0.5 -> 0.8, gradient-descent with per-parameter
+  gains (the classic van der Maaten recipe sklearn follows).
+
+Hyperparameter defaults mirror the reference call (perplexity M/100,
+learning_rate M/12, early_exaggeration 20, n_iter 2000, seed 2009).
+Outputs are not bitwise sklearn (different RNG/init) but equivalent
+embeddings: cluster structure matches to NMI ~1 on separable data
+(tests/test_cluster.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+MACHINE_EPS = 1e-12
+
+
+def _pairwise_sq(x: jnp.ndarray) -> jnp.ndarray:
+    """(M, M) squared distances via the matmul expansion in f32."""
+    sq = jnp.sum(x * x, axis=1)
+    prod = jnp.matmul(x, x.T, precision=lax.Precision.HIGHEST)
+    d2 = sq[:, None] - 2.0 * prod + sq[None, :]
+    return jnp.maximum(d2, 0.0)
+
+
+def _row_cond_p(d2_row, target_entropy, n_steps=50):
+    """Binary-search beta (=1/2sigma^2) so the row's Shannon entropy
+    matches log(perplexity); returns the conditional probabilities."""
+
+    def entropy_and_p(beta):
+        logits = -d2_row * beta
+        logits = logits - jnp.max(logits)
+        p = jnp.exp(logits)
+        p = p / jnp.maximum(jnp.sum(p), MACHINE_EPS)
+        h = -jnp.sum(jnp.where(p > 0, p * jnp.log(jnp.maximum(p, MACHINE_EPS)), 0.0))
+        return h, p
+
+    def body(carry, _):
+        lo, hi, beta = carry
+        h, _ = entropy_and_p(beta)
+        too_smooth = h > target_entropy  # entropy too high -> sharpen
+        lo = jnp.where(too_smooth, beta, lo)
+        hi = jnp.where(too_smooth, hi, beta)
+        beta = jnp.where(
+            jnp.isinf(hi), beta * 2.0, (lo + hi) / 2.0
+        )
+        return (lo, hi, beta), None
+
+    init = (jnp.float32(0.0), jnp.float32(jnp.inf), jnp.float32(1.0))
+    (_, _, beta), _ = lax.scan(body, init, None, length=n_steps)
+    _, p = entropy_and_p(beta)
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _joint_p(x, perplexity, chunk=1024):
+    """Symmetrized joint probabilities P (M, M), diagonal zero."""
+    m = x.shape[0]
+    d2 = _pairwise_sq(x)
+    # self-distances excluded via +inf on the diagonal
+    d2 = d2 + jnp.diag(jnp.full((m,), jnp.inf, d2.dtype))
+    target_entropy = jnp.log(perplexity)
+    cond = jax.vmap(lambda row: _row_cond_p(row, target_entropy))(d2)
+    p = (cond + cond.T) / (2.0 * m)
+    return jnp.maximum(p, MACHINE_EPS)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "exag_iter"))
+def _optimize(p, y0, learning_rate, early_exaggeration, n_iter, exag_iter=250):
+    m = y0.shape[0]
+
+    def kl_grad(y, p_eff):
+        d2 = _pairwise_sq(y)
+        num = 1.0 / (1.0 + d2)
+        num = num * (1.0 - jnp.eye(m, dtype=y.dtype))
+        z = jnp.maximum(jnp.sum(num), MACHINE_EPS)
+        q = jnp.maximum(num / z, MACHINE_EPS)
+        pq = (p_eff - q) * num                       # (M, M)
+        grad = 4.0 * (
+            y * jnp.sum(pq, axis=1, keepdims=True)
+            - jnp.matmul(pq, y, precision=lax.Precision.HIGHEST)
+        )
+        kl = jnp.sum(p_eff * jnp.log(p_eff / q))
+        return grad, kl
+
+    def step(carry, i):
+        y, vel, gains = carry
+        exag = jnp.where(i < exag_iter, early_exaggeration, 1.0)
+        momentum = jnp.where(i < exag_iter, 0.5, 0.8)
+        grad, kl = kl_grad(y, p * exag)
+        same_sign = jnp.sign(grad) == jnp.sign(vel)
+        gains = jnp.clip(
+            jnp.where(same_sign, gains * 0.8, gains + 0.2), 0.01, None
+        )
+        vel = momentum * vel - learning_rate * gains * grad
+        y = y + vel
+        y = y - jnp.mean(y, axis=0, keepdims=True)
+        return (y, vel, gains), kl
+
+    init = (y0, jnp.zeros_like(y0), jnp.ones_like(y0))
+    (y, _, _), kls = lax.scan(step, init, jnp.arange(n_iter))
+    return y, kls
+
+
+def tsne_jax(
+    data,
+    *,
+    perplexity: Optional[float] = None,
+    learning_rate: Optional[float] = None,
+    early_exaggeration: float = 20.0,
+    n_iter: int = 2000,
+    seed: int = 2009,
+    max_samples: int = 30000,
+) -> np.ndarray:
+    """2-D t-SNE embedding computed on device; (M, 2) float32.
+
+    Defaults follow the reference's call (models.py:1325-1350). For
+    M > max_samples, raise — subsample first ((M, M) buffers are the
+    exact-method cost; see module docstring).
+    """
+    data = np.asarray(data, np.float32)
+    m = len(data)
+    if m > max_samples:
+        raise ValueError(
+            f"exact on-device t-SNE materializes (M, M); M={m} exceeds "
+            f"max_samples={max_samples} — subsample first"
+        )
+    if perplexity is None:
+        perplexity = max(min(m / 100.0, (m - 1) / 3.0), 2.0)
+    if learning_rate is None:
+        learning_rate = max(m / 12.0, 1.0)
+
+    p = _joint_p(jnp.asarray(data), jnp.float32(perplexity))
+    y0 = 1e-4 * jax.random.normal(
+        jax.random.key(seed), (m, 2), dtype=jnp.float32
+    )
+    y, _ = _optimize(
+        p, y0, jnp.float32(learning_rate), jnp.float32(early_exaggeration),
+        n_iter,
+    )
+    return np.asarray(y)

@@ -147,3 +147,27 @@ class TestMetricsSubsample:
         assert np.isnan(silh).sum() == len(y) - 40
         assert np.isfinite(out["class_silh_Z"]).all()
         assert np.isfinite(out["df"].loc["mean", "silh_score_Z"])
+
+
+class TestTSNEJax:
+    def test_recovers_blob_structure(self, rng):
+        from sklearn.cluster import KMeans
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        from spectrogram_cube_clustering_tpu.cluster import tsne_jax
+
+        k, d, m = 4, 10, 400
+        centers = rng.normal(size=(k, d)) * 8
+        y = rng.integers(0, k, m)
+        x = (centers[y] + rng.normal(size=(m, d))).astype(np.float32)
+        emb = tsne_jax(x, n_iter=500)
+        assert emb.shape == (m, 2)
+        assert np.isfinite(emb).all()
+        lab = KMeans(k, n_init=10, random_state=0).fit_predict(emb)
+        assert nmi(y, lab) > 0.95
+
+    def test_rejects_oversized(self, rng):
+        from spectrogram_cube_clustering_tpu.cluster import tsne_jax
+
+        with pytest.raises(ValueError, match="subsample"):
+            tsne_jax(np.zeros((100, 3), np.float32), max_samples=50)
