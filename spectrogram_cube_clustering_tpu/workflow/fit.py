@@ -25,6 +25,14 @@ from spectrogram_cube_clustering_tpu.analysis import plotting
 from spectrogram_cube_clustering_tpu.workflow.data import load_data
 
 
+def _tsne(config, z):
+    """t-SNE via the configured backend: 'sklearn' (default, reference
+    parity) or 'jax' (on-device exact, ~30x faster)."""
+    if getattr(config, "tsne_backend", None) == "jax":
+        return _cluster.tsne_jax(z, seed=int(getattr(config, "seed", 2009) or 2009))
+    return _cluster.tsne(z)
+
+
 def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
     """Run the n_clusters sweep. Returns per-run dicts of labels/centroids.
 
@@ -65,7 +73,7 @@ def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
         np.save(os.path.join(config.savepath_run, "centroids"), centroids)
 
         if figures:
-            tsne_results = _cluster.tsne(z)
+            tsne_results = _tsne(config, z)
             fig = plotting.view_tsne(tsne_results, labels, "GMM")
             fig.savefig(
                 os.path.join(config.savepath_run, "t-SNE.png"),

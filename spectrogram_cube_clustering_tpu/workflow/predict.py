@@ -221,7 +221,9 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
             )
             for name in ("T-SNE", "Gallery", "LatentSpace", "CDF", "PDF"):
                 os.makedirs(os.path.join(savepath, name), exist_ok=True)
-            tsne_results = _cluster.tsne(z_np)
+            from spectrogram_cube_clustering_tpu.workflow.fit import _tsne
+
+            tsne_results = _tsne(config, z_np)
             plotting.view_tsne(tsne_results, labels_np, "DEC").savefig(
                 os.path.join(savepath, "T-SNE", "t-SNE.png"), dpi=300,
                 facecolor="w",
