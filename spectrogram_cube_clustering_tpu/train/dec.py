@@ -338,8 +338,20 @@ def train_dec(
     log_scalar: Optional[Callable[[str, float, int], None]] = None,
     snapshot_cb: Optional[Callable] = None,
     snapshot_every: int = 4,
+    snapshot_path: Optional[str] = None,
+    resume: bool = False,
 ) -> Dict:
-    """Run DEC refinement. Returns final state, histories, labels, deltas."""
+    """Run DEC refinement. Returns final state, histories, labels, deltas.
+
+    With `snapshot_path`, a full snapshot (train state + target
+    distribution + previous labels + loop metadata) is written each epoch;
+    `resume=True` continues a preempted run at epoch granularity (the
+    reference restarts DEC from scratch, SURVEY.md §5).
+    """
+    import os
+
+    from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
+
     m = data.n_samples
     nb = data.n_batches
     bsz = data.batch_size
@@ -349,18 +361,36 @@ def train_dec(
         update_interval = int(np.ceil(m / (bsz * config.update_interval)))
     update_interval = max(update_interval, 1)
 
-    labels_prev, centroids = initialize_clusters(
-        model, state.params, data, config, initial
-    )
-    state = state.replace(
-        params=replace_centroids(state.params, jnp.asarray(centroids))
-    )
-    initial_params = jax.tree.map(lambda a: a, state.params)
+    start_epoch = 0
+    resumed_meta = None
+    if resume and snapshot_path is not None and os.path.exists(snapshot_path):
+        # skip cluster init + initial eval entirely: the snapshot carries
+        # the live target distribution and previous labels
+        extra_tpl = {
+            "p_all": jnp.zeros((nb, bsz, config.n_clusters), jnp.float32),
+            "labels_prev": jnp.zeros((m,), jnp.int32),
+        }
+        state, resumed_meta, extra = ckpt.restore_snapshot(
+            snapshot_path, state, extra_template=extra_tpl
+        )
+        start_epoch = resumed_meta["epoch"]
+        p_all = jnp.asarray(extra["p_all"])
+        labels_prev = jnp.asarray(extra["labels_prev"])
+        initial_params = jax.tree.map(lambda a: a, state.params)
+        z0 = None
+    else:
+        labels_prev, centroids = initialize_clusters(
+            model, state.params, data, config, initial
+        )
+        state = state.replace(
+            params=replace_centroids(state.params, jnp.asarray(centroids))
+        )
+        initial_params = jax.tree.map(lambda a: a, state.params)
 
-    q, _, z0 = full_eval(model, state.params, data)
-    p = target_distribution(q)
-    p_all = _pad_p(p, nb, bsz)
-    labels_prev = jnp.asarray(labels_prev)
+        q, _, z0 = full_eval(model, state.params, data)
+        p = target_distribution(q)
+        p_all = _pad_p(p, nb, bsz)
+        labels_prev = jnp.asarray(labels_prev)
 
     segment_fns = {}
 
@@ -377,10 +407,14 @@ def train_dec(
     deltas: Dict[str, List[float]] = {"iteration": [], "delta": []}
 
     n_iter = 1
+    if resumed_meta is not None:
+        history = resumed_meta["history"]
+        deltas = resumed_meta["deltas"]
+        n_iter = resumed_meta["n_iter"]
     running = np.zeros(4)  # loss, rec, clust, size (epoch-accumulated)
     finished = False
-    epoch = -1
-    for epoch in range(config.n_epochs):
+    epoch = start_epoch - 1
+    for epoch in range(start_epoch, config.n_epochs):
         running[:] = 0.0
         batch_num = 0
         while batch_num < nb:
@@ -437,6 +471,13 @@ def train_dec(
                 epoch + 1, np.asarray(labels_s), np.asarray(z_s),
                 np.asarray(state.params["centroids"]),
             )
+        if snapshot_path is not None and not finished:
+            ckpt.save_snapshot(
+                snapshot_path, state,
+                {"epoch": epoch + 1, "history": history, "deltas": deltas,
+                 "n_iter": n_iter},
+                extra={"p_all": p_all, "labels_prev": labels_prev},
+            )
         if finished:
             break
 
@@ -450,5 +491,5 @@ def train_dec(
         "centroids": np.asarray(state.params["centroids"]),
         "stopped_early": finished,
         "last_epoch": epoch + 1,
-        "z_initial": np.asarray(z0),
+        "z_initial": np.asarray(z0) if z0 is not None else None,
     }

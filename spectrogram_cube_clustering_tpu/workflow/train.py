@@ -404,6 +404,8 @@ def _train_dec_run(config, hp, tra_x, mesh):
         initial=initial,
         log_scalar=log_scalar,
         snapshot_cb=snapshot_cb,
+        snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
+        resume=bool(getattr(config, "resume", False)),
     )
     save(
         os.path.join(config.savepath_run, "DEC_Params_Initial"),

@@ -150,3 +150,42 @@ def test_sigkill_preemption_then_resume(tmp_path):
         snapshot_path=snap, resume=True,
     )
     assert out["history"]["epoch"] == [1, 2, 3, 4, 5]
+
+
+def test_dec_resume_matches_uninterrupted(tmp_path, rng):
+    """DEC epoch-granular resume continues the run with the snapshotted
+    target distribution and labels."""
+    x, _ = scc.data.synthetic_windows(128, n_classes=3, seed=9)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    model = scc.models.DEC(n_clusters=3)
+    data = scc.train.make_batched_data(x, batch_size=32)
+
+    def fresh():
+        return scc.train.create_train_state(
+            model, jax.random.key(3), jnp.asarray(x[:2]), lr=5e-4
+        )
+
+    cfg6 = scc.train.DECConfig(
+        n_clusters=3, n_epochs=6, tol=0.0, init="kmeans",
+        kmeans_n_init=2, kmeans_max_iter=20,
+    )
+    full = scc.train.train_dec(model, fresh(), data, cfg6)
+
+    snap = str(tmp_path / "dsnap")
+    cfg3 = scc.train.DECConfig(
+        n_clusters=3, n_epochs=3, tol=0.0, init="kmeans",
+        kmeans_n_init=2, kmeans_max_iter=20,
+    )
+    scc.train.train_dec(model, fresh(), data, cfg3, snapshot_path=snap)
+    assert os.path.exists(snap)
+    resumed = scc.train.train_dec(
+        model, fresh(), data, cfg6, snapshot_path=snap, resume=True
+    )
+    assert resumed["last_epoch"] == 6
+    np.testing.assert_array_equal(resumed["labels"], full["labels"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        resumed["state"].params, full["state"].params,
+    )
