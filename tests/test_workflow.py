@@ -263,3 +263,35 @@ def test_gmm_fit_on_mesh(cube):
     [out] = workflow.gmm_fit(config, figures=False, mesh=mesh)
     assert out["centroids"].shape == (3, 9)
     assert os.path.exists(os.path.join(out["savepath_run"], "labels.npy"))
+
+
+def test_unet_arch_workflow(cube):
+    """arch=UNet trains and predicts end-to-end (16-d latent); the DEC
+    stage intentionally rejects UNet weights (SURVEY.md §2.3 defect 2)."""
+    root, cube_path, _ = cube
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 2, "early_stopping": "False", "arch": "UNet"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [out] = workflow.train(config)
+    assert out["history"]["train"][-1] < out["history"]["train"][0] * 1.5
+    weights = os.path.join(out["savepath_run"], "AEC_Params_Final")
+
+    config = _make_config(
+        root, cube_path, "AEC", "predict",
+        {"saved_weights": weights, "arch": "UNet"},
+    )
+    res = workflow.predict(config)
+    assert res["z"].shape[1] == 16  # UNet bottleneck latent
+
+    # DEC must refuse to inherit UNet weights with a clear error
+    config = _make_config(
+        root, cube_path, "DEC", "train",
+        {"n_epochs": 1, "saved_weights": weights, "init": "rand",
+         "arch": "UNet"},
+        {"batch_size": "64", "lr": "0.001", "n_clusters": "3",
+         "gamma": "0.001", "tol": "0.0"},
+    )
+    with pytest.raises(ValueError, match="arch must be 'AEC'"):
+        workflow.train(config)
