@@ -390,7 +390,8 @@ def train_dec(
         q, _, z0 = full_eval(model, state.params, data)
         p = target_distribution(q)
         p_all = _pad_p(p, nb, bsz)
-        labels_prev = jnp.asarray(labels_prev)
+        # int32 for snapshot-template stability (np.load'ed labels are int64)
+        labels_prev = jnp.asarray(labels_prev, jnp.int32)
 
     segment_fns = {}
 
