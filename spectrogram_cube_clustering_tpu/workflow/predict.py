@@ -150,6 +150,27 @@ def _predict_stream(config, figures: bool) -> Dict:
             savepath, labels_np[sel],
             _to_nchw_np(jnp.asarray(x_sub)), z_np[sel], save=True,
         )
+        if figures:
+            # figure families on the same metrics subsample
+            from spectrogram_cube_clustering_tpu.workflow.fit import _tsne
+
+            k = int(config.n_clusters)
+            figs = plotting.analyze_dec(
+                x_sub, z_np[sel], z_np[sel], labels_np[sel], labels_np[sel],
+                centroids_np, centroids_np, _tsne(config, z_np[sel]),
+            )
+            plotting.save_figures(figs, savepath)
+            for scores, name in (
+                (metrics["silh_scores_Z"], "silh_score_Z"),
+                (metrics["silh_scores_X"], "silh_score_X"),
+            ):
+                fig = plotting.view_silhscore(
+                    scores, labels_np[sel], k, config.model
+                )
+                fig.savefig(
+                    os.path.join(savepath, f"{name}.png"), dpi=300,
+                    facecolor="w",
+                )
         return {
             "q": q_np, "z": z_np, "labels": labels_np,
             "centroids": centroids_np, "metrics": metrics,

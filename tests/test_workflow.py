@@ -303,3 +303,38 @@ def test_unet_arch_workflow(cube):
     )
     with pytest.raises(ValueError, match="arch must be 'AEC'"):
         workflow.train(config)
+
+
+def test_stream_dec_predict_with_figures(cube):
+    """Streaming DEC predict generates subsample metrics and figures."""
+    root, cube_path, _ = cube
+    # quick AEC -> DEC weights
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 2, "early_stopping": "False"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [aec] = workflow.train(config)
+    weights = os.path.join(aec["savepath_run"], "AEC_Params_Final")
+    config = _make_config(
+        root, cube_path, "DEC", "train",
+        {"n_epochs": 1, "saved_weights": weights, "init": "kmeans",
+         "km_n_init": 2},
+        {"batch_size": "64", "lr": "0.001", "n_clusters": "3",
+         "gamma": "0.001", "tol": "0.0"},
+    )
+    [dec] = workflow.train(config)
+    dec_weights = os.path.join(dec["savepath_run"], "DEC_Params_Final")
+
+    config = _make_config(
+        root, cube_path, "DEC", "predict",
+        {"saved_weights": dec_weights, "loadmode": "stream",
+         "workers": "2", "silh_max_samples": 100},
+    )
+    res = workflow.predict(config)
+    pred = config.savepath_exp
+    for f in ("q_DEC.npy", "labels_DEC.npy", "cluster_performance.csv",
+              "silh_score_Z.png"):
+        assert os.path.exists(os.path.join(pred, f)), f
+    assert os.path.isdir(os.path.join(pred, "T-SNE"))
+    assert res["labels"].shape[0] == 384
