@@ -221,6 +221,8 @@ def train_dec_stream(
     m_total: int,
     config: DECConfig,
     initial: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    snapshot_path: Optional[str] = None,
+    resume: bool = False,
 ) -> Dict:
     """DEC refinement over a streaming loader (windows exceed HBM).
 
@@ -228,9 +230,31 @@ def train_dec_stream(
     order each epoch (the stale-p slicing, like the reference, requires
     deterministic unshuffled iteration — models.py:1113-1114). Semantics
     match `train_dec`; throughput trades the fused segment scan for
-    IO overlap.
+    IO overlap. `snapshot_path`/`resume` give epoch-granular preemption
+    recovery like the scan path.
     """
+    import os
+
+    from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
+
     train_step, eval_step = make_stream_fns(model, config.gamma)
+
+    if resume and snapshot_path is not None and os.path.exists(snapshot_path):
+        extra_tpl = {
+            "p": jnp.zeros((m_total, config.n_clusters), jnp.float32),
+            "labels_prev": jnp.zeros((m_total,), jnp.int32),
+        }
+        state, meta, extra = ckpt.restore_snapshot(
+            snapshot_path, state, extra_template=extra_tpl
+        )
+        return _train_dec_stream_loop(
+            model, state, make_loader, m_total, config,
+            np.asarray(extra["labels_prev"]), np.asarray(extra["p"]),
+            start_epoch=meta["epoch"], history=meta["history"],
+            deltas=meta["deltas"], n_iter=meta["n_iter"],
+            snapshot_path=snapshot_path,
+            train_step=train_step, eval_step=eval_step,
+        )
 
     # cluster init on streamed latents
     if config.init == "load":
@@ -260,14 +284,31 @@ def train_dec_stream(
     q, _, _ = full_eval_stream(eval_step, state.params, make_loader, m_total)
     p = np.asarray(target_distribution(jnp.asarray(q)))
 
-    history = {"iteration": [], "reconstruction": [], "clustering": [], "total": []}
-    deltas = {"iteration": [], "delta": []}
-    n_iter = 1
+    return _train_dec_stream_loop(
+        model, state, make_loader, m_total, config,
+        np.asarray(labels_prev, np.int32), p,
+        start_epoch=0,
+        history={"iteration": [], "reconstruction": [], "clustering": [],
+                 "total": []},
+        deltas={"iteration": [], "delta": []},
+        n_iter=1,
+        snapshot_path=snapshot_path,
+        train_step=train_step, eval_step=eval_step,
+    )
+
+
+def _train_dec_stream_loop(
+    model, state, make_loader, m_total, config, labels_prev, p,
+    *, start_epoch, history, deltas, n_iter, snapshot_path,
+    train_step, eval_step,
+) -> Dict:
+    from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
+
     finished = False
-    epoch = -1
+    epoch = start_epoch - 1
 
     # batches per refresh (reference models.py:986-989 semantics)
-    for epoch in range(config.n_epochs):
+    for epoch in range(start_epoch, config.n_epochs):
         batch_num = 0
         offset = 0
         running = np.zeros(4)
@@ -315,6 +356,16 @@ def train_dec_stream(
             history["total"].append(accum[0])
             history["reconstruction"].append(accum[1])
             history["clustering"].append(accum[2])
+        if snapshot_path is not None and not finished:
+            ckpt.save_snapshot(
+                snapshot_path, state,
+                {"epoch": epoch + 1, "history": history, "deltas": deltas,
+                 "n_iter": n_iter},
+                extra={
+                    "p": jnp.asarray(p, jnp.float32),
+                    "labels_prev": jnp.asarray(labels_prev, jnp.int32),
+                },
+            )
         if finished:
             break
 

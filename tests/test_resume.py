@@ -189,3 +189,43 @@ def test_dec_resume_matches_uninterrupted(tmp_path, rng):
         ),
         resumed["state"].params, full["state"].params,
     )
+
+
+def test_dec_stream_resume(tmp_path, rng):
+    """Streaming DEC resumes from the epoch snapshot."""
+    x, _ = scc.data.synthetic_windows(96, n_classes=3, seed=12)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    model = scc.models.DEC(n_clusters=3)
+
+    def make_loader():
+        return scc.data.PrefetchLoader(
+            lambda i: x[i * 8 : (i + 1) * 8], n_items=12, batch_size=32,
+            num_workers=2,
+        )
+
+    def fresh():
+        return scc.train.create_train_state(
+            model, jax.random.key(4), jnp.asarray(x[:2]), lr=5e-4
+        )
+
+    snap = str(tmp_path / "ssnap")
+    cfg2 = scc.train.DECConfig(
+        n_clusters=3, n_epochs=2, tol=0.0, init="kmeans",
+        kmeans_n_init=2, kmeans_max_iter=20,
+    )
+    scc.train.train_dec_stream(
+        model, fresh(), make_loader, len(x), cfg2, snapshot_path=snap
+    )
+    assert os.path.exists(snap)
+
+    cfg4 = scc.train.DECConfig(
+        n_clusters=3, n_epochs=4, tol=0.0, init="kmeans",
+        kmeans_n_init=2, kmeans_max_iter=20,
+    )
+    full = scc.train.train_dec_stream(model, fresh(), make_loader, len(x), cfg4)
+    resumed = scc.train.train_dec_stream(
+        model, fresh(), make_loader, len(x), cfg4,
+        snapshot_path=snap, resume=True,
+    )
+    assert resumed["last_epoch"] == 4
+    np.testing.assert_array_equal(resumed["labels"], full["labels"])
