@@ -228,6 +228,8 @@ def _train_stream(config):
                     init=init_mode,
                 ),
                 initial=initial,
+                snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
+                resume=bool(getattr(config, "resume", False)),
             )
             save(
                 os.path.join(config.savepath_run, "DEC_Params_Final"),
