@@ -27,6 +27,7 @@ native    : C++ runtime components (threaded Zarr chunk decoder)
 workflow  : train/predict/gmm_fit orchestration (reference production.py parity)
 utils     : configuration (.ini), experiment trees, history CSVs, profiling
 analysis  : plotting, label/environment catalogues, seismic preprocessing
+serve     : low-latency online inference (fixed-shape jitted predictors)
 cli       : entry points (runDC equivalent, drivers, H5/cube tools)
 """
 
@@ -41,6 +42,7 @@ from spectrogram_cube_clustering_tpu import (  # noqa: F401
     models,
     ops,
     parallel,
+    serve,
     signal,
     train,
     utils,
@@ -49,5 +51,5 @@ from spectrogram_cube_clustering_tpu import (  # noqa: F401
 
 __all__ = [
     "analysis", "cli", "cluster", "core", "data", "models", "ops",
-    "parallel", "signal", "train", "utils", "workflow", "__version__",
+    "parallel", "serve", "signal", "train", "utils", "workflow", "__version__",
 ]

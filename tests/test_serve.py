@@ -1,0 +1,69 @@
+"""Serving tests: fixed-shape predictors, padding, checkpoint loading."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import spectrogram_cube_clustering_tpu as scc
+from spectrogram_cube_clustering_tpu import serve
+from spectrogram_cube_clustering_tpu.train.checkpoint import save
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    x, _ = scc.data.synthetic_windows(64, n_classes=3, seed=1)
+    xn = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    dec = scc.models.DEC(n_clusters=3)
+    params = dec.init(jax.random.key(0), jnp.asarray(xn[:2]))["params"]
+    path = str(root / "DEC_Params_Final")
+    save(path, params)
+    aec_params = {"encoder": params["encoder"], "decoder": params["decoder"]}
+    aec_path = str(root / "AEC_Params_Final")
+    save(aec_path, aec_params)
+    return path, aec_path, x, xn, params
+
+
+class TestDECPredictor:
+    def test_outputs_match_direct_apply(self, trained):
+        path, _, x, xn, params = trained
+        pred = serve.DECPredictor.from_checkpoint(path, n_clusters=3, max_batch=128)
+        pred.warmup()
+        out = pred(x)  # raw windows; predictor normalizes on device
+        assert out["q"].shape == (64, 3)
+        assert out["labels"].shape == (64,)
+        assert out["z"].shape == (64, 9)
+        model = scc.models.DEC(n_clusters=3)
+        q, _, z = model.apply({"params": params}, jnp.asarray(xn))
+        np.testing.assert_allclose(out["q"], np.asarray(q), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(out["z"], np.asarray(z), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(out["q"].sum(1), 1.0, atol=1e-5)
+
+    def test_padding_independence(self, trained):
+        path, _, x, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(path, n_clusters=3, max_batch=128)
+        single = pred(x[:1])
+        full = pred(x)
+        np.testing.assert_allclose(single["z"][0], full["z"][0], rtol=1e-5)
+
+    def test_rejects_oversized_request(self, trained):
+        path, _, x, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(path, n_clusters=3, max_batch=16)
+        with pytest.raises(ValueError, match="exceeds max_batch"):
+            pred(np.zeros((17, 4, 101, 1), np.float32))
+
+
+class TestAECEncoder:
+    def test_latents(self, trained):
+        _, aec_path, x, xn, params = trained
+        enc = serve.AECEncoder.from_checkpoint(aec_path, max_batch=128)
+        z = enc(x)
+        assert z.shape == (64, 9)
+        model = scc.models.AEC()
+        want = model.apply(
+            {"params": {"encoder": params["encoder"],
+                        "decoder": params["decoder"]}},
+            jnp.asarray(xn), method="encode",
+        )
+        np.testing.assert_allclose(z, np.asarray(want), rtol=2e-4, atol=1e-6)
