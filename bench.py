@@ -102,14 +102,56 @@ def measure_dec_throughput(n_samples: int, batch_size: int, epochs: int = 3):
     return n_samples * epochs / dt, float(sums[0] / sums[3])
 
 
+def measure_stft_throughput(n_wave_samples: int = 4_000_000, reps: int = 10):
+    """Fused Pallas STFT throughput (waveform samples/sec) on this chip
+    (ops/pallas_stft.py).
+
+    Executions are serialized through a scan dependency chain inside one
+    jit and the result value is fetched — remote-TPU clients can memoize
+    repeated identical execute calls, which makes naive timing loops
+    report physically impossible numbers.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spectrogram_cube_clustering_tpu.ops.pallas_stft import (
+        spectrogram_pallas,
+    )
+    from spectrogram_cube_clustering_tpu.signal.stft import spectrogram
+
+    stft = spectrogram_pallas if jax.default_backend() == "tpu" else spectrogram
+
+    @jax.jit
+    def chain(x, salt):
+        def body(carry, _):
+            out = stft(x + carry + salt)
+            return jnp.mean(out) * 1e-6, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return c
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(n_wave_samples,)).astype(
+            np.float32
+        )
+    )
+    float(chain(x, jnp.float32(0.0)))  # compile + warm
+    t0 = time.perf_counter()
+    v = float(chain(x, jnp.float32(1.0)))  # fresh arg, value fetch
+    dt = (time.perf_counter() - t0) / reps
+    return n_wave_samples / dt, v
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--samples", type=int, default=262144)
     ap.add_argument(
-        "--metric", choices=["aec", "dec"], default="aec",
-        help="aec: pretrain step throughput (primary); dec: refinement step",
+        "--metric", choices=["aec", "dec", "stft"], default="aec",
+        help="aec: pretrain step throughput (primary); dec: refinement "
+        "step; stft: fused Pallas spectrogram kernel",
     )
     args = ap.parse_args()
 
@@ -117,7 +159,10 @@ def main():
         args.samples = min(args.samples, 16384)
 
     _enable_compile_cache()
-    if args.metric == "dec":
+    if args.metric == "stft":
+        throughput, loss = measure_stft_throughput()
+        metric = "stft_wave_samples_per_sec"
+    elif args.metric == "dec":
         throughput, loss = measure_dec_throughput(args.samples, args.batch)
         metric = "dec_train_samples_per_sec"
     else:
