@@ -107,10 +107,14 @@ def spectrogram_windows(
         spec = spectrogram_pallas(x, nperseg=nperseg, hop=hop)
     else:
         spec = spectrogram(x, nperseg=nperseg, hop=hop)
-    # (..., n_frames, n_freq) -> (N, window_rows, n_freq)
-    n_freq = spec.shape[-1]
-    spec = spec.reshape(-1, n_freq)
-    n_windows = spec.shape[0] // window_rows
-    spec = spec[: n_windows * window_rows].reshape(n_windows, window_rows, n_freq)
+    # (..., n_frames, n_freq) -> (N, window_rows, n_freq), windowing each
+    # channel independently: the trailing partial window of every channel
+    # is dropped so no window straddles a channel boundary.
+    n_frames, n_freq = spec.shape[-2], spec.shape[-1]
+    spec = spec.reshape(-1, n_frames, n_freq)
+    per_channel = n_frames // window_rows
+    spec = spec[:, : per_channel * window_rows].reshape(
+        -1, window_rows, n_freq
+    )
     spec = make_normalizer(transform)(spec)
     return spec[..., None]

@@ -158,17 +158,18 @@ class TestShardedGMM:
         np.testing.assert_allclose(np.asarray(cov8), np.asarray(covd), rtol=2e-2, atol=2e-4)
         np.testing.assert_allclose(float(lb8), float(lb), rtol=1e-4)
 
-    def test_pallas_kernel_hop_at_lane_boundary(self, rng):
-        # hop == 128 exactly: no lane padding in the hop-row layout
-        x = rng.normal(size=(12_000,)).astype(np.float32)
-        ref = np.asarray(signal.spectrogram(jnp.asarray(x), nperseg=256, hop=128))
-        got = np.asarray(
-            spectrogram_pallas(
-                jnp.asarray(x), nperseg=256, hop=128, interpret=True,
-                frames_per_block=32,
-            )
+
+def test_pallas_kernel_hop_at_lane_boundary(rng):
+    # hop == 128 exactly: no lane padding in the hop-row layout
+    x = rng.normal(size=(12_000,)).astype(np.float32)
+    ref = np.asarray(signal.spectrogram(jnp.asarray(x), nperseg=256, hop=128))
+    got = np.asarray(
+        spectrogram_pallas(
+            jnp.asarray(x), nperseg=256, hop=128, interpret=True,
+            frames_per_block=32,
         )
-        np.testing.assert_allclose(got, ref, atol=2e-3)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-3)
 
 
 class TestShardedKMeansFull:
@@ -204,3 +205,21 @@ class TestShardedKMeansFull:
 
         labels_1, _ = _cluster.gmm(z, k, n_init=4, kmeans_max_iter=100)
         assert nmi(np.asarray(labels_1), np.asarray(labels)) > 0.99
+
+
+def test_load_data_waveform_multichannel(rng, tmp_path):
+    import types
+
+    from spectrogram_cube_clustering_tpu.workflow.data import load_data
+
+    wave = rng.normal(size=(3, 8_000)).astype(np.float32)
+    path = str(tmp_path / "wave_mc.npy")
+    np.save(path, wave)
+    config = types.SimpleNamespace(
+        model="DEC", mode="train", fname_dataset=path,
+        datafiletype="waveform", nperseg=200, hop=100,
+    )
+    tra, val = load_data(config)  # DEC train: unsplit
+    n_frames = (8_000 - 200) // 100 + 1
+    assert tra.shape == (3 * (n_frames // 4), 4, 101, 1)
+    assert len(val) == 0
