@@ -223,6 +223,8 @@ def train_dec_stream(
     initial: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     snapshot_path: Optional[str] = None,
     resume: bool = False,
+    snapshot_cb: Optional[Callable] = None,
+    snapshot_every: int = 4,
 ) -> Dict:
     """DEC refinement over a streaming loader (windows exceed HBM).
 
@@ -254,6 +256,7 @@ def train_dec_stream(
             deltas=meta["deltas"], n_iter=meta["n_iter"],
             snapshot_path=snapshot_path,
             train_step=train_step, eval_step=eval_step,
+            snapshot_cb=snapshot_cb, snapshot_every=snapshot_every,
         )
 
     # cluster init on streamed latents
@@ -294,13 +297,14 @@ def train_dec_stream(
         n_iter=1,
         snapshot_path=snapshot_path,
         train_step=train_step, eval_step=eval_step,
+        snapshot_cb=snapshot_cb, snapshot_every=snapshot_every,
     )
 
 
 def _train_dec_stream_loop(
     model, state, make_loader, m_total, config, labels_prev, p,
     *, start_epoch, history, deltas, n_iter, snapshot_path,
-    train_step, eval_step,
+    train_step, eval_step, snapshot_cb=None, snapshot_every=4,
 ) -> Dict:
     from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
 
@@ -356,6 +360,18 @@ def _train_dec_stream_loop(
             history["total"].append(accum[0])
             history["reconstruction"].append(accum[1])
             history["clustering"].append(accum[2])
+        if (
+            snapshot_cb is not None
+            and not finished
+            and (epoch + 1) % snapshot_every == 0
+        ):
+            q_s, labels_s, z_s = full_eval_stream(
+                eval_step, state.params, make_loader, m_total
+            )
+            snapshot_cb(
+                epoch + 1, labels_s, z_s,
+                np.asarray(state.params["centroids"]),
+            )
         if snapshot_path is not None and not finished:
             ckpt.save_snapshot(
                 snapshot_path, state,
