@@ -160,14 +160,28 @@ def main():
 
     _enable_compile_cache()
     if args.metric == "stft":
-        throughput, loss = measure_stft_throughput()
-        metric = "stft_wave_samples_per_sec"
+        measure, metric = (
+            lambda: measure_stft_throughput(), "stft_wave_samples_per_sec"
+        )
     elif args.metric == "dec":
-        throughput, loss = measure_dec_throughput(args.samples, args.batch)
-        metric = "dec_train_samples_per_sec"
+        measure, metric = (
+            lambda: measure_dec_throughput(args.samples, args.batch),
+            "dec_train_samples_per_sec",
+        )
     else:
-        throughput, loss = measure_aec_throughput(args.samples, args.batch)
-        metric = "aec_train_samples_per_sec"
+        measure, metric = (
+            lambda: measure_aec_throughput(args.samples, args.batch),
+            "aec_train_samples_per_sec",
+        )
+
+    # the remote-TPU tunnel occasionally throws transient backend errors;
+    # one retry after a short pause rides them out
+    try:
+        throughput, loss = measure()
+    except Exception as e:  # noqa: BLE001
+        print(f"# transient failure ({type(e).__name__}); retrying", file=sys.stderr)
+        time.sleep(15)
+        throughput, loss = measure()
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
