@@ -5,8 +5,10 @@ The reference reads its spectrogram cube through zarr+dask
 the access pattern — whole contiguous row-blocks of one channel — doesn't
 need dask's graph machinery. This implements the Zarr v2 on-disk format
 directly: `.zgroup`/`.zarray` JSON metadata and C-order chunk files named
-"i.j.k", with raw / zlib / gzip compression (blosc chunks are detected and
-rejected with a clear error).
+"i.j.k", with raw / zlib / gzip / blosc compression. Blosc — zarr v2's
+default compressor, hence what a real Cube_chunked_5758.zarr store uses —
+is decoded by `data.blosc1` (libblosc fast path + pure-Python fallback)
+or the native C++ decoder (native/zarr_decode.cpp).
 
 Only step-1 orthogonal indexing (ints and contiguous slices) is supported —
 exactly what the cube reader uses.
@@ -42,10 +44,11 @@ class ZarrArray:
             raise ValueError("zarr filters are not supported")
         comp = meta.get("compressor")
         self.compressor_id = comp["id"] if comp else None
-        if self.compressor_id not in (None, "zlib", "gzip"):
+        self.compressor_meta = comp or {}
+        if self.compressor_id not in (None, "zlib", "gzip", "blosc"):
             raise ValueError(
                 f"unsupported zarr compressor {self.compressor_id!r}; "
-                "re-chunk the store with zlib/raw compression"
+                "supported: raw, zlib, gzip, blosc"
             )
         self.separator = meta.get("dimension_separator", ".")
 
@@ -65,6 +68,10 @@ class ZarrArray:
             return np.full(self.chunks, self.fill_value, self.dtype)
         if self.compressor_id in ("zlib", "gzip"):
             raw = zlib.decompress(raw, zlib.MAX_WBITS | 32 if self.compressor_id == "gzip" else zlib.MAX_WBITS)
+        elif self.compressor_id == "blosc":
+            from spectrogram_cube_clustering_tpu.data import blosc1
+
+            raw = blosc1.decompress(raw)
         arr = np.frombuffer(raw, dtype=self.dtype)
         return arr.reshape(self.chunks)
 
@@ -166,15 +173,27 @@ def write_array(
     chunks: Optional[Tuple[int, ...]] = None,
     compressor: Optional[str] = "zlib",
 ) -> None:
-    """Write a Zarr v2 array directory (used by tests/synthetic cubes)."""
+    """Write a Zarr v2 array directory (used by tests/synthetic cubes).
+
+    `compressor`: None (raw), "zlib", or "blosc" (lz4 + byte-shuffle — the
+    zarr v2 / numcodecs default, i.e. what the reference cube ships with)."""
     os.makedirs(path, exist_ok=True)
     chunks = tuple(chunks) if chunks else data.shape
+    if compressor == "zlib":
+        comp_meta = {"id": "zlib", "level": 1}
+    elif compressor == "blosc":
+        comp_meta = {
+            "id": "blosc", "cname": "lz4", "clevel": 5,
+            "shuffle": 1, "blocksize": 0,
+        }
+    else:
+        comp_meta = None
     meta = {
         "zarr_format": 2,
         "shape": list(data.shape),
         "chunks": list(chunks),
         "dtype": data.dtype.str,
-        "compressor": {"id": "zlib", "level": 1} if compressor == "zlib" else None,
+        "compressor": comp_meta,
         "fill_value": 0,
         "order": "C",
         "filters": None,
@@ -194,6 +213,12 @@ def write_array(
         raw = np.ascontiguousarray(block).tobytes()
         if compressor == "zlib":
             raw = zlib.compress(raw, 1)
+        elif compressor == "blosc":
+            from spectrogram_cube_clustering_tpu.data import blosc1
+
+            raw = blosc1.compress(
+                raw, typesize=data.dtype.itemsize, cname="lz4", shuffle=1
+            )
         with open(os.path.join(path, ".".join(map(str, cidx))), "wb") as f:
             f.write(raw)
 

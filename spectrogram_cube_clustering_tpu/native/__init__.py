@@ -29,7 +29,7 @@ _failed = False
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", _LIB, _SRC, "-lz", "-pthread",
+        "-o", _LIB, _SRC, "-lz", "-ldl", "-pthread",
     ]
     try:
         subprocess.run(
@@ -69,6 +69,14 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.scc_blosc_decompress.restype = ctypes.c_int
+        lib.scc_blosc_decompress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_int,
+        ]
         _lib = lib
     return _lib
 
@@ -96,7 +104,9 @@ def decode_chunks(
     arr = (ctypes.c_char_p * len(paths))(
         *[p.encode() for p in paths]
     )
-    comp = 0 if compressor is None else 1
+    comp = {None: 0, "zlib": 1, "gzip": 1, "blosc": 2}.get(compressor)
+    if comp is None:
+        return None  # unknown framing: let the Python path handle it
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)
     failures = lib.scc_decode_chunks(
@@ -106,3 +116,21 @@ def decode_chunks(
     if failures:
         raise IOError(f"{failures} zarr chunk(s) failed to decode")
     return out
+
+
+def blosc_decompress(
+    frame: bytes, nbytes: int, force_own: bool = False
+) -> Optional[bytes]:
+    """Decode one blosc1 frame through the native library; None when the
+    library is unavailable. `force_own` bypasses the dlopen'd libblosc and
+    exercises the from-scratch C++ parser (test hook)."""
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(max(nbytes, 1))
+    rc = lib.scc_blosc_decompress(
+        bytes(frame), len(frame), out, nbytes, 1 if force_own else 0
+    )
+    if rc != 0:
+        raise IOError("native blosc decode failed")
+    return out.raw[:nbytes]
