@@ -77,8 +77,11 @@ def make_multislice_mesh(
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis; replicate the rest."""
-    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    """Shard the leading (batch) axis over EVERY mesh axis; replicate the
+    rest. On a 1-D mesh that is plain DP over ICI; on a (dcn, data)
+    multi-slice mesh the batch splits across slices too and XLA reduces
+    gradients hierarchically (ICI within slices, one DCN hop across)."""
+    spec = P(tuple(mesh.axis_names), *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)
 
 

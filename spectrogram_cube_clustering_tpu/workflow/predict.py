@@ -65,18 +65,20 @@ def _to_nchw_np(x: jnp.ndarray) -> np.ndarray:
     return np.asarray(jnp.transpose(x, (0, 3, 1, 2)))
 
 
-def _predict_stream(config, figures: bool) -> Dict:
+def _predict_stream(config, figures: bool, mesh=None) -> Dict:
     """loadmode='stream' inference: windows never materialize at once.
 
     q/z/labels/Xr accumulate on host while batches stream through jitted
-    forwards; clustering metrics and figures run on a seeded subsample
-    (config `silh_max_samples`, default 20000) whose windows are re-read
-    from the cube — the only honest option when X exceeds host RAM.
+    forwards (sharded over `mesh` when given); clustering metrics and
+    figures run on a seeded subsample (config `silh_max_samples`, default
+    20000) whose windows are re-read from the cube — the only honest
+    option when X exceeds host RAM.
     """
     from spectrogram_cube_clustering_tpu.data import ZarrCubeDataset
     from spectrogram_cube_clustering_tpu.workflow.data import _cube_spec
     from spectrogram_cube_clustering_tpu.workflow.train import (
         _np_normalizer,
+        _stream_sharding,
     )
 
     ds = ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
@@ -85,6 +87,7 @@ def _predict_stream(config, figures: bool) -> Dict:
     m = ds.n_windows
     savepath = config.savepath_exp
     batch = int(getattr(config, "batch_size_predict", PREDICT_BATCH))
+    sharding = _stream_sharding(config, mesh, batch)
 
     from spectrogram_cube_clustering_tpu.data import PrefetchLoader
 
@@ -92,6 +95,7 @@ def _predict_stream(config, figures: bool) -> Dict:
         return PrefetchLoader(
             item_fn, len(ds), batch,
             num_workers=int(getattr(config, "workers", None) or 4),
+            sharding=sharding,
         )
 
     model = make_model(config)
@@ -190,7 +194,7 @@ def _predict_stream(config, figures: bool) -> Dict:
 def predict(config, mesh=None, figures: bool = True) -> Dict:
     """Run inference and write the artifact tree. Returns the arrays."""
     if getattr(config, "loadmode", "ram") == "stream":
-        return _predict_stream(config, figures)
+        return _predict_stream(config, figures, mesh=mesh)
     x_np = _normalize(config, load_data(config))
     print(f"Dataset has {len(x_np)} samples.")
     savepath = config.savepath_exp

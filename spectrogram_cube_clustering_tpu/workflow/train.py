@@ -139,11 +139,41 @@ def _np_normalizer(config):
     return fn
 
 
-def _train_stream(config):
+def _stream_sharding(config, mesh, batch_size: int):
+    """Batch sharding for streamed loaders: leading axis over every mesh
+    axis (PrefetchLoader's device_put lands each batch pre-sharded, so the
+    per-batch jitted steps run data-parallel with psum'd gradients — the
+    dev_ddp north star, reference readme.md:65, at the larger-than-HBM
+    scale tier that actually needs it)."""
+    if mesh is None:
+        return None
+    from spectrogram_cube_clustering_tpu import core as _core
+
+    n_dev = mesh.devices.size
+    if batch_size % n_dev != 0:
+        raise ValueError(
+            f"loadmode=stream on a {n_dev}-device mesh needs batch_size "
+            f"divisible by {n_dev} (got {batch_size})"
+        )
+    return _core.batch_sharding(mesh, 4)
+
+
+def _replicate_state(state, mesh):
+    """Pin train state replicated on the mesh (deterministic placement for
+    the per-batch jitted steps; on one device this is a no-op)."""
+    if mesh is None:
+        return state
+    from spectrogram_cube_clustering_tpu import core as _core
+
+    return jax.device_put(state, _core.replicated_sharding(mesh))
+
+
+def _train_stream(config, mesh=None):
     """loadmode='stream': windows never materialize in host RAM at once —
     Zarr items stream through the prefetch loader into per-batch jitted
     steps (reference `loadmode` knob, AEC_train.py:55 / production.py
-    'ram' path; the reference only ever loads to RAM)."""
+    'ram' path; the reference only ever loads to RAM). With a mesh, each
+    streamed batch arrives sharded over it (see _stream_sharding)."""
     from spectrogram_cube_clustering_tpu.data import (
         ZarrCubeDataset,
         train_val_split,
@@ -165,6 +195,7 @@ def _train_stream(config):
         config.init_output_env(**hp)
         batch_size, lr = int(hp["batch_size"]), float(hp["lr"])
         sample = jnp.asarray(item_fn(0)[:2])
+        sharding = _stream_sharding(config, mesh, batch_size)
 
         def make_loader(indices=None, n_items=len(ds)):
             from spectrogram_cube_clustering_tpu.data import PrefetchLoader
@@ -172,15 +203,19 @@ def _train_stream(config):
             return PrefetchLoader(
                 item_fn, n_items, batch_size,
                 num_workers=int(getattr(config, "workers", None) or 4),
+                sharding=sharding,
                 indices=indices,
             )
 
         if config.model == "AEC":
             idx_tra, idx_val = train_val_split(len(ds))
             model = make_model(config)
-            state = _train.create_train_state(
-                model, jax.random.key(getattr(config, "seed", 0) or 0),
-                sample, lr=lr,
+            state = _replicate_state(
+                _train.create_train_state(
+                    model, jax.random.key(getattr(config, "seed", 0) or 0),
+                    sample, lr=lr,
+                ),
+                mesh,
             )
             out = _train.train_aec_stream(
                 model, state,
@@ -209,7 +244,9 @@ def _train_stream(config):
                 model, jax.random.key(getattr(config, "seed", 0) or 0),
                 sample, lr=lr,
             )
-            state = state.replace(params=load_aec_params(config, model))
+            state = _replicate_state(
+                state.replace(params=load_aec_params(config, model)), mesh
+            )
             init_mode = getattr(config, "init", "gmm")
             initial = None
             if init_mode == "load":
@@ -252,7 +289,7 @@ def _train_stream(config):
 def train(config, mesh=None):
     """Run the full hp sweep. Returns a list of per-run result dicts."""
     if getattr(config, "loadmode", "ram") == "stream":
-        return _train_stream(config)
+        return _train_stream(config, mesh)
     tra_x, val_x = load_data(config)
     tra_x = _normalize(config, tra_x)
     val_x = _normalize(config, val_x)

@@ -72,6 +72,96 @@ class TestShardedTraining:
         assert abs(nmi(y, labels_1) - nmi(y, labels_8)) < 0.01
 
 
+class TestShardedStreaming:
+    """VERDICT r1 #2: the streaming (larger-than-HBM) path must be
+    mesh-aware — batches arrive sharded from the prefetch loader and the
+    per-batch jitted steps run data-parallel."""
+
+    @staticmethod
+    def _loader_factory(x, batch, mesh):
+        from spectrogram_cube_clustering_tpu.data import PrefetchLoader
+
+        sharding = scc.core.batch_sharding(mesh, 4) if mesh is not None else None
+        items = [x[i : i + 32] for i in range(0, len(x), 32)]
+
+        def make_loader():
+            return PrefetchLoader(
+                lambda i: items[i], len(items), batch,
+                num_workers=2, sharding=sharding,
+            )
+
+        return make_loader
+
+    def test_aec_stream_matches_single_device(self, windows):
+        x, _ = windows
+        mesh = scc.core.make_data_mesh()
+        model = scc.models.AEC()
+
+        def run(mesh_arg):
+            state = scc.train.create_train_state(
+                model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+            )
+            if mesh_arg is not None:
+                state = jax.device_put(
+                    state, scc.core.replicated_sharding(mesh_arg)
+                )
+            out = scc.train.train_aec_stream(
+                model, state, self._loader_factory(x, 64, mesh_arg),
+                scc.train.AECConfig(n_epochs=3, early_stopping=False),
+            )
+            return out["history"]["train"], out["state"].params
+
+        losses_1, params_1 = run(None)
+        losses_8, params_8 = run(mesh)
+        np.testing.assert_allclose(losses_1, losses_8, rtol=1e-4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            ),
+            params_1, params_8,
+        )
+
+    def test_dec_stream_matches_single_device(self, windows):
+        x, y = windows
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        mesh = scc.core.make_data_mesh()
+        model = scc.models.DEC(n_clusters=3)
+
+        def run(mesh_arg):
+            state = scc.train.create_train_state(
+                model, jax.random.key(1), jnp.asarray(x[:2]), lr=5e-4
+            )
+            if mesh_arg is not None:
+                state = jax.device_put(
+                    state, scc.core.replicated_sharding(mesh_arg)
+                )
+            out = scc.train.train_dec_stream(
+                model, state, self._loader_factory(x, 64, mesh_arg), len(x),
+                scc.train.DECConfig(
+                    n_clusters=3, n_epochs=2, tol=0.0, init="kmeans",
+                    kmeans_n_init=4, kmeans_max_iter=50,
+                ),
+            )
+            return out["labels"], out["history"]["total"]
+
+        labels_1, hist_1 = run(None)
+        labels_8, hist_8 = run(mesh)
+        assert nmi(labels_1, labels_8) > 0.99
+        np.testing.assert_allclose(hist_1, hist_8, rtol=1e-3)
+
+    def test_stream_sharding_rejects_indivisible_batch(self):
+        from spectrogram_cube_clustering_tpu.workflow.train import (
+            _stream_sharding,
+        )
+
+        mesh = scc.core.make_data_mesh()
+        with pytest.raises(ValueError, match="divisible"):
+            _stream_sharding(None, mesh, 63)
+        s = _stream_sharding(None, mesh, 64)
+        assert s is not None and s.mesh.devices.size == mesh.devices.size
+
+
 class TestPrecisionModes:
     def test_bf16_compute_close_to_f32(self, windows):
         x, _ = windows
