@@ -99,7 +99,8 @@ def measure_dec_throughput(n_samples: int, batch_size: int, epochs: int = 3):
         state, sums = segment(state, data.x, data.mask, p_all, jnp.array(0))
     jax.tree.map(lambda a: a.block_until_ready(), sums)
     dt = time.perf_counter() - t0
-    return n_samples * epochs / dt, float(sums[0] / sums[3])
+    # sums are per-step (seg_len,) arrays (per-batch history support)
+    return n_samples * epochs / dt, float(sums[0].sum() / sums[3].sum())
 
 
 def measure_stft_throughput(n_wave_samples: int = 4_000_000, reps: int = 10):

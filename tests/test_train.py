@@ -134,6 +134,51 @@ class TestDEC:
         assert len(out["deltas"]["delta"]) == 1
         assert out["centroids"].shape == (3, 9)
 
+    def test_history_one_row_per_batch_scan_and_stream(self, windows):
+        """VERDICT r1 #9: scan and stream DEC paths emit identical
+        per-batch DEC_history shapes (reference logs per batch,
+        models.py:1150-1161)."""
+        x, _ = windows
+        nb, bsz, n_epochs = 6, 40, 2
+        dec_model = models.DEC(n_clusters=3)
+        cfg = train.DECConfig(
+            n_clusters=3, n_epochs=n_epochs, tol=0.0, init="load",
+        )
+        init = (
+            np.zeros(len(x), np.int64),
+            np.full((3, 9), 0.5, np.float32),
+        )
+
+        data = train.make_batched_data(x, batch_size=bsz)
+        state = train.create_train_state(
+            dec_model, jax.random.key(3), jnp.asarray(x[:4]), lr=1e-3
+        )
+        out_scan = train.train_dec(dec_model, state, data, cfg, initial=init)
+
+        items = [x[i : i + bsz] for i in range(0, len(x), bsz)]
+        from spectrogram_cube_clustering_tpu.data import PrefetchLoader
+
+        state2 = train.create_train_state(
+            dec_model, jax.random.key(3), jnp.asarray(x[:4]), lr=1e-3
+        )
+        out_stream = train.train_dec_stream(
+            dec_model, state2,
+            lambda: PrefetchLoader(
+                lambda i: items[i], len(items), bsz, num_workers=2
+            ),
+            len(x), cfg, initial=init,
+        )
+
+        h_scan, h_stream = out_scan["history"], out_stream["history"]
+        assert len(h_scan["total"]) == nb * n_epochs
+        assert h_scan["iteration"] == h_stream["iteration"]
+        np.testing.assert_allclose(
+            h_scan["total"], h_stream["total"], rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            h_scan["reconstruction"], h_stream["reconstruction"], rtol=1e-4
+        )
+
     def test_losses_accumulate_and_improve(self, windows):
         x, _ = windows
         dec_model = models.DEC(n_clusters=3)
