@@ -154,6 +154,66 @@ class TestFigures:
             assert fig is not None
             assert len(fig.axes) >= 1
 
+    def test_reference_fidelity_families(self, rng):
+        """VERDICT r1 #5: comparative view_latent_space, cluster_gallery
+        percentile ranks + waveform rows, view_class_pdf_paper,
+        label_offset, gap-statistic cluster stats."""
+        m, k, d = 60, 4, 9
+        z_a = rng.normal(size=(m, d)).astype(np.float32)
+        z_b = rng.normal(size=(m, d)).astype(np.float32)
+        labels_a = rng.integers(0, k, size=m)
+        labels_b = rng.integers(0, k, size=m)
+        cents_a = rng.normal(size=(k, d)).astype(np.float32)
+        cents_b = rng.normal(size=(k, d)).astype(np.float32)
+        x = rng.normal(size=(m, 4, 101, 1)).astype(np.float32)
+        traces = rng.normal(size=(m, 199)).astype(np.float32)
+
+        fig = plotting.view_latent_space(
+            z_a, labels_a, z_b, labels_b, cents_a, cents_b
+        )
+        # per class: 2 models x (centroid strip + sorted Z) + 2 colorbars
+        assert len(fig.axes) >= 4 * k + 2
+
+        fig = plotting.view_class_pdf_paper(
+            z_a, z_b, labels_a, labels_b, cents_a, cents_b, k
+        )
+        assert len(fig.axes) == 4 * k  # broken-axis quad per centroid
+
+        fig = plotting.cluster_gallery(
+            x, z_b, labels_b, cents_b,
+            centroid_decodes=rng.normal(size=(k, 4, 101, 1)),
+            traces=traces,
+        )
+        # k centroid cells (3 axes) + k*6 sample cells (3 axes) + colorbars
+        assert len(fig.axes) >= k * 3 + 2
+        # waveform row actually drawn: some axes contain a Line2D
+        assert any(len(ax.lines) for ax in fig.axes)
+
+        fig = plotting.view_cluster_stats(
+            [2, 3, 4], [10, 5, 3], [0.3, 0.5, 0.4],
+            gap_g=[0.1, 0.4, 0.3], gap_u=[0.2, 0.5, 0.35],
+        )
+        assert len(fig.axes) == 3  # host + silhouette + gap twin axes
+
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.plot([0, 1], [0, 1e-6])
+        ax.set_ylabel("Loss")
+        plotting.label_offset(ax, "y")
+        assert "1e" in ax.get_ylabel() or "e-" in ax.get_ylabel()
+        plt.close(fig)
+
+    def test_percentile_rank_indices_reference_ladder(self):
+        np.testing.assert_array_equal(
+            plotting._percentile_rank_indices(25000, 6),
+            [0, 4999, 9999, 14999, 19999, 24999],
+        )
+        small = plotting._percentile_rank_indices(10, 6)
+        assert small[0] == 0 and small[-1] == 9 and len(small) == 6
+        tiny = plotting._percentile_rank_indices(3, 6)
+        assert tiny.tolist() == [0, 1, 2]
+
     def test_extended_families(self, rng, tmp_path):
         m, k, d = 30, 3, 9
         z = rng.normal(size=(m, d)).astype(np.float32)
