@@ -15,10 +15,12 @@ from spectrogram_cube_clustering_tpu.cluster.tsne import tsne
 from spectrogram_cube_clustering_tpu.cluster.tsne_jax import tsne_jax
 from spectrogram_cube_clustering_tpu.cluster.metrics import (
     cluster_metrics,
+    gap_statistic,
     silhouette_samples_X,
 )
 
 __all__ = [
     "kmeans", "gmm", "gmm_em", "gmm_predict", "GMMState",
-    "silhouette_samples", "tsne", "tsne_jax", "cluster_metrics", "silhouette_samples_X",
+    "silhouette_samples", "tsne", "tsne_jax", "cluster_metrics",
+    "gap_statistic", "silhouette_samples_X",
 ]

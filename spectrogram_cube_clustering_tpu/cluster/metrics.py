@@ -43,6 +43,62 @@ def silhouette_samples_X(
     return scores, x_
 
 
+def gap_statistic(
+    z: np.ndarray,
+    k_list,
+    n_refs: int = 5,
+    seed: int = 2009,
+    n_init: int = 4,
+    max_iter: int = 100,
+) -> Dict[str, np.ndarray]:
+    """Tibshirani gap statistic over a K sweep, against BOTH null reference
+    distributions the reference's view_cluster_stats plots
+    (plotting.py:1170-1221 takes gap_g gaussian / gap_u uniform series;
+    nothing in the reference tree computes them — this closes that gap).
+
+    Gap(K) = E[log W_K(null)] - log W_K(data), with W_K the k-means
+    within-cluster dispersion (inertia). Returns {"inertia", "gap_g",
+    "gap_u"} arrays aligned with k_list; fits run on-device
+    (cluster.kmeans).
+    """
+    from spectrogram_cube_clustering_tpu.cluster.kmeans import kmeans
+
+    z = np.asarray(z, np.float32)
+    rng = np.random.default_rng(seed)
+    lo, hi = z.min(axis=0), z.max(axis=0)
+    mu, sd = z.mean(axis=0), z.std(axis=0) + 1e-12
+
+    def _inertia(data, k):
+        _, centers = kmeans(
+            data, int(k), n_init=n_init, max_iter=max_iter, seed=seed
+        )
+        centers = np.asarray(centers)
+        d2 = ((data[:, None, :] - centers[None]) ** 2).sum(-1)
+        return float(d2.min(axis=1).sum())
+
+    inertia = np.empty(len(list(k_list)))
+    gap_g = np.empty_like(inertia)
+    gap_u = np.empty_like(inertia)
+    for i, k in enumerate(k_list):
+        inertia[i] = _inertia(z, k)
+        log_w = np.log(max(inertia[i], 1e-30))
+        refs_g = [
+            np.log(max(_inertia(
+                (rng.standard_normal(z.shape) * sd + mu).astype(np.float32), k
+            ), 1e-30))
+            for _ in range(n_refs)
+        ]
+        refs_u = [
+            np.log(max(_inertia(
+                rng.uniform(lo, hi, z.shape).astype(np.float32), k
+            ), 1e-30))
+            for _ in range(n_refs)
+        ]
+        gap_g[i] = np.mean(refs_g) - log_w
+        gap_u[i] = np.mean(refs_u) - log_w
+    return {"inertia": inertia, "gap_g": gap_g, "gap_u": gap_u}
+
+
 def cluster_metrics(
     path: Optional[str],
     labels: np.ndarray,

@@ -83,4 +83,63 @@ def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
             {"n_clusters": int(n_clusters), "labels": labels,
              "centroids": centroids, "savepath_run": config.savepath_run}
         )
+
+    if bool(getattr(config, "km_metrics", False)):
+        _cluster_count_diagnostics(config, z, results, figures)
     return results
+
+
+def _cluster_count_diagnostics(config, z, results, figures: bool = True):
+    """Cluster-count diagnostics sweep (`km_metrics = True`): per swept K,
+    k-means inertia + gap statistics vs gaussian/uniform nulls
+    (cluster.gap_statistic) and the mean silhouette of that run's GMM
+    labels, saved as cluster_stats.csv + cluster_stats.png in the exp dir.
+
+    The reference declares the `km_metrics` knob (utils.py:43) and ships
+    the figure (plotting.py:1170-1221 view_cluster_stats) but never wires
+    them together; this closes that gap (VERDICT r1 #8).
+    """
+    import pandas as pd
+
+    from spectrogram_cube_clustering_tpu.cluster.silhouette import (
+        silhouette_samples,
+    )
+
+    cap = int(getattr(config, "silh_max_samples", None) or 20000)
+    seed = int(getattr(config, "seed", 2009) or 2009)
+    if len(z) > cap:
+        sel = np.sort(
+            np.random.default_rng(seed).choice(len(z), cap, replace=False)
+        )
+    else:
+        sel = np.arange(len(z))
+
+    k_list = [r["n_clusters"] for r in results]
+    gaps = _cluster.gap_statistic(z[sel], k_list, seed=seed)
+    silh = [
+        float(np.mean(np.asarray(silhouette_samples(
+            z[sel], r["labels"][sel], r["n_clusters"]
+        ))))
+        for r in results
+    ]
+
+    df = pd.DataFrame({
+        "n_clusters": k_list,
+        "inertia": gaps["inertia"],
+        "silhouette": silh,
+        "gap_gaussian": gaps["gap_g"],
+        "gap_uniform": gaps["gap_u"],
+    })
+    df.to_csv(
+        os.path.join(config.savepath_exp, "cluster_stats.csv"), index=False
+    )
+    if figures:
+        fig = plotting.view_cluster_stats(
+            k_list, gaps["inertia"], silh,
+            gap_g=gaps["gap_g"], gap_u=gaps["gap_u"],
+        )
+        fig.savefig(
+            os.path.join(config.savepath_exp, "cluster_stats.png"),
+            dpi=300, facecolor="w",
+        )
+    return df

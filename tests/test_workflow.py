@@ -265,6 +265,45 @@ def test_gmm_fit_on_mesh(cube):
     assert os.path.exists(os.path.join(out["savepath_run"], "labels.npy"))
 
 
+def test_gmm_km_metrics_diagnostics(cube):
+    """km_metrics=True sweeps K diagnostics: cluster_stats.csv + .png in
+    the GMM exp dir (VERDICT r1 #8; reference knob utils.py:43)."""
+    root, cube_path, _ = cube
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 2, "early_stopping": "False"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [aec] = workflow.train(config)
+    weights = os.path.join(aec["savepath_run"], "AEC_Params_Final")
+    workflow.predict(
+        _make_config(root, cube_path, "AEC", "predict",
+                     {"saved_weights": weights})
+    )
+
+    config = _make_config(
+        root, cube_path, "GMM", "fit",
+        {"saved_weights": weights, "km_n_init": 4, "km_max_iter": 50,
+         "km_metrics": "True"},
+        {"n_clusters": "2, 3"},
+    )
+    outs = workflow.gmm_fit(config, figures=True)
+    assert len(outs) == 2
+    import pandas as pd
+
+    csv = os.path.join(config.savepath_exp, "cluster_stats.csv")
+    assert os.path.exists(csv)
+    df = pd.read_csv(csv)
+    assert list(df["n_clusters"]) == [2, 3]
+    assert set(df.columns) >= {
+        "inertia", "silhouette", "gap_gaussian", "gap_uniform"
+    }
+    assert np.isfinite(df[["inertia", "silhouette"]].to_numpy()).all()
+    assert os.path.exists(
+        os.path.join(config.savepath_exp, "cluster_stats.png")
+    )
+
+
 def test_unet_arch_workflow(cube):
     """arch=UNet trains and predicts end-to-end (16-d latent); the DEC
     stage intentionally rejects UNet weights (SURVEY.md §2.3 defect 2)."""
