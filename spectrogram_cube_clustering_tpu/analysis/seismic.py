@@ -134,3 +134,155 @@ def remove_response(
     trace.simulate(
         paz_remove=None, pre_filt=pre_filt, seedresp=seedresp, sacsim=True
     )
+
+
+# ---------------------------------------------------------------------------
+# RESP-file response pipeline (reference environment.py:262-521). The
+# metadata/matching/parsing layers below are pure Python — no obspy — so
+# they run (and are tested) in obspy-less environments; only the actual
+# deconvolution (remove_trace/remove_stream) touches obspy.
+
+
+def read_resp_metadata(resp_path: str) -> dict:
+    """Parse instrument metadata out of a SEED RESP text file
+    (reference read_file_response_text, environment.py:262-361).
+
+    Returns dict with station/network/location/channel/t_start/t_end/
+    sensitivity/frequency_sensitivity/sampling_rate (input rate divided by
+    the decimation factor). Raises ValueError on conflicting duplicate
+    fields or missing decimation info, like the reference.
+    """
+    info = {
+        "station": None, "network": None, "location": None, "channel": None,
+        "t_start": None, "t_end": None, "sensitivity": None,
+        "frequency_sensitivity": None, "sampling_rate": None,
+    }
+    f_input = None
+    decimation_factor = None
+
+    def _set(key, value, err):
+        if info[key] is None:
+            info[key] = value
+        elif info[key] != value:
+            raise ValueError(err)
+
+    with open(resp_path) as fh:
+        for raw in fh.read().split("\n"):
+            line = [t for t in raw.split(" ") if t]
+            if len(line) == 3 and line[1].lower() == "station:":
+                _set("station", line[2], "Multiple station names!")
+            elif len(line) == 3 and line[1].lower() == "network:":
+                _set("network", line[2], "Multiple network names!")
+            elif len(line) == 3 and line[1].lower() == "location:":
+                loc = "" if line[2] == "??" else line[2]
+                _set("location", loc, "Multiple location values!")
+            elif len(line) == 3 and line[1].lower() == "channel:":
+                _set("channel", line[2], "Multiple channels!")
+            elif len(line) == 4 and " ".join(line[1:3]).lower() == "start date:":
+                t = datetime.strptime(line[3], "%Y,%j,%H:%M:%S")
+                _set("t_start", t, "Multiple start dates!")
+            elif len(line) == 4 and " ".join(line[1:3]).lower() == "end date:":
+                t = datetime.strptime(line[3], "%Y,%j,%H:%M:%S")
+                _set("t_end", t, "Multiple end dates!")
+            elif (len(line) == 5
+                  and " ".join(line[1:4]).lower() == "input sample rate:"):
+                f_input = float(line[4])
+            elif (len(line) == 6
+                  and " ".join(line[1:5]).lower() == "input sample rate (hz):"):
+                f_input = float(line[5])
+            elif (len(line) == 4
+                  and " ".join(line[1:3]).lower() == "decimation factor:"):
+                decimation_factor = float(line[3])
+            elif len(line) == 3 and line[1].lower() == "sensitivity:":
+                _set("sensitivity", float(line[2]),
+                     "Multiple sensitivity values!")
+            elif (len(line) in (5, 6)
+                  and " ".join(line[1:4]).lower()
+                  == "frequency of sensitivity:"):
+                _set("frequency_sensitivity", float(line[4]),
+                     "Multiple frequency of sensitivity values!")
+    if f_input is None or decimation_factor is None:
+        raise ValueError("Decimation information missing!")
+    info["sampling_rate"] = f_input / decimation_factor
+    return info
+
+
+def find_resp_file(stats, resp_paths: list) -> str:
+    """The RESP file whose network/station/location/channel match the
+    trace's stats (reference find_file_response_text,
+    environment.py:364-381). `stats` is duck-typed (obspy Stats or any
+    object with those four attributes)."""
+    for path in resp_paths:
+        info = read_resp_metadata(path)
+        if (stats.network == info["network"]
+                and stats.station == info["station"]
+                and stats.location == info["location"]
+                and stats.channel == info["channel"]):
+            return path
+    raise ValueError("No corresponding response text file found!")
+
+
+def read_response_function(path: str):
+    """Parse an evalresp AMP.*/PHASE.* output file into (freq, value)
+    arrays (reference read_file_response_function,
+    environment.py:384-410)."""
+    import numpy as np
+
+    freqs, values = [], []
+    with open(path) as fh:
+        for line in fh.read().split("\n"):
+            parts = line.split(" ")
+            if len(parts) < 2:
+                continue
+            freqs.append(float(parts[0]))
+            values.append(float(parts[1]))
+    return np.asarray(freqs), np.asarray(values)
+
+
+def compute_response(resp_path: str, f_min: float, f_max: float, n_f: int):
+    """Run evalresp over [f_min, f_max] with n_f log-spaced samples and
+    return (metadata, amp_file, phase_file) (reference compute,
+    environment.py:413-455). Requires the `evalresp` binary on PATH."""
+    from subprocess import run
+
+    info = read_resp_metadata(resp_path)
+    run([
+        "evalresp", info["station"], info["channel"],
+        str(info["t_start"].year),
+        info["t_start"].strftime("%j"),
+        str(f_min), str(f_max), str(n_f),
+        "-f", resp_path,
+        "-t", info["t_start"].strftime("%H:%M:%S"),
+        "-s", "log",
+    ])
+    suffix = ".".join(
+        [info["network"], info["station"], info["location"], info["channel"]]
+    )
+    return info, f"AMP.{suffix}", f"PHASE.{suffix}"
+
+
+def remove_trace(
+    tr, resp_path: str, units: str = "DISP",
+    taper_half_width: Optional[float] = None, **kwargs
+) -> None:
+    """Deconvolve one trace's instrument response in place (reference
+    remove_trace, environment.py:458-490): obspy simulate with the RESP
+    seedresp, optional taper sized as 2*half_width / trace duration."""
+    seedresp = {"filename": resp_path, "units": units[0:3].upper()}
+    if taper_half_width:
+        duration = tr.stats.endtime - tr.stats.starttime
+        kwargs["taper_fraction"] = 2 * taper_half_width / duration
+    tr.simulate(seedresp=seedresp, **kwargs)
+
+
+def remove_stream(
+    st, resp_paths: list, units: str = "DISP",
+    taper_half_width: Optional[float] = None, **kwargs
+) -> None:
+    """Deconvolve every trace of a stream in place (reference
+    remove_stream, environment.py:493-521): merge, then per trace find the
+    matching RESP file and remove_trace."""
+    st.merge()
+    for tr in st:
+        resp_path = find_resp_file(tr.stats, resp_paths)
+        remove_trace(tr, resp_path, units, taper_half_width, **kwargs)
