@@ -12,7 +12,10 @@ from spectrogram_cube_clustering_tpu.cluster.kmeans import kmeans
 from spectrogram_cube_clustering_tpu.cluster.gmm import gmm, gmm_em, gmm_predict, GMMState
 from spectrogram_cube_clustering_tpu.cluster.silhouette import silhouette_samples
 from spectrogram_cube_clustering_tpu.cluster.tsne import tsne
-from spectrogram_cube_clustering_tpu.cluster.tsne_jax import tsne_jax
+from spectrogram_cube_clustering_tpu.cluster.tsne_jax import (
+    tsne_jax,
+    tsne_jax_landmark,
+)
 from spectrogram_cube_clustering_tpu.cluster.metrics import (
     cluster_metrics,
     gap_statistic,
@@ -21,6 +24,6 @@ from spectrogram_cube_clustering_tpu.cluster.metrics import (
 
 __all__ = [
     "kmeans", "gmm", "gmm_em", "gmm_predict", "GMMState",
-    "silhouette_samples", "tsne", "tsne_jax", "cluster_metrics",
+    "silhouette_samples", "tsne", "tsne_jax", "tsne_jax_landmark", "cluster_metrics",
     "gap_statistic", "silhouette_samples_X",
 ]

@@ -9,7 +9,9 @@ runs on the MXU/VPU:
 - conditional P: per-row binary search of the Gaussian bandwidth to match
   the target perplexity (vmapped bisection over row chunks);
 - symmetrized P is materialized once ((M, M) f32 — fine for the
-  figure-scale M <= ~30k this is meant for; subsample above that);
+  figure-scale M <= ~30k; above that `tsne_jax` switches to the landmark
+  method: exact embedding of a subsample + chunked k-NN interpolation for
+  the rest (tsne_jax_landmark), O(M * n_landmarks) total);
 - gradient loop with sklearn's schedule: early exaggeration for the first
   250 iterations, momentum 0.5 -> 0.8, gradient-descent with per-parameter
   gains (the classic van der Maaten recipe sklearn follows).
@@ -121,6 +123,68 @@ def _optimize(p, y0, learning_rate, early_exaggeration, n_iter, exag_iter=250):
     return y, kls
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _knn_interp_chunk(x_chunk, landmarks, y_land, k):
+    """Embed a chunk of points as the inverse-square-distance weighted
+    mean of their k nearest landmarks' embeddings."""
+    sq_c = jnp.sum(x_chunk * x_chunk, axis=1)
+    sq_l = jnp.sum(landmarks * landmarks, axis=1)
+    prod = jnp.matmul(
+        x_chunk, landmarks.T, precision=lax.Precision.HIGHEST
+    )
+    d2 = jnp.maximum(sq_c[:, None] - 2.0 * prod + sq_l[None, :], 0.0)
+    neg_d2, idx = lax.top_k(-d2, k)                    # (C, k)
+    w = 1.0 / jnp.maximum(-neg_d2, MACHINE_EPS)        # inverse-square
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    return jnp.einsum("ck,ckd->cd", w, y_land[idx])
+
+
+def tsne_jax_landmark(
+    data,
+    *,
+    n_landmarks: int = 20000,
+    k: int = 10,
+    chunk: int = 8192,
+    seed: int = 2009,
+    **tsne_kwargs,
+) -> np.ndarray:
+    """Landmark t-SNE for catalogs beyond the exact method's (M, M) reach
+    (the reference's answer is cuML Barnes-Hut, models.py:1325-1350):
+    embed a seeded `n_landmarks` subsample exactly on device, then place
+    every remaining point at the inverse-square-distance weighted mean of
+    its k nearest landmarks' embeddings (chunked matmul + top_k, also on
+    device). O(M * n_landmarks) instead of O(M^2)."""
+    data = np.asarray(data, np.float32)
+    m = len(data)
+    if m <= n_landmarks:
+        return tsne_jax(data, seed=seed, max_samples=m, **tsne_kwargs)
+    rng = np.random.default_rng(seed)
+    sel = np.sort(rng.choice(m, n_landmarks, replace=False))
+    y_land = tsne_jax(
+        data[sel], seed=seed, max_samples=n_landmarks, **tsne_kwargs
+    )
+
+    out = np.empty((m, 2), np.float32)
+    out[sel] = y_land
+    rest = np.setdiff1d(np.arange(m), sel, assume_unique=True)
+    landmarks_j = jnp.asarray(data[sel])
+    y_land_j = jnp.asarray(y_land)
+    k_eff = min(k, n_landmarks)
+    for lo in range(0, len(rest), chunk):
+        idx = rest[lo : lo + chunk]
+        x_chunk = data[idx]
+        pad = 0
+        if len(x_chunk) < chunk:  # keep one compiled shape
+            pad = chunk - len(x_chunk)
+            x_chunk = np.pad(x_chunk, ((0, pad), (0, 0)))
+        y_chunk = np.asarray(
+            _knn_interp_chunk(jnp.asarray(x_chunk), landmarks_j, y_land_j,
+                              k_eff)
+        )
+        out[idx] = y_chunk[: len(idx)]
+    return out
+
+
 def tsne_jax(
     data,
     *,
@@ -134,15 +198,18 @@ def tsne_jax(
     """2-D t-SNE embedding computed on device; (M, 2) float32.
 
     Defaults follow the reference's call (models.py:1325-1350). For
-    M > max_samples, raise — subsample first ((M, M) buffers are the
-    exact-method cost; see module docstring).
+    M > max_samples — the exact method's (M, M)-buffer budget — the
+    computation switches to the landmark method (tsne_jax_landmark):
+    exact embedding of a max_samples subsample + k-NN interpolation for
+    the rest, which handles full 1M-window catalogs in minutes.
     """
     data = np.asarray(data, np.float32)
     m = len(data)
     if m > max_samples:
-        raise ValueError(
-            f"exact on-device t-SNE materializes (M, M); M={m} exceeds "
-            f"max_samples={max_samples} — subsample first"
+        return tsne_jax_landmark(
+            data, n_landmarks=max_samples, seed=seed,
+            perplexity=perplexity, learning_rate=learning_rate,
+            early_exaggeration=early_exaggeration, n_iter=n_iter,
         )
     if perplexity is None:
         perplexity = max(min(m / 100.0, (m - 1) / 3.0), 2.0)

@@ -166,8 +166,32 @@ class TestTSNEJax:
         lab = KMeans(k, n_init=10, random_state=0).fit_predict(emb)
         assert nmi(y, lab) > 0.95
 
-    def test_rejects_oversized(self, rng):
+    def test_oversized_uses_landmark_interpolation(self, rng):
+        """VERDICT r1 #6: beyond max_samples, tsne_jax switches to the
+        landmark method (exact subsample + k-NN placement) and still
+        recovers blob structure at full M."""
+        from sklearn.cluster import KMeans
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
         from spectrogram_cube_clustering_tpu.cluster import tsne_jax
 
-        with pytest.raises(ValueError, match="subsample"):
-            tsne_jax(np.zeros((100, 3), np.float32), max_samples=50)
+        k, d, m = 4, 10, 3000
+        centers = rng.normal(size=(k, d)) * 8
+        y = rng.integers(0, k, m)
+        x = (centers[y] + rng.normal(size=(m, d))).astype(np.float32)
+        emb = tsne_jax(x, n_iter=500, max_samples=800)  # forces landmarks
+        assert emb.shape == (m, 2)
+        assert np.isfinite(emb).all()
+        lab = KMeans(k, n_init=10, random_state=0).fit_predict(emb)
+        assert nmi(y, lab) > 0.95
+
+    def test_landmark_direct_small_falls_back_to_exact(self, rng):
+        from spectrogram_cube_clustering_tpu.cluster import (
+            tsne_jax,
+            tsne_jax_landmark,
+        )
+
+        x = rng.normal(size=(120, 5)).astype(np.float32)
+        a = tsne_jax_landmark(x, n_landmarks=200, n_iter=250)
+        b = tsne_jax(x, n_iter=250)
+        np.testing.assert_allclose(a, b, atol=1e-5)
