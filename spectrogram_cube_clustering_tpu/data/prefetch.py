@@ -112,10 +112,19 @@ class PrefetchLoader:
                 yield flat, self.batch_size - pad
 
         try:
-            # Double buffer: keep one device transfer in flight.
+            # Double buffer: keep one device transfer in flight. On a
+            # multi-host mesh each process feeds only its addressable
+            # block of the batch axis (train.layout.put_process_local).
+            from spectrogram_cube_clustering_tpu.train.layout import (
+                put_process_local,
+            )
+
             pending = None
             for host_batch, n_valid in batches_host():
-                dev = jax.device_put(host_batch, self.sharding)
+                if self.sharding is not None:
+                    dev = put_process_local(host_batch, self.sharding, axis=0)
+                else:
+                    dev = jax.device_put(host_batch)
                 if pending is not None:
                     yield pending
                 pending = (dev, n_valid)

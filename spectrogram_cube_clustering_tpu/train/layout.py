@@ -51,6 +51,55 @@ def batched_sharding(mesh: Optional[Mesh], ndim: int) -> Optional[NamedSharding]
     return NamedSharding(mesh, P(None, axes, *([None] * (ndim - 2))))
 
 
+def process_block(sharding: NamedSharding, global_shape, axis: int):
+    """[lo, hi) span of `axis` whose shards live on THIS process.
+
+    Multi-host feeding (SURVEY.md §5 'Distributed communication backend'):
+    each host materializes only its addressable block and the global array
+    is assembled with `jax.make_array_from_process_local_data`. Derived
+    from the sharding's own addressable-device index map, so it is correct
+    for any mesh layout that keeps a process's shards contiguous (the
+    jax.devices() process-major ordering guarantees this for our meshes).
+    """
+    idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
+    starts, stops = [], []
+    for idx in idx_map.values():
+        sl = idx[axis]
+        starts.append(sl.start or 0)
+        stop = sl.stop if sl.stop is not None else global_shape[axis]
+        stops.append(stop)
+    lo, hi = min(starts), max(stops)
+    n_dev = len(idx_map)
+    if (hi - lo) * len(sharding.device_set) != global_shape[axis] * n_dev:
+        raise ValueError(
+            f"process shards of axis {axis} are not contiguous under "
+            f"{sharding}; cannot feed process-locally"
+        )
+    return lo, hi
+
+
+def put_process_local(
+    x_host: np.ndarray, sharding: Optional[NamedSharding], axis: int
+):
+    """Place a host array on devices, feeding only this process's block.
+
+    `x_host` is the GLOBAL array as materialized on this host (every host
+    computes/reads the same global layout; only the local block is
+    transferred). On one process this equals `jax.device_put(x, sharding)`;
+    on a pod each host feeds its own shards and the result is one global
+    jax.Array spanning all hosts.
+    """
+    if sharding is None:
+        return jnp.asarray(x_host)
+    if sharding.is_fully_addressable:
+        return jax.device_put(x_host, sharding)
+    lo, hi = process_block(sharding, x_host.shape, axis)
+    local = x_host[(slice(None),) * axis + (slice(lo, hi),)]
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(local), x_host.shape
+    )
+
+
 def make_batched_data(
     x: np.ndarray,
     batch_size: int,
@@ -77,8 +126,10 @@ def make_batched_data(
     mb = mask.reshape(nb, batch_size)
 
     if mesh is not None:
-        xb = jax.device_put(xb, batched_sharding(mesh, xb.ndim))
-        mb = jax.device_put(mb, batched_sharding(mesh, 2))
+        # axis 1 (within-batch) is the sharded axis; on a multi-host mesh
+        # each process transfers only its own block (put_process_local)
+        xb = put_process_local(xb, batched_sharding(mesh, xb.ndim), axis=1)
+        mb = put_process_local(mb, batched_sharding(mesh, 2), axis=1)
     else:
         xb, mb = jnp.asarray(xb), jnp.asarray(mb)
     return BatchedData(x=xb, mask=mb, n_samples=m, batch_size=batch_size)
