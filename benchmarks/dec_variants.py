@@ -1,5 +1,11 @@
-import time, functools
-import sys; sys.path.insert(0, "/root/repo")
+"""DEC segment-scan ablation (RESULTS.md "DEC/AEC step-gap analysis").
+
+Run from the repo root on the TPU: `python benchmarks/dec_variants.py`.
+Variants: A current segment fn, B rec-only loss (no student-t/KLD),
+C donated train state, D whole-epoch AEC scan (upper bound).
+"""
+import os, sys, time, functools
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 import spectrogram_cube_clustering_tpu as scc
 from spectrogram_cube_clustering_tpu.ops.student_t import target_distribution
