@@ -187,6 +187,36 @@ class TestShardedKMeansFull:
         assert centers.shape == (k, d)
         assert nmi(y, np.asarray(labels)) > 0.99
 
+    def test_sharded_kmeans_matches_dense_quality(self, rng):
+        """VERDICT r1 #10: the subsample-init deviation from the
+        reference's full-data n_init=100 restarts (models.py:386-391) must
+        not cost clustering quality — sharded (subsample-init) and dense
+        (full-data) paths agree to NMI > 0.99 on overlapping blobs."""
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        from spectrogram_cube_clustering_tpu import cluster as _cluster
+
+        mesh = make_data_mesh()
+        k, d = 5, 9
+        centers_true = rng.normal(size=(k, d)).astype(np.float32) * 3
+        y = rng.integers(0, k, size=8 * 2048)
+        z = (
+            centers_true[y]
+            + rng.normal(size=(len(y), d)).astype(np.float32) * 0.8
+        )
+        labels_sh, _ = parallel.sharded_kmeans(
+            jnp.asarray(z), k, mesh, n_init=20, init_subsample=2048
+        )
+        labels_dense, _ = _cluster.kmeans(z, k, n_init=20, max_iter=300)
+        assert nmi(np.asarray(labels_dense), np.asarray(labels_sh)) > 0.99
+        assert (
+            abs(
+                nmi(y, np.asarray(labels_sh))
+                - nmi(y, np.asarray(labels_dense))
+            )
+            < 0.01
+        )
+
     def test_sharded_gmm_recovers_blobs(self, rng):
         from sklearn.metrics import normalized_mutual_info_score as nmi
 
