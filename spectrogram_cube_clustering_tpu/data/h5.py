@@ -258,12 +258,16 @@ def extract_h5_dataset(
     exclude: Optional[List] = None,
     after: Optional[str] = None,
     before: Optional[str] = None,
+    workers: Optional[int] = None,
 ) -> int:
     """Copy the catalog subset matching station/time filters to a new H5
     (reference extractH5dataset, utils.py:697-863). Returns kept count.
 
     include/exclude entries may be station names or indices; after/before
     are 'YYYYMMDDTHHMMSS' strings compared against the metadata StartTime.
+    The metadata scan fans out over `workers` threads (default
+    min(cpus, 14), mirroring the reference's 14-worker pool) each with its
+    own read handle; the copy runs in 4096-row fancy-index blocks.
     """
     h5py = _h5py()
     if include is None and exclude is None:
@@ -285,39 +289,62 @@ def extract_h5_dataset(
     t_after = datetime.strptime(after, "%Y%m%dT%H%M%S") if after else None
     t_before = datetime.strptime(before, "%Y%m%dT%H%M%S") if before else None
 
+    def _row_passes(raw) -> bool:
+        meta = json.loads(raw)
+        if meta["Station"] not in stations:
+            return False
+        if t_after or t_before:
+            start = str(meta.get("StartTime", "")).replace("-", "").replace(":", "")
+            start = start.replace(" ", "T").split(".")[0]
+            try:
+                t = datetime.strptime(start[:15], "%Y%m%dT%H%M%S")
+            except ValueError:
+                t = None
+            if t is not None:
+                if t_after and t < t_after:
+                    return False
+                if t_before and t > t_before:
+                    return False
+        return True
+
+    def _scan_chunk(lo: int, hi: int) -> list:
+        # own read handle per worker: h5py handles are not thread-safe,
+        # but multiple read-only handles on one file are fine — the
+        # parallel analog of the reference's 14-worker process pool
+        # (utils.py:830-839) without the fork/pickle overhead.
+        with h5py.File(source, "r") as f:
+            rows = f[CATALOGUE_PATH][lo:hi]
+        return [lo + j for j, raw in enumerate(rows) if _row_passes(raw)]
+
+    import concurrent.futures as cf
+
+    if workers is None:
+        workers = min(os.cpu_count() or 1, 14)
     with h5py.File(source, "r") as fs:
         m = len(fs[TRACE_PATH])
-        keep = []
-        for i in range(1, m):
-            meta = json.loads(fs[CATALOGUE_PATH][i])
-            if meta["Station"] not in stations:
-                continue
-            if t_after or t_before:
-                start = str(meta.get("StartTime", "")).replace("-", "").replace(":", "")
-                start = start.replace(" ", "T").split(".")[0]
-                try:
-                    t = datetime.strptime(start[:15], "%Y%m%dT%H%M%S")
-                except ValueError:
-                    t = None
-                if t is not None:
-                    if t_after and t < t_after:
-                        continue
-                    if t_before and t > t_before:
-                        continue
-            keep.append(i)
+    chunk = max(1024, -(-m // max(workers * 4, 1)))
+    spans = [(lo, min(lo + chunk, m)) for lo in range(1, m, chunk)]
+    keep = []
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        for part in pool.map(lambda s: _scan_chunk(*s), spans):
+            keep.extend(part)
+    keep.sort()
 
-        with h5py.File(dest, "w") as fd:
-            group = fd.require_group("/4.0")
-            for name in ("Catalogue", "Trace", "Spectrogram", "Scalogram"):
-                path = f"/4.0/{name}"
-                if path not in fs:
-                    continue
-                dset = fs[path]
-                out = group.create_dataset(
-                    name, (len(keep),) + dset.shape[1:], dtype=dset.dtype
-                )
-                for key, value in dset.attrs.items():
-                    out.attrs[key] = value
-                for j, i in enumerate(keep):
-                    out[j] = dset[i]
+    with h5py.File(source, "r") as fs, h5py.File(dest, "w") as fd:
+        group = fd.require_group("/4.0")
+        for name in ("Catalogue", "Trace", "Spectrogram", "Scalogram"):
+            path = f"/4.0/{name}"
+            if path not in fs:
+                continue
+            dset = fs[path]
+            out = group.create_dataset(
+                name, (len(keep),) + dset.shape[1:], dtype=dset.dtype
+            )
+            for key, value in dset.attrs.items():
+                out.attrs[key] = value
+            # blocked fancy-index copies instead of row-at-a-time writes
+            block = 4096
+            for j0 in range(0, len(keep), block):
+                sel = keep[j0 : j0 + block]
+                out[j0 : j0 + len(sel)] = dset[sel]
     return len(keep)
