@@ -65,6 +65,46 @@ def _to_nchw_np(x: jnp.ndarray) -> np.ndarray:
     return np.asarray(jnp.transpose(x, (0, 3, 1, 2)))
 
 
+def _gmm_figure_context(config, n_clusters: int, z_dec, labels_dec,
+                        centroids_dec):
+    """(z_a, labels_a, centroids_a) for the comparative GMM-vs-DEC figures.
+
+    The reference's DEC prediction loads Z_AEC.npy plus the GMM run's
+    labels/centroids and draws GMM-vs-DEC comparisons (models.py:659-695).
+    Here the same artifacts are searched relative to `saved_weights`; when
+    any piece is missing (e.g. DEC was initialized with rand/kmeans), the
+    DEC outputs compare against themselves, which degrades the figures to
+    single-model views rather than failing.
+    """
+    from spectrogram_cube_clustering_tpu.workflow.train import (
+        _gmm_artifacts_dir,
+    )
+
+    try:
+        gmm_dir = _gmm_artifacts_dir(config, n_clusters)
+        labels_a = np.load(os.path.join(gmm_dir, "labels.npy"))
+        centroids_a = np.load(os.path.join(gmm_dir, "centroids.npy"))
+        run_dir = os.path.abspath(
+            os.path.join(config.saved_weights, os.pardir)
+        )
+        z_a = None
+        for cand in (
+            os.path.join(run_dir, "Z_AEC.npy"),
+            os.path.join(run_dir, "Prediction", "Z_AEC.npy"),
+            os.path.join(run_dir, os.pardir, "Prediction", "Z_AEC.npy"),
+        ):
+            if os.path.exists(cand):
+                z_a = np.load(cand)
+                break
+        if z_a is None or len(z_a) != len(z_dec):
+            z_a = np.asarray(z_dec)
+        if len(labels_a) != len(z_a) or len(centroids_a) != n_clusters:
+            raise FileNotFoundError
+        return z_a, labels_a, centroids_a
+    except (FileNotFoundError, OSError, ValueError):
+        return np.asarray(z_dec), np.asarray(labels_dec), np.asarray(centroids_dec)
+
+
 def _predict_stream(config, figures: bool, mesh=None) -> Dict:
     """loadmode='stream' inference: windows never materialize at once.
 
@@ -159,9 +199,12 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
             from spectrogram_cube_clustering_tpu.workflow.fit import _tsne
 
             k = int(config.n_clusters)
+            z_a, labels_a, cents_a = _gmm_figure_context(
+                config, k, z_np, labels_np, centroids_np
+            )
             figs = plotting.analyze_dec(
-                x_sub, z_np[sel], z_np[sel], labels_np[sel], labels_np[sel],
-                centroids_np, centroids_np, _tsne(config, z_np[sel]),
+                x_sub, z_a[sel], z_np[sel], labels_a[sel], labels_np[sel],
+                cents_a, centroids_np, _tsne(config, z_np[sel]),
             )
             plotting.save_figures(figs, savepath)
             for scores, name in (
@@ -264,7 +307,14 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
                 os.path.join(savepath, "Gallery", "gallery.png"), dpi=300,
                 facecolor="w",
             )
-            plotting.view_latent_space(z_np, labels_np).savefig(
+            # comparative GMM-vs-DEC figures when the GMM artifacts +
+            # Z_AEC are findable (reference models.py:659-695)
+            z_a, labels_a, cents_a = _gmm_figure_context(
+                config, k, z_np, labels_np, centroids_np
+            )
+            plotting.view_latent_space(
+                z_a, labels_a, z_np, labels_np, cents_a, centroids_np
+            ).savefig(
                 os.path.join(savepath, "LatentSpace", "latent.png"), dpi=300,
                 facecolor="w",
             )
@@ -272,7 +322,9 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
                 os.path.join(savepath, "CDF", "cdf.png"), dpi=300,
                 facecolor="w",
             )
-            plotting.view_class_pdf(z_np, labels_np, centroids_np).savefig(
+            plotting.view_class_pdf_paper(
+                z_a, z_np, labels_a, labels_np, cents_a, centroids_np, k
+            ).savefig(
                 os.path.join(savepath, "PDF", "pdf.png"), dpi=300,
                 facecolor="w",
             )
