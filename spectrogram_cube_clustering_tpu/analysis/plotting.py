@@ -602,9 +602,9 @@ def cluster_gallery(
     return _finish(fig, show)
 
 
-def view_class_cdf(z, labels, centroids, p: int = 2, show: bool = False):
-    """CDF of sample distance to own centroid per class (reference
-    view_class_cdf, plotting.py:800-884)."""
+def view_class_cdf_single(z, labels, centroids, p: int = 2,
+                          show: bool = False):
+    """Single-model cut: CDF of sample distance to own centroid per class."""
     z = np.asarray(z)
     labels = np.asarray(labels)
     centroids = np.asarray(centroids)
@@ -629,10 +629,74 @@ def view_class_cdf(z, labels, centroids, p: int = 2, show: bool = False):
     return _finish(fig, show)
 
 
-def view_class_pdf(z, labels, centroids, p: int = 2, bins: int = 50,
-                   show: bool = False):
-    """Histogram/PDF of distance to own centroid per class (reference
-    view_class_pdf, plotting.py:885-994)."""
+def view_class_cdf(
+    data_a, labels_a=None, data_b=None, labels_b=None,
+    centroids_a=None, centroids_b=None, n_clusters: Optional[int] = None,
+    p: int = 2, show: bool = False,
+):
+    """Comparative GMM-vs-DEC own-class distance CDFs (reference
+    view_class_cdf, plotting.py:800-884): a 2-column grid of per-class
+    panels, each overlaying both models' CDF of the class's distances to
+    its own centroid, shared x-range, class tag in the corner.
+
+    `view_class_cdf(z, labels, centroids)` falls back to the single-model
+    variant.
+    """
+    if centroids_a is None:
+        # legacy 3-positional call: (z, labels, centroids)
+        return view_class_cdf_single(data_a, labels_a, data_b, p=p, show=show)
+    from matplotlib import gridspec
+
+    from spectrogram_cube_clustering_tpu.utils.mathutils import (
+        fractional_distance,
+    )
+
+    data_a, data_b = np.asarray(data_a), np.asarray(data_b)
+    labels_a, labels_b = np.asarray(labels_a), np.asarray(labels_b)
+    centroids_a, centroids_b = np.asarray(centroids_a), np.asarray(centroids_b)
+    if n_clusters is None:
+        n_clusters = len(centroids_a)
+    label_list = np.unique(labels_a)
+    colors = cmap_lifeaquatic(max(n_clusters, 2))
+    nrows = int(np.ceil(n_clusters / 2))
+    fig = plt.figure(figsize=(7, 2 * nrows), dpi=150)
+    gs = gridspec.GridSpec(nrows=nrows, ncols=2, hspace=0, wspace=0)
+    max_dist = 0.0
+    axes = []
+    for l in range(n_clusters):
+        ax = fig.add_subplot(gs[l // 2, l % 2])
+        axes.append(ax)
+        for data, labels, cents, name, color in (
+            (data_a, labels_a, centroids_a, "GMM", colors[0]),
+            (data_b, labels_b, centroids_b, "DEC", colors[1]),
+        ):
+            dist = fractional_distance(cents[l], data, p)
+            sel = labels == label_list[l % len(label_list)]
+            d = np.sort(dist[sel])
+            if len(d) == 0:
+                continue
+            ax.plot(d, np.arange(1, len(d) + 1) / len(d), color=color,
+                    label=name)
+            max_dist = max(max_dist, float(d.max()))
+        ax.set_yticks([0.0, 0.5, 1.0])
+        if l == n_clusters - 1 or (n_clusters % 2 == 0 and l == n_clusters - 2):
+            ax.set_xlabel(rf"$d=\Vert z-\mu_k\Vert_{p}$")
+            ax.set_ylabel("CDF")
+        else:
+            ax.set_xticklabels([]), ax.set_yticklabels([])
+    for j, ax in enumerate(axes):
+        ax.set_xlim(0, max_dist if max_dist > 0 else 1.0)
+        ax.text(0.9, 0.15, f"$k={j + 1}$", ha="right", va="bottom",
+                transform=ax.transAxes)
+    handles, leg_labels = axes[-1].get_legend_handles_labels()
+    fig.legend(handles, leg_labels, loc="lower center", ncol=2)
+    fig.subplots_adjust(bottom=0.18)
+    return _finish(fig, show)
+
+
+def view_class_pdf_single(z, labels, centroids, p: int = 2, bins: int = 50,
+                          show: bool = False):
+    """Single-model cut: per-class own-centroid distance histograms."""
     z = np.asarray(z)
     labels = np.asarray(labels)
     centroids = np.asarray(centroids)
@@ -648,6 +712,86 @@ def view_class_pdf(z, labels, centroids, p: int = 2, bins: int = 50,
         ax.set_ylabel(f"Class {j + 1}")
     axes[-1, 0].set_xlabel(f"L{p} distance to centroid")
     fig.suptitle("Distance-to-Centroid PDF")
+    return _finish(fig, show)
+
+
+def view_class_pdf(
+    data_a, labels_a=None, data_b=None, labels_b=None,
+    centroids_a=None, centroids_b=None, n_clusters: Optional[int] = None,
+    p: int = 2, show: bool = False,
+):
+    """Comparative GMM-vs-DEC class PDFs (reference view_class_pdf,
+    plotting.py:885-994): per centroid mu_k a stacked [GMM over DEC] pair
+    of panels, each holding EVERY class's density histogram of distances
+    to mu_k with class-colored fills, shared x-range and legend.
+
+    `view_class_pdf(z, labels, centroids)` falls back to the single-model
+    variant.
+    """
+    if centroids_a is None:
+        # legacy 3-positional call: (z, labels, centroids)
+        return view_class_pdf_single(data_a, labels_a, data_b, p=p, show=show)
+    from matplotlib import gridspec
+
+    from spectrogram_cube_clustering_tpu.utils.mathutils import (
+        fractional_distance,
+    )
+
+    data_a, data_b = np.asarray(data_a), np.asarray(data_b)
+    labels_a, labels_b = np.asarray(labels_a), np.asarray(labels_b)
+    centroids_a, centroids_b = np.asarray(centroids_a), np.asarray(centroids_b)
+    if n_clusters is None:
+        n_clusters = len(centroids_a)
+    label_list = np.unique(labels_a)
+    all_d = np.concatenate([
+        fractional_distance(centroids_a[l], data_a, p)
+        for l in range(n_clusters)
+    ] + [
+        fractional_distance(centroids_b[l], data_b, p)
+        for l in range(n_clusters)
+    ])
+    hi = float(np.ceil(all_d.max() / 10.0)) * 10 if len(all_d) else 1.0
+    bins = np.linspace(0, max(hi, 1.0), 200)
+    colors = cmap_lifeaquatic(n_clusters)
+    nrows = int(np.ceil(n_clusters / 2))
+    fig = plt.figure(figsize=(12, 2.5 * nrows), dpi=150)
+    gs = gridspec.GridSpec(nrows=nrows, ncols=2, hspace=0.3, wspace=0.05)
+
+    def _panel(ax, dist, labels, tag):
+        for ll in range(n_clusters):
+            dsel = dist[labels == label_list[ll % len(label_list)]]
+            h = np.histogram(dsel, bins=bins, density=True)[0]
+            ax.plot(bins[:-1], h, color=colors[ll], label=f"{ll + 1}")
+            ax.fill_between(bins[:-1], 0, h, color=colors[ll], alpha=0.2)
+        ax.set_xlim(bins[0], bins[-1])
+        ax.text(1, 0.9, tag, ha="right", va="top", transform=ax.transAxes,
+                size=12)
+
+    last_ax = None
+    for l in range(n_clusters):
+        sub = gridspec.GridSpecFromSubplotSpec(
+            2, 1, subplot_spec=gs[l // 2, l % 2], hspace=0, wspace=0
+        )
+        axa = fig.add_subplot(sub[0])
+        _panel(axa, fractional_distance(centroids_a[l], data_a, p),
+               labels_a, "GMM")
+        axa.set_title(rf"Class PDFs relative to $\mu_{{{l + 1}}}$",
+                      loc="left", size=12)
+        axa.set_xticklabels([])
+        axb = fig.add_subplot(sub[1])
+        _panel(axb, fractional_distance(centroids_b[l], data_b, p),
+               labels_b, "DEC")
+        if l == n_clusters - 1 or (n_clusters % 2 == 0 and l == n_clusters - 2):
+            axb.set_xlabel(rf"$d=\Vert z-\mu_k\Vert_{p}$", size=12)
+            axb.set_ylabel("PDF", size=12)
+            last_ax = axb
+        else:
+            axb.set_xticklabels([]), axb.set_yticklabels([])
+    handles, leg_labels = (last_ax or axb).get_legend_handles_labels()
+    leg = fig.legend(handles, leg_labels, loc="lower center",
+                     ncol=n_clusters, fontsize=10)
+    leg.set_title("Classes")
+    fig.subplots_adjust(bottom=0.18)
     return _finish(fig, show)
 
 
@@ -892,7 +1036,10 @@ def analyze_dec(
             z_aec, labels_gmm, z_dec, labels_dec,
             centroids_gmm, centroids_dec, show=show,
         ),
-        "CDF": view_class_cdf(z_dec, labels_dec, centroids_dec, show=show),
+        "CDF": view_class_cdf(
+            z_aec, labels_gmm, z_dec, labels_dec,
+            centroids_gmm, centroids_dec, show=show,
+        ),
         "PDF": view_class_pdf_paper(
             z_aec, z_dec, labels_gmm, labels_dec,
             centroids_gmm, centroids_dec, k, show=show,

@@ -318,7 +318,9 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
                 os.path.join(savepath, "LatentSpace", "latent.png"), dpi=300,
                 facecolor="w",
             )
-            plotting.view_class_cdf(z_np, labels_np, centroids_np).savefig(
+            plotting.view_class_cdf(
+                z_a, labels_a, z_np, labels_np, cents_a, centroids_np
+            ).savefig(
                 os.path.join(savepath, "CDF", "cdf.png"), dpi=300,
                 facecolor="w",
             )

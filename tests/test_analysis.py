@@ -179,6 +179,17 @@ class TestFigures:
         )
         assert len(fig.axes) == 4 * k  # broken-axis quad per centroid
 
+        fig = plotting.view_class_pdf(
+            z_a, labels_a, z_b, labels_b, cents_a, cents_b
+        )
+        assert len(fig.axes) == 2 * k  # GMM-over-DEC pair per centroid
+
+        fig = plotting.view_class_cdf(
+            z_a, labels_a, z_b, labels_b, cents_a, cents_b
+        )
+        assert len(fig.axes) == k
+        assert all(len(ax.lines) == 2 for ax in fig.axes)  # GMM + DEC
+
         fig = plotting.cluster_gallery(
             x, z_b, labels_b, cents_b,
             centroid_decodes=rng.normal(size=(k, 4, 101, 1)),
