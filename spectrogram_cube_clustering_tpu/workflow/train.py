@@ -237,6 +237,32 @@ def _train_stream(config, mesh=None):
                 os.path.join(config.savepath_run, "AEC_Params_Final"),
                 out["final_params"],
             )
+            # same artifacts as the ram path: TB scalars + final
+            # reconstruction panel on a sample batch
+            writer, log_scalar = _tb_writer(config, config.savepath_run)
+            if log_scalar is not None:
+                for e, tr, va in zip(out["history"]["epoch"],
+                                     out["history"]["train"],
+                                     out["history"]["validation"]):
+                    log_scalar("Training MSE", tr, e)
+                    log_scalar("Validation MSE", va, e)
+            from spectrogram_cube_clustering_tpu.analysis import plotting
+
+            x_show = item_fn(0)[:4]
+            xr, _ = model.apply(
+                {"params": out["final_params"]}, jnp.asarray(x_show)
+            )
+            fig = plotting.view_specgram_training(
+                x_show, np.asarray(xr), n_samples=len(x_show),
+                figtitle="AEC reconstructions (stream)",
+            )
+            fig.savefig(
+                os.path.join(config.savepath_run, "AEC_reconstructions.png"),
+                dpi=200, facecolor="w",
+            )
+            if writer is not None:
+                writer.add_figure("Reconstructions", fig)
+                writer.close()
         elif config.model == "DEC":
             n_clusters = int(hp.get("n_clusters", 5))
             model = make_model(config, n_clusters=n_clusters)
@@ -279,6 +305,12 @@ def _train_stream(config, mesh=None):
                  "KLD": out["history"]["clustering"]},
                 os.path.join(config.savepath_run, "DEC_history.csv"),
             )
+            if out["deltas"]["iteration"]:
+                _utils.save_history(
+                    {"Iteration": out["deltas"]["iteration"],
+                     "Delta": out["deltas"]["delta"]},
+                    os.path.join(config.savepath_run, "Delta_history.csv"),
+                )
         else:
             raise ValueError(f"unknown model {config.model!r}")
         out["savepath_run"] = config.savepath_run

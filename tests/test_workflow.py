@@ -164,6 +164,7 @@ def test_stream_loadmode_aec(cube):
     run_dir = out["savepath_run"]
     assert os.path.isdir(os.path.join(run_dir, "AEC_Params_Final"))
     assert os.path.exists(os.path.join(run_dir, "AEC_history.csv"))
+    assert os.path.exists(os.path.join(run_dir, "AEC_reconstructions.png"))
     hist = out["history"]["train"]
     assert hist[-1] < hist[0]
 
