@@ -305,6 +305,59 @@ def test_gmm_km_metrics_diagnostics(cube):
     )
 
 
+def test_gmm_figure_context_loads_artifacts(tmp_path, cube):
+    """DEC-predict comparative figures load the GMM run's labels/centroids
+    + the AEC prediction's Z_AEC (reference models.py:659-695), falling
+    back to self-comparison when artifacts are missing."""
+    import types
+
+    from spectrogram_cube_clustering_tpu.workflow.predict import (
+        _gmm_figure_context,
+    )
+
+    rng = np.random.default_rng(0)
+    m, k, d = 50, 3, 9
+    z_dec = rng.normal(size=(m, d)).astype(np.float32)
+    labels_dec = rng.integers(0, k, m)
+    cents_dec = rng.normal(size=(k, d)).astype(np.float32)
+
+    run_dir = tmp_path / "Run_x"
+    weights = run_dir / "AEC_Params_Final"
+    weights.mkdir(parents=True)
+    config = types.SimpleNamespace(saved_weights=str(weights))
+
+    # no artifacts -> self-comparison fallback
+    z_a, labels_a, cents_a = _gmm_figure_context(
+        config, k, z_dec, labels_dec, cents_dec
+    )
+    np.testing.assert_array_equal(z_a, z_dec)
+
+    # real artifacts -> loaded
+    gmm_dir = run_dir / "GMM" / f"n_clusters={k}"
+    gmm_dir.mkdir(parents=True)
+    labels_gmm = rng.integers(0, k, m)
+    cents_gmm = rng.normal(size=(k, d)).astype(np.float32)
+    z_aec = rng.normal(size=(m, d)).astype(np.float32)
+    np.save(gmm_dir / "labels.npy", labels_gmm)
+    np.save(gmm_dir / "centroids.npy", cents_gmm)
+    pred_dir = run_dir / "Prediction"
+    pred_dir.mkdir()
+    np.save(pred_dir / "Z_AEC.npy", z_aec)
+    z_a, labels_a, cents_a = _gmm_figure_context(
+        config, k, z_dec, labels_dec, cents_dec
+    )
+    np.testing.assert_array_equal(z_a, z_aec)
+    np.testing.assert_array_equal(labels_a, labels_gmm)
+    np.testing.assert_array_equal(cents_a, cents_gmm)
+
+    # mismatched lengths -> fallback, not a crash
+    np.save(gmm_dir / "labels.npy", labels_gmm[: m - 5])
+    z_a, labels_a, _ = _gmm_figure_context(
+        config, k, z_dec, labels_dec, cents_dec
+    )
+    assert len(labels_a) == m
+
+
 def test_unet_arch_workflow(cube):
     """arch=UNet trains and predicts end-to-end (16-d latent); the DEC
     stage intentionally rejects UNet weights (SURVEY.md §2.3 defect 2)."""
