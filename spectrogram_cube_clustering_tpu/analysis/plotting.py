@@ -760,6 +760,8 @@ def view_class_pdf(
     def _panel(ax, dist, labels, tag):
         for ll in range(n_clusters):
             dsel = dist[labels == label_list[ll % len(label_list)]]
+            if len(dsel) == 0:  # empty class: density would divide by 0
+                continue
             h = np.histogram(dsel, bins=bins, density=True)[0]
             ax.plot(bins[:-1], h, color=colors[ll], label=f"{ll + 1}")
             ax.fill_between(bins[:-1], 0, h, color=colors[ll], alpha=0.2)

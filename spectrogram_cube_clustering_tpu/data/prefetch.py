@@ -31,6 +31,14 @@ class PrefetchLoader:
     `num_workers` threads in index order and concatenated into fixed-size
     window batches. Each epoch yields (batch (B, H, W, C) on device,
     n_valid) with the trailing batch zero-padded.
+
+    Multi-host: with a sharding that spans processes, every process must
+    run an identical loader (same items, same order — guaranteed by the
+    deterministic unshuffled iteration the DEC stale-p contract already
+    requires); each host then transfers only its addressable block of
+    every batch (train.layout.put_process_local). Hosts currently read
+    all items and slice at transfer time — correct, but IO is not yet
+    divided across hosts.
     """
 
     def __init__(

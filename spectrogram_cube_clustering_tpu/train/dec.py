@@ -525,10 +525,10 @@ def train_dec(
             sizes = np.maximum(cum[3], 1.0)
             for j in range(seg_len):
                 history["iteration"].append(n_iter + j)
-                history["total"].append(cum[0, j] / sizes[j])
-                history["reconstruction"].append(cum[1, j] / sizes[j])
-                history["clustering"].append(cum[2, j] / sizes[j])
-            running = cum[:, -1]
+                history["total"].append(float(cum[0, j] / sizes[j]))
+                history["reconstruction"].append(float(cum[1, j] / sizes[j]))
+                history["clustering"].append(float(cum[2, j] / sizes[j]))
+            running = cum[:, -1].copy()
             n_iter += seg_len
             batch_num += seg_len
 
