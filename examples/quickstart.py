@@ -14,6 +14,13 @@ import os
 import sys
 import tempfile
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import numpy as np
 
 import spectrogram_cube_clustering_tpu as scc
