@@ -50,6 +50,7 @@ def main(n_windows: int = 1_000_000, n_classes: int = 5) -> float:
     out = scc.train.train_aec(
         aec, st, data, None,
         scc.train.AECConfig(n_epochs=4, early_stopping=False),
+        sync_every=4,  # all 4 epochs in one device call (RESULTS.md)
     )
     print(f"AEC: 4 epochs in {time.perf_counter() - t0:.1f}s, "
           f"loss {out['history']['train'][0]:.4f} -> "

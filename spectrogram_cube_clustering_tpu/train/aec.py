@@ -83,6 +83,119 @@ def make_epoch_fns(model):
     return train_epoch, eval_epoch
 
 
+def make_fused_epochs_fn(model, n_epochs: int, patience: int,
+                         early_stopping: bool):
+    """Multi-epoch training entirely on device.
+
+    Returns a jitted fn running epochs [epoch0, epoch_end) as one
+    `lax.while_loop` — training scan, validation scan, and the reference's
+    early-stopping bookkeeping (best-val params, strike counting,
+    models.py:857-874) all live in the loop carry, so the host syncs once
+    per *call* instead of once per epoch. On a remote-attached TPU the
+    per-epoch host round trip costs more than a whole 1M-sample epoch
+    (benchmarks/RESULTS.md); this amortizes it by `sync_every`.
+
+    The carry tracks (state, best_val, best_params, have_best, strikes,
+    epoch, done); histories are written into fixed (n_epochs,) buffers at
+    the epoch index. Calling it repeatedly with the returned loop state
+    chunks training without changing semantics — histories/stopping are
+    bitwise identical to the per-epoch Python loop.
+    """
+
+    def loss_sum(params, x, mask):
+        out = model.apply({"params": params}, x)
+        per = _masked_mse_per_sample(out[0], x)
+        nvalid = jnp.maximum(jnp.sum(mask), 1.0)
+        return jnp.sum(per * mask) / nvalid, nvalid
+
+    def train_epoch_body(state, xb, maskb):
+        def step(state, batch):
+            x, mask = batch
+
+            def lf(params):
+                return loss_sum(params, x, mask)
+
+            (batch_loss, nvalid), grads = jax.value_and_grad(
+                lf, has_aux=True
+            )(state.params)
+            state = state.apply_gradients(grads=grads)
+            return state, batch_loss * nvalid
+
+        state, sums = lax.scan(step, state, (xb, maskb))
+        return state, jnp.sum(sums) / jnp.maximum(jnp.sum(maskb), 1.0)
+
+    def eval_epoch_body(params, xb, maskb):
+        def step(_, batch):
+            x, mask = batch
+            batch_loss, nvalid = loss_sum(params, x, mask)
+            return None, batch_loss * nvalid
+
+        _, sums = lax.scan(step, None, (xb, maskb))
+        return jnp.sum(sums) / jnp.maximum(jnp.sum(maskb), 1.0)
+
+    @jax.jit
+    def run(state, tra_x, tra_mask, val_x, val_mask, loop, epoch_end):
+        # loop: dict(best_val f32, best_params, have_best bool, strikes i32,
+        #            epoch i32, done bool, tra_hist (E,), val_hist (E,))
+        def cond(c):
+            return jnp.logical_and(c["epoch"] < epoch_end,
+                                   jnp.logical_not(c["done"]))
+
+        def body(c):
+            state = c["state"]
+            epoch = c["epoch"]
+            state, tra_loss = train_epoch_body(state, tra_x, tra_mask)
+            val_loss = (
+                eval_epoch_body(state.params, val_x, val_mask)
+                if val_x is not None else tra_loss
+            )
+            c = dict(c)
+            c["state"] = state
+            c["tra_hist"] = c["tra_hist"].at[epoch].set(tra_loss)
+            c["val_hist"] = c["val_hist"].at[epoch].set(val_loss)
+            if early_stopping:
+                improved = val_loss < c["best_val"]
+                c["best_params"] = jax.tree.map(
+                    lambda b, p: jnp.where(improved, p, b),
+                    c["best_params"], state.params,
+                )
+                c["have_best"] = jnp.logical_or(c["have_best"], improved)
+                c["best_val"] = jnp.where(improved, val_loss, c["best_val"])
+                # strikes: 0 on improvement; else 1 at epoch 0, +1 after
+                # (reference models.py:866-871)
+                c["strikes"] = jnp.where(
+                    improved, 0,
+                    jnp.where(epoch == 0, 1, c["strikes"] + 1),
+                )
+                c["done"] = jnp.logical_and(
+                    epoch > patience, c["strikes"] > patience
+                )
+            c["epoch"] = epoch + 1
+            return c
+
+        init = dict(loop)
+        init["state"] = state
+        out = lax.while_loop(cond, body, init)
+        state = out.pop("state")
+        return state, out
+
+    return run
+
+
+def _init_loop_state(state, n_epochs: int):
+    """Fresh loop-state pytree for `make_fused_epochs_fn` chunk calls."""
+    return {
+        "best_val": jnp.float32(jnp.inf),
+        "best_params": jax.tree.map(lambda a: a, state.params),
+        "have_best": jnp.bool_(False),
+        "strikes": jnp.int32(0),
+        "epoch": jnp.int32(0),
+        "done": jnp.bool_(False),
+        "tra_hist": jnp.full((n_epochs,), jnp.nan, jnp.float32),
+        "val_hist": jnp.full((n_epochs,), jnp.nan, jnp.float32),
+    }
+
+
 def make_step_fns(model):
     """Per-batch (train_step, eval_step) for the streaming path — same
     masked-MSE semantics as the scan epoch, one jitted step per device
@@ -167,6 +280,7 @@ def train_aec(
     snapshot_path: Optional[str] = None,
     snapshot_every: int = 1,
     resume: bool = False,
+    sync_every: int = 1,
 ) -> Dict:
     """Run AEC pretraining. Returns dict with final state, best params,
     history, and the stop epoch.
@@ -175,8 +289,23 @@ def train_aec(
     loop metadata) is written every `snapshot_every` epochs; `resume=True`
     picks training up from it after preemption (the reference restarts
     from scratch — it never saves optimizer state, SURVEY.md §5).
+
+    `sync_every > 1` runs that many epochs per device call (one jitted
+    `lax.while_loop` holding the early-stopping state on device,
+    `make_fused_epochs_fn`) and replays logging/snapshots from the history
+    buffers at each sync point — same histories, stop epoch, and artifacts,
+    ~`sync_every`× fewer host round trips. Checkpoint callbacks fire at
+    sync granularity (the final best/last params are identical).
     """
     from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
+
+    if sync_every > 1:
+        return _train_aec_fused(
+            model, state, tra, val, config,
+            log_scalar=log_scalar, save_checkpoint=save_checkpoint,
+            snapshot_path=snapshot_path, snapshot_every=snapshot_every,
+            resume=resume, sync_every=sync_every,
+        )
 
     train_epoch, eval_epoch = make_epoch_fns(model)
 
@@ -258,4 +387,113 @@ def train_aec(
         "history": history,
         "stopped_early": finished,
         "last_epoch": epoch + 1,
+    }
+
+
+def _train_aec_fused(
+    model, state, tra, val, config,
+    log_scalar=None, save_checkpoint=None,
+    snapshot_path=None, snapshot_every=1, resume=False, sync_every=8,
+):
+    """Chunked on-device AEC training (see `train_aec(sync_every=...)`).
+
+    Runs `sync_every` epochs per jitted call with early stopping evaluated
+    on device; at each sync point replays the per-epoch history into the
+    logging/snapshot callbacks. Snapshot format is interchangeable with the
+    per-epoch path, so resume works across both.
+    """
+    import numpy as np
+
+    from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
+
+    n_epochs = int(config.n_epochs)
+    run = make_fused_epochs_fn(
+        model, n_epochs, int(config.patience), bool(config.early_stopping)
+    )
+    loop = _init_loop_state(state, n_epochs)
+    history: Dict[str, List[float]] = {
+        "epoch": [], "train": [], "validation": []
+    }
+
+    if resume and snapshot_path is not None and os.path.exists(snapshot_path):
+        state, meta, extra = ckpt.restore_snapshot(
+            snapshot_path, state, extra_template=state.params
+        )
+        history = meta["history"]
+        loop["epoch"] = jnp.int32(meta["epoch"])
+        loop["best_val"] = jnp.float32(meta["best_val"])
+        loop["strikes"] = jnp.int32(meta["strikes"])
+        loop["have_best"] = jnp.bool_(bool(meta.get("have_best")))
+        if meta.get("have_best"):
+            loop["best_params"] = extra
+        for e, t, v in zip(history["epoch"], history["train"],
+                           history["validation"]):
+            loop["tra_hist"] = loop["tra_hist"].at[e - 1].set(t)
+            loop["val_hist"] = loop["val_hist"].at[e - 1].set(v)
+        if config.verbose:
+            print(f"Resumed from {snapshot_path} at epoch {meta['epoch']}")
+
+    epoch = int(loop["epoch"])
+    prev_best = float(loop["best_val"])
+    val_x, val_mask = (val.x, val.mask) if val is not None else (None, None)
+    while epoch < n_epochs:
+        epoch_end = min(epoch + int(sync_every), n_epochs)
+        state, loop = run(
+            state, tra.x, tra.mask, val_x, val_mask, loop,
+            jnp.int32(epoch_end),
+        )
+        new_epoch = int(loop["epoch"])
+        done = bool(loop["done"])
+        tra_hist = np.asarray(loop["tra_hist"])
+        val_hist = np.asarray(loop["val_hist"])
+        for e in range(epoch, new_epoch):
+            history["epoch"].append(e + 1)
+            history["train"].append(float(tra_hist[e]))
+            history["validation"].append(float(val_hist[e]))
+            if log_scalar is not None:
+                log_scalar("Training MSE", float(tra_hist[e]), e + 1)
+                log_scalar("Validation MSE", float(val_hist[e]), e + 1)
+            if config.verbose:
+                print(
+                    f"Epoch [{e + 1}/{n_epochs}] "
+                    f"train={float(tra_hist[e]):.4e} "
+                    f"val={float(val_hist[e]):.4e}"
+                )
+        if save_checkpoint is not None:
+            if config.early_stopping:
+                best_val = float(loop["best_val"])
+                if best_val < prev_best:
+                    save_checkpoint("AEC_Best_Weights", loop["best_params"])
+                    prev_best = best_val
+            elif new_epoch > epoch:
+                save_checkpoint(f"AEC_Params_{new_epoch:03d}", state.params)
+        if snapshot_path is not None and (
+            new_epoch % max(int(snapshot_every), 1) == 0 or new_epoch == n_epochs
+            or done
+        ):
+            have_best = bool(loop["have_best"])
+            ckpt.save_snapshot(
+                snapshot_path, state,
+                {"epoch": new_epoch, "history": history,
+                 "best_val": float(loop["best_val"]),
+                 "strikes": int(loop["strikes"]), "have_best": have_best},
+                extra=loop["best_params"] if have_best else state.params,
+            )
+        epoch = new_epoch
+        if done:
+            break
+
+    have_best = bool(loop["have_best"])
+    final_params = (
+        loop["best_params"]
+        if (config.early_stopping and have_best)
+        else state.params
+    )
+    return {
+        "state": state,
+        "final_params": final_params,
+        "best_val": float(loop["best_val"]),
+        "history": history,
+        "stopped_early": bool(loop["done"]),
+        "last_epoch": epoch,
     }

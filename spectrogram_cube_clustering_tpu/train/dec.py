@@ -88,6 +88,88 @@ def _pad_p(p: jnp.ndarray, n_batches: int, batch: int) -> jnp.ndarray:
     return flat.reshape(n_batches, batch, k)
 
 
+def _dec_batch_step(model, gamma: float):
+    """Single DEC train step (shared by the segment scans): returns
+    (state, (loss*nv, rec*nv, clust*nv, nv)) for one (x, mask, p) batch."""
+
+    def step(state, batch):
+        x, mask, p = batch
+
+        def lf(params):
+            q, x_rec, _ = model.apply({"params": params}, x)
+            d = x_rec - x
+            per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
+            nvalid = jnp.maximum(jnp.sum(mask), 1.0)
+            rec = jnp.sum(per * mask) / nvalid
+            log_q = jnp.log(jnp.maximum(q, jnp.finfo(q.dtype).tiny))
+            row_kld = jnp.sum(xlogy(p, p) - p * log_q, axis=-1)
+            clust = gamma * jnp.sum(row_kld * mask) / nvalid
+            return rec + clust, (rec, clust, nvalid)
+
+        (loss, (rec, clust, nvalid)), grads = jax.value_and_grad(
+            lf, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, (loss * nvalid, rec * nvalid, clust * nvalid, nvalid)
+
+    return step
+
+
+def make_refresh_segment_fn(
+    model, gamma: float, tol: float, m: int, nb: int, bsz: int,
+    seg_len: int, do_refresh: bool,
+):
+    """One jitted call per refresh interval: (optional) full-dataset eval +
+    target-distribution refresh + delta-label stop test + the following
+    `seg_len`-batch training segment — with the stop decision taken ON
+    DEVICE (`lax.cond` skips the segment when delta < tol, exactly the
+    reference's break-before-training, models.py:1093-1111).
+
+    The per-epoch Python loop in `train_dec` pays ~2 host syncs per
+    segment (delta fetch + history sums); this fuses them into one
+    dispatch + one fetch, which matters on high-RTT device attachments
+    (see benchmarks/RESULTS.md host-sync notes). Numerics are identical:
+    the same `full_eval` scan, 5-dp rounding, `target_distribution`, and
+    segment scan run in the same order.
+
+    Returns (state', p_all', labels' (m,), delta, stopped, sums).
+    """
+    step = _dec_batch_step(model, gamma)
+
+    @jax.jit
+    def fused(state, x_all, m_all, p_all, labels_prev, start):
+        if do_refresh:
+            def ev(_, x):
+                q, _, _ = model.apply({"params": state.params}, x)
+                return None, q
+
+            _, q = lax.scan(ev, None, x_all)
+            q = jnp.round(q.reshape(-1, q.shape[-1]), 5)[:m]
+            labels = jnp.argmax(q, axis=1).astype(labels_prev.dtype)
+            p_all = _pad_p(target_distribution(q), nb, bsz)
+            delta = jnp.mean((labels != labels_prev).astype(jnp.float32))
+            stopped = delta < tol
+        else:
+            labels = labels_prev
+            delta = jnp.float32(1.0)
+            stopped = jnp.bool_(False)
+
+        def run(state):
+            xs = lax.dynamic_slice_in_dim(x_all, start, seg_len, axis=0)
+            ms = lax.dynamic_slice_in_dim(m_all, start, seg_len, axis=0)
+            ps = lax.dynamic_slice_in_dim(p_all, start, seg_len, axis=0)
+            return lax.scan(step, state, (xs, ms, ps))
+
+        def skip(state):
+            zeros = jnp.zeros((seg_len,), jnp.float32)
+            return state, (zeros, zeros, zeros, zeros)
+
+        state, sums = lax.cond(stopped, skip, run, state)
+        return state, p_all, labels, delta, stopped, sums
+
+    return fused
+
+
 def make_segment_fn(model, gamma: float, seg_len: int):
     """Jitted scan over `seg_len` consecutive batches starting at `start`.
 
@@ -101,33 +183,13 @@ def make_segment_fn(model, gamma: float, seg_len: int):
     (seg_len,) so the caller can log one history row per batch exactly
     like the reference (models.py:1150-1161).
     """
+    step = _dec_batch_step(model, gamma)
 
     @jax.jit
     def segment(state, x_all, m_all, p_all, start):
         xs = lax.dynamic_slice_in_dim(x_all, start, seg_len, axis=0)
         ms = lax.dynamic_slice_in_dim(m_all, start, seg_len, axis=0)
         ps = lax.dynamic_slice_in_dim(p_all, start, seg_len, axis=0)
-
-        def step(state, batch):
-            x, mask, p = batch
-
-            def lf(params):
-                q, x_rec, _ = model.apply({"params": params}, x)
-                d = x_rec - x
-                per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
-                nvalid = jnp.maximum(jnp.sum(mask), 1.0)
-                rec = jnp.sum(per * mask) / nvalid
-                log_q = jnp.log(jnp.maximum(q, jnp.finfo(q.dtype).tiny))
-                row_kld = jnp.sum(xlogy(p, p) - p * log_q, axis=-1)
-                clust = gamma * jnp.sum(row_kld * mask) / nvalid
-                return rec + clust, (rec, clust, nvalid)
-
-            (loss, (rec, clust, nvalid)), grads = jax.value_and_grad(
-                lf, has_aux=True
-            )(state.params)
-            state = state.apply_gradients(grads=grads)
-            return state, (loss * nvalid, rec * nvalid, clust * nvalid, nvalid)
-
         return lax.scan(step, state, (xs, ms, ps))
 
     return segment
@@ -471,13 +533,17 @@ def train_dec(
         # int32 for snapshot-template stability (np.load'ed labels are int64)
         labels_prev = jnp.asarray(labels_prev, jnp.int32)
 
-    segment_fns = {}
+    fused_fns = {}
 
-    def run_segment(state, start, seg_len):
-        if seg_len not in segment_fns:
-            segment_fns[seg_len] = make_segment_fn(model, config.gamma, seg_len)
-        return segment_fns[seg_len](
-            state, data.x, data.mask, p_all, jnp.array(start)
+    def run_fused(state, p_all, labels_prev, start, seg_len, do_refresh):
+        key = (seg_len, do_refresh)
+        if key not in fused_fns:
+            fused_fns[key] = make_refresh_segment_fn(
+                model, config.gamma, config.tol, m, nb, bsz,
+                seg_len, do_refresh,
+            )
+        return fused_fns[key](
+            state, data.x, data.mask, p_all, labels_prev, jnp.array(start)
         )
 
     history: Dict[str, List[float]] = {
@@ -497,26 +563,34 @@ def train_dec(
         running[:] = 0.0
         batch_num = 0
         while batch_num < nb:
-            if batch_num % update_interval == 0 and not (
-                batch_num == 0 and epoch == 0
-            ):
-                q, labels, _ = full_eval(model, state.params, data)
-                p_all = _pad_p(target_distribution(q), nb, bsz)
-                delta = float(jnp.mean((labels != labels_prev).astype(jnp.float32)))
+            # Segment starts always sit on refresh boundaries
+            # (batch_num % update_interval == 0 by construction); the only
+            # skipped refresh is the very first batch of epoch 0
+            # (reference models.py:1093).
+            do_refresh = not (batch_num == 0 and epoch == 0)
+            next_refresh = (batch_num // update_interval + 1) * update_interval
+            seg_len = min(next_refresh, nb) - batch_num
+            # One device call: eval + target refresh + delta stop test +
+            # training segment (the stop skips the segment on device).
+            state_new, p_all_new, labels_new, delta_d, stopped, sums = (
+                run_fused(
+                    state, p_all, labels_prev, batch_num, seg_len, do_refresh
+                )
+            )
+            if do_refresh:
+                delta = float(delta_d)
                 deltas["iteration"].append(n_iter)
                 deltas["delta"].append(delta)
                 if log_scalar is not None:
                     log_scalar("delta", delta, n_iter)
-                labels_prev = labels
-                if delta < config.tol:
+                labels_prev = labels_new
+                p_all = p_all_new
+                if bool(stopped):
                     if config.verbose:
                         print("Stop criterion met, training complete.")
                     finished = True
                     break
-
-            next_refresh = (batch_num // update_interval + 1) * update_interval
-            seg_len = min(next_refresh, nb) - batch_num
-            state, sums = run_segment(state, batch_num, seg_len)
+            state = state_new
             # per-step sums -> one history row per batch with the epoch's
             # running means, exactly the reference's per-batch accumulation
             # (models.py:1150-1161); the stream path logs identically.

@@ -61,6 +61,7 @@ DATATYPES: Dict[str, str] = {
     "channel_stride": "int",
     "seed": "int",
     "batch_size_predict": "int",
+    "sync_every": "int",
 }
 
 _BOOL_TRUE = {"1", "yes", "true", "on"}

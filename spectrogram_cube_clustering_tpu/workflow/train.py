@@ -383,6 +383,9 @@ def _train_aec_run(config, hp, tra_x, val_x, mesh):
         # config `resume = True` pointing the run dir at the same place
         snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
         resume=bool(getattr(config, "resume", False)),
+        # epochs per device call: >1 keeps the early-stopping state on
+        # device and amortizes host round trips (train_aec docstring)
+        sync_every=int(getattr(config, "sync_every", None) or 1),
     )
     _utils.save_history(
         {"Epoch": out["history"]["epoch"],

@@ -83,6 +83,89 @@ class TestAEC:
         assert out["last_epoch"] == 4  # epoch>patience and strikes>patience
         assert out["final_params"] is not None
 
+    def test_fused_sync_every_matches_per_epoch(self, windows, aec_model):
+        """sync_every>1 (on-device multi-epoch while_loop) must reproduce
+        the per-epoch Python loop: histories, stop epoch, final params."""
+        x, _ = windows
+        tra = train.make_batched_data(x[:180], batch_size=36)
+        val = train.make_batched_data(x[180:], batch_size=36)
+        cfg = train.AECConfig(n_epochs=9, early_stopping=True, patience=3)
+
+        def run(sync_every):
+            state = train.create_train_state(
+                aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=3e-3
+            )
+            return train.train_aec(
+                aec_model, state, tra, val, cfg, sync_every=sync_every
+            )
+
+        ref, fused = run(1), run(4)  # 4 does not divide 9: ragged last chunk
+        assert fused["history"]["epoch"] == ref["history"]["epoch"]
+        np.testing.assert_allclose(
+            fused["history"]["train"], ref["history"]["train"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            fused["history"]["validation"], ref["history"]["validation"],
+            rtol=1e-5,
+        )
+        assert fused["last_epoch"] == ref["last_epoch"]
+        assert fused["best_val"] == pytest.approx(ref["best_val"], rel=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(fused["final_params"]),
+            jax.tree.leaves(ref["final_params"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+    def test_fused_early_stop_epoch_matches(self, windows, aec_model):
+        x, _ = windows
+        tra = train.make_batched_data(x[:72], batch_size=36)
+        cfg = train.AECConfig(n_epochs=20, early_stopping=True, patience=2)
+
+        def run(sync_every):
+            state = train.create_train_state(
+                aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=0.0
+            )
+            return train.train_aec(
+                aec_model, state, tra, tra, cfg, sync_every=sync_every
+            )
+
+        ref, fused = run(1), run(7)
+        assert fused["stopped_early"] and fused["last_epoch"] == ref["last_epoch"] == 4
+
+    def test_fused_snapshot_resume_interop(self, windows, aec_model, tmp_path):
+        """A snapshot written by the fused path resumes in the per-epoch
+        path (and the result matches an uninterrupted run)."""
+        x, _ = windows
+        tra = train.make_batched_data(x[:180], batch_size=36)
+        val = train.make_batched_data(x[180:], batch_size=36)
+        snap = str(tmp_path / "SNAP")
+
+        def mk():
+            return train.create_train_state(
+                aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=3e-3
+            )
+
+        full = train.train_aec(
+            aec_model, mk(), tra, val,
+            train.AECConfig(n_epochs=6, early_stopping=True, patience=3),
+        )
+        train.train_aec(
+            aec_model, mk(), tra, val,
+            train.AECConfig(n_epochs=4, early_stopping=True, patience=3),
+            snapshot_path=snap, sync_every=2,
+        )
+        res = train.train_aec(
+            aec_model, mk(), tra, val,
+            train.AECConfig(n_epochs=6, early_stopping=True, patience=3),
+            snapshot_path=snap, resume=True,
+        )
+        assert res["history"]["epoch"] == full["history"]["epoch"]
+        np.testing.assert_allclose(
+            res["history"]["train"], full["history"]["train"], rtol=1e-5
+        )
+
     def test_epoch_loss_matches_direct_mse(self, windows, aec_model):
         x, _ = windows
         tra = train.make_batched_data(x[:70], batch_size=32)  # padded case
