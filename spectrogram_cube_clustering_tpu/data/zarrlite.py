@@ -16,8 +16,10 @@ exactly what the cube reader uses.
 
 from __future__ import annotations
 
+import collections
 import json
 import os
+import threading
 import zlib
 from typing import Optional, Sequence, Tuple, Union
 
@@ -27,8 +29,21 @@ Index = Union[int, slice]
 
 
 class ZarrArray:
-    def __init__(self, path: str):
+    """One Zarr v2 array directory.
+
+    `cache_chunks` keeps the most recently decoded chunks in memory
+    (thread-safe LRU): the cube's windowing iterates (time-chunk ×
+    channel) pairs, so consecutive items hit the same time-chunk once per
+    channel stride — without the cache each hit re-decodes the whole
+    chunk (the reference leans on dask's block cache for the same reason,
+    ZarrDataLoader.py:46-48).
+    """
+
+    def __init__(self, path: str, cache_chunks: int = 4):
         self.path = path
+        self._cache: "collections.OrderedDict" = collections.OrderedDict()
+        self._cache_chunks = int(cache_chunks)
+        self._cache_lock = threading.Lock()
         with open(os.path.join(path, ".zarray")) as f:
             meta = json.load(f)
         if meta.get("zarr_format") != 2:
@@ -59,7 +74,32 @@ class ZarrArray:
     def _chunk_path(self, idx: Sequence[int]) -> str:
         return os.path.join(self.path, self.separator.join(map(str, idx)))
 
+    def _cache_get(self, key):
+        with self._cache_lock:
+            v = self._cache.get(key)
+            if v is not None:
+                self._cache.move_to_end(key)
+            return v
+
+    def _cache_put(self, key, val) -> None:
+        if self._cache_chunks <= 0:
+            return
+        with self._cache_lock:
+            self._cache[key] = val
+            self._cache.move_to_end(key)
+            while len(self._cache) > self._cache_chunks:
+                self._cache.popitem(last=False)
+
     def _read_chunk(self, idx: Sequence[int]) -> np.ndarray:
+        key = tuple(idx)
+        cached = self._cache_get(key)
+        if cached is not None:
+            return cached
+        out = self._decode_chunk(idx)
+        self._cache_put(key, out)
+        return out
+
+    def _decode_chunk(self, idx: Sequence[int]) -> np.ndarray:
         p = self._chunk_path(idx)
         try:
             with open(p, "rb") as f:
@@ -80,18 +120,27 @@ class ZarrArray:
         thread-pool decoder (native/zarr_decode.cpp) when available and
         worthwhile, else the Python path. fill_value must be 0 for the
         native path (zarr_decode zero-fills missing chunks)."""
-        if len(idx_list) > 1 and self.fill_value in (0, None):
+        keys = [tuple(i) for i in idx_list]
+        cached = {k: self._cache_get(k) for k in keys}
+        missing = [i for i, k in zip(idx_list, keys) if cached[k] is None]
+        if len(missing) > 1 and self.fill_value in (0, None):
             from spectrogram_cube_clustering_tpu import native
 
             out = native.decode_chunks(
-                [self._chunk_path(i) for i in idx_list],
+                [self._chunk_path(i) for i in missing],
                 self.chunks,
                 self.dtype,
                 self.compressor_id,
             )
             if out is not None:
-                return out
-        return np.stack([self._read_chunk(i) for i in idx_list])
+                for i, chunk in zip(missing, out):
+                    k = tuple(i)
+                    cached[k] = chunk
+                    self._cache_put(k, chunk)
+                missing = []
+        for i in missing:
+            cached[tuple(i)] = self._read_chunk(i)
+        return np.stack([cached[k] for k in keys])
 
     def __getitem__(self, key) -> np.ndarray:
         if not isinstance(key, tuple):

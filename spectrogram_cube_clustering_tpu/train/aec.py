@@ -229,25 +229,33 @@ def train_aec_stream(
     step; epoch losses weight batches by valid count. Early-stopping and
     history semantics match `train_aec`.
     """
+    import numpy as np
+
     train_step, eval_step = make_step_fns(model)
     best_val = float("inf")
     best_params = None
     strikes = 0
     history = {"epoch": [], "train": [], "validation": []}
     for epoch in range(config.n_epochs):
-        loss_sum = 0.0
-        n_sum = 0
+        # losses stay on device until epoch end: a float() per batch would
+        # serialize every step on the dispatch round trip (disastrous on
+        # remote-attached devices — benchmarks/RESULTS.md streaming notes)
+        losses, ns = [], []
         for x, n_valid in make_loader():
             state, loss = train_step(state, x, jnp.float32(n_valid))
-            loss_sum += float(loss) * n_valid
-            n_sum += n_valid
-        tra_loss = loss_sum / max(n_sum, 1)
+            losses.append(loss)
+            ns.append(n_valid)
+        ln = np.asarray(jax.device_get(losses), np.float64)
+        nn = np.asarray(ns, np.float64)
+        tra_loss = float((ln * nn).sum() / max(nn.sum(), 1))
         if make_val_loader is not None:
-            v_sum, v_n = 0.0, 0
+            vl, vn = [], []
             for x, n_valid in make_val_loader():
-                v_sum += float(eval_step(state.params, x, jnp.float32(n_valid))) * n_valid
-                v_n += n_valid
-            val_loss = v_sum / max(v_n, 1)
+                vl.append(eval_step(state.params, x, jnp.float32(n_valid)))
+                vn.append(n_valid)
+            vla = np.asarray(jax.device_get(vl), np.float64)
+            vna = np.asarray(vn, np.float64)
+            val_loss = float((vla * vna).sum() / max(vna.sum(), 1))
         else:
             val_loss = tra_loss
         history["epoch"].append(epoch + 1)

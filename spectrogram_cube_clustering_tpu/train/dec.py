@@ -273,17 +273,24 @@ def make_stream_fns(model, gamma: float):
 
 def full_eval_stream(eval_step, params, make_loader, m_total: int):
     """Streaming batch_eval: (q (M,K), labels (M,), z (M,D)) accumulated
-    on host while batches stream through the device."""
-    qs, zs = [], []
+    on host while batches stream through the device.
+
+    Per-batch outputs stay on device until the loader is exhausted — a
+    per-batch `np.asarray` would block every step on the fetch round trip
+    and serialize the pipeline (benchmarks/RESULTS.md streaming notes)."""
+    qs, zs, takes = [], [], []
     seen = 0
     for x, n_valid in make_loader():
         q, z = eval_step(params, x)
         take = min(n_valid, m_total - seen)
-        qs.append(np.asarray(q[:take]))
-        zs.append(np.asarray(z[:take]))
+        qs.append(q)
+        zs.append(z)
+        takes.append(take)
         seen += take
-    q = np.concatenate(qs, axis=0)
-    z = np.concatenate(zs, axis=0)
+    qs = jax.device_get(qs)
+    zs = jax.device_get(zs)
+    q = np.concatenate([qb[:t] for qb, t in zip(qs, takes)], axis=0)
+    z = np.concatenate([zb[:t] for zb, t in zip(zs, takes)], axis=0)
     return q, q.argmax(axis=1), z
 
 
@@ -389,6 +396,32 @@ def _train_dec_stream_loop(
         batch_num = 0
         offset = 0
         running = np.zeros(4)
+        # per-batch losses stay on device until a refresh/epoch boundary:
+        # a float() per batch would serialize every step on the dispatch
+        # round trip (benchmarks/RESULTS.md streaming notes); history rows
+        # (epoch-running means per batch) are reconstructed at flush time.
+        pending: List[tuple] = []
+
+        def flush():
+            nonlocal running, n_iter
+            if not pending:
+                return
+            vals = np.asarray(
+                jax.device_get([p[:3] for p in pending]), np.float64
+            )
+            nvs = np.asarray([p[3] for p in pending], np.float64)
+            per = np.concatenate([vals * nvs[:, None], nvs[:, None]], axis=1)
+            cum = running[None, :] + np.cumsum(per, axis=0)
+            sizes = np.maximum(cum[:, 3], 1.0)
+            for j in range(len(pending)):
+                history["iteration"].append(n_iter)
+                history["total"].append(float(cum[j, 0] / sizes[j]))
+                history["reconstruction"].append(float(cum[j, 1] / sizes[j]))
+                history["clustering"].append(float(cum[j, 2] / sizes[j]))
+                n_iter += 1
+            running = cum[-1].copy()
+            pending.clear()
+
         for x, n_valid in make_loader():
             if config.update_interval == -1:
                 bsz = x.shape[0]
@@ -400,6 +433,7 @@ def _train_dec_stream_loop(
             if batch_num % update_interval == 0 and not (
                 batch_num == 0 and epoch == 0
             ):
+                flush()
                 q, labels, _ = full_eval_stream(
                     eval_step, state.params, make_loader, m_total
                 )
@@ -421,18 +455,10 @@ def _train_dec_stream_loop(
             state, loss, rec, clust = train_step(
                 state, x, jnp.asarray(p_slice), jnp.float32(n_valid)
             )
-            running += (
-                float(loss) * n_valid, float(rec) * n_valid,
-                float(clust) * n_valid, n_valid,
-            )
+            pending.append((loss, rec, clust, n_valid))
             offset += n_valid
             batch_num += 1
-            n_iter += 1
-            accum = running[:3] / max(running[3], 1.0)
-            history["iteration"].append(n_iter - 1)
-            history["total"].append(accum[0])
-            history["reconstruction"].append(accum[1])
-            history["clustering"].append(accum[2])
+        flush()
         if (
             snapshot_cb is not None
             and not finished

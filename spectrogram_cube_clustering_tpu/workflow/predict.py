@@ -156,13 +156,29 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
 
     firsts, xrs, zs = [], [], []
     seen = 0
-    for x, n_valid in make_loader():
-        a, xr, z = step(x)
-        take = min(n_valid, m - seen)
+    # lag buffer: fetch batch i-k to host while i..i-1 are still in
+    # flight, so the device never idles on the fetch round trip (the
+    # reconstructions are too large to defer wholesale — that would
+    # re-materialize the full dataset on device and defeat streaming)
+    from collections import deque
+
+    inflight: deque = deque()
+
+    def materialize(item):
+        (a, xr, z), take = item
         firsts.append(np.asarray(a[:take]))
         xrs.append(_to_nchw_np(xr[:take]))
         zs.append(np.asarray(z[:take], np.float32))
+
+    for x, n_valid in make_loader():
+        out = step(x)
+        take = min(n_valid, m - seen)
         seen += take
+        inflight.append((out, take))
+        if len(inflight) > 4:
+            materialize(inflight.popleft())
+    while inflight:
+        materialize(inflight.popleft())
     z_np = np.concatenate(zs, axis=0)
     xr_np = np.concatenate(xrs, axis=0)
 

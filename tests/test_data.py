@@ -31,6 +31,33 @@ class TestZarrlite:
         np.testing.assert_array_equal(arr[36, 10, 2:9], data[36, 10, 2:9])
         np.testing.assert_array_equal(arr[0:8, 0:4, :], data[0:8, 0:4, :])
 
+    def test_chunk_cache_hits_and_correctness(self, tmp_path, rng):
+        """Repeated reads of the same chunk decode once (LRU cache) and
+        return identical data; eviction keeps the cache bounded."""
+        data = rng.normal(size=(16, 8)).astype(np.float32)
+        path = str(tmp_path / "c")
+        zarrlite.write_array(path, data, chunks=(4, 8), compressor="zlib")
+        arr = zarrlite.open_array(path)
+        decodes = []
+        orig = arr._decode_chunk
+        arr._decode_chunk = lambda idx: (decodes.append(tuple(idx)), orig(idx))[1]
+        np.testing.assert_array_equal(arr[0:4, :], data[0:4, :])
+        np.testing.assert_array_equal(arr[1, :], data[1, :])
+        np.testing.assert_array_equal(arr[2:4, 3], data[2:4, 3])
+        assert decodes == [(0, 0)]  # one decode, two cache hits
+        # touch all 4 chunks then the first again: capacity 4 -> still cached
+        np.testing.assert_array_equal(arr[:, :], data)
+        n = len(decodes)
+        np.testing.assert_array_equal(arr[0:4, :], data[0:4, :])
+        assert len(decodes) == n
+        # shrink capacity to 1: alternating chunks re-decode every time
+        arr2 = zarrlite.ZarrArray(path, cache_chunks=1)
+        decodes2 = []
+        orig2 = arr2._decode_chunk
+        arr2._decode_chunk = lambda idx: (decodes2.append(tuple(idx)), orig2(idx))[1]
+        arr2[0:4, :], arr2[4:8, :], arr2[0:4, :]
+        assert decodes2 == [(0, 0), (1, 0), (0, 0)]
+
     def test_negative_and_int_indexing(self, tmp_path, rng):
         data = rng.integers(0, 100, size=(10, 6)).astype(np.int64)
         path = str(tmp_path / "b")
