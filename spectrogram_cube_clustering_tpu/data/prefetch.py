@@ -32,13 +32,15 @@ class PrefetchLoader:
     window batches. Each epoch yields (batch (B, H, W, C) on device,
     n_valid) with the trailing batch zero-padded.
 
-    Multi-host: with a sharding that spans processes, every process must
-    run an identical loader (same items, same order — guaranteed by the
+    Multi-host: with a sharding that spans processes, every process runs
+    an identical loader (same items, same order — guaranteed by the
     deterministic unshuffled iteration the DEC stale-p contract already
-    requires); each host then transfers only its addressable block of
-    every batch (train.layout.put_process_local). Hosts currently read
-    all items and slice at transfer time — correct, but IO is not yet
-    divided across hosts.
+    requires) and each host transfers only its addressable block of every
+    batch. When `item_windows` (windows per item: an int, or one count
+    per item) is given, each host also READS only the items its block
+    needs — IO divides ~1/n_processes across the pod; without it, hosts
+    read everything and slice at transfer time
+    (train.layout.put_process_local).
     """
 
     def __init__(
@@ -50,6 +52,7 @@ class PrefetchLoader:
         queue_depth: int = 8,
         sharding=None,
         indices: Optional[Sequence[int]] = None,
+        item_windows=None,
     ):
         self.item_fn = item_fn
         self.indices = list(indices) if indices is not None else list(range(n_items))
@@ -57,6 +60,7 @@ class PrefetchLoader:
         self.num_workers = max(1, num_workers)
         self.queue_depth = queue_depth
         self.sharding = sharding
+        self.item_windows = item_windows
 
     def _reader(self, out_q: queue.Queue, stop: threading.Event):
         """Single ordered reader feeding the batch assembler. Items are
@@ -88,7 +92,107 @@ class PrefetchLoader:
                     return
         put(None)  # epoch sentinel
 
+    def _spans_processes(self) -> bool:
+        return self.sharding is not None and not getattr(
+            self.sharding, "is_fully_addressable", True
+        )
+
+    def _iter_process_local(self) -> Iterator:
+        """Per-host IO division: read only the items whose windows fall in
+        this process's block of each global batch, assemble the local
+        block, and hand it to `jax.make_array_from_process_local_data`.
+
+        Requires `item_windows` so the window→item map is known without
+        reading. Iteration stays globally deterministic: every process
+        sees the same batch sequence, only the rows it materializes
+        differ."""
+        import concurrent.futures as cf
+
+        from spectrogram_cube_clustering_tpu.train.layout import process_block
+
+        if np.isscalar(self.item_windows):
+            wins = [int(self.item_windows)] * len(self.indices)
+        else:
+            wins = [int(self.item_windows[i]) for i in self.indices]
+        cum = np.concatenate([[0], np.cumsum(wins)])
+        total = int(cum[-1])
+        bsz = self.batch_size
+        n_batches = max(-(-total // bsz), 1)
+
+        first = self.item_fn(self.indices[0])
+        wshape = first.shape[1:]
+        dtype = first.dtype
+        lo, hi = process_block(self.sharding, (bsz, *wshape), axis=0)
+
+        # plan: per batch, (item position, offset within item, rows) runs
+        plans = []
+        for b in range(n_batches):
+            g0, g1 = b * bsz + lo, b * bsz + hi
+            valid_end = min(g1, total)
+            segs = []
+            g = g0
+            while g < valid_end:
+                ip = int(np.searchsorted(cum, g, "right") - 1)
+                take = int(min(valid_end, cum[ip + 1]) - g)
+                segs.append((ip, int(g - cum[ip]), take))
+                g += take
+            plans.append(segs)
+        last_use = {}
+        for b, segs in enumerate(plans):
+            for ip, _, _ in segs:
+                last_use[ip] = b
+
+        def local_batches():
+            futures = {0: None}  # pos -> future|array (first already read)
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                def ensure(pos):
+                    if pos not in futures:
+                        futures[pos] = pool.submit(
+                            self.item_fn, self.indices[pos]
+                        )
+
+                for b, segs in enumerate(plans):
+                    # prefetch this batch's and the next batch's items
+                    for s in segs:
+                        ensure(s[0])
+                    if b + 1 < n_batches:
+                        for s in plans[b + 1]:
+                            ensure(s[0])
+                    parts = []
+                    for ip, off, take in segs:
+                        f = futures[ip]
+                        item = first if ip == 0 and f is None else f.result()
+                        parts.append(item[off : off + take])
+                        if last_use[ip] == b:
+                            futures.pop(ip, None)
+                    rows = sum(s[2] for s in segs)
+                    if rows < hi - lo:  # padded tail of the last batch
+                        parts.append(
+                            np.zeros((hi - lo - rows, *wshape), dtype)
+                        )
+                    local = (
+                        np.ascontiguousarray(np.concatenate(parts, axis=0))
+                        if parts
+                        else np.zeros((hi - lo, *wshape), dtype)
+                    )
+                    n_valid = min(bsz, total - b * bsz)
+                    yield local, n_valid
+
+        pending = None
+        for local, n_valid in local_batches():
+            dev = jax.make_array_from_process_local_data(
+                self.sharding, local, (bsz, *wshape)
+            )
+            if pending is not None:
+                yield pending
+            pending = (dev, n_valid)
+        if pending is not None:
+            yield pending
+
     def __iter__(self) -> Iterator:
+        if self._spans_processes() and self.item_windows is not None:
+            yield from self._iter_process_local()
+            return
         item_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
         stop = threading.Event()
         reader = threading.Thread(
@@ -157,4 +261,6 @@ def zarr_prefetch_loader(
         num_workers=num_workers,
         sharding=sharding,
         indices=indices,
+        # fixed windows per item -> multi-host runs divide IO per process
+        item_windows=dataset.windows_per_item,
     )

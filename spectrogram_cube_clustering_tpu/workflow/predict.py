@@ -136,6 +136,7 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
             item_fn, len(ds), batch,
             num_workers=int(getattr(config, "workers", None) or 4),
             sharding=sharding,
+            item_windows=ds.windows_per_item,
         )
 
     model = make_model(config)

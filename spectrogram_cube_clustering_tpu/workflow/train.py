@@ -205,6 +205,7 @@ def _train_stream(config, mesh=None):
                 num_workers=int(getattr(config, "workers", None) or 4),
                 sharding=sharding,
                 indices=indices,
+                item_windows=ds.windows_per_item,
             )
 
         if config.model == "AEC":

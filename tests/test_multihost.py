@@ -67,9 +67,32 @@ sout = scc.train.train_aec_stream(
     ),
     scc.train.AECConfig(n_epochs=2, early_stopping=False),
 )
+# streaming with per-host IO division (item_windows): each host must
+# read only the items its block needs — and produce identical losses
+items8 = [x[i:i + 8] for i in range(0, len(x), 8)]
+reads = []
+def counting_item(i):
+    reads.append(i)
+    return items8[i]
+state3 = scc.train.create_train_state(
+    model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+)
+lout = scc.train.train_aec_stream(
+    model, state3,
+    lambda: PrefetchLoader(
+        counting_item, len(items8), 32, num_workers=2,
+        sharding=scc.core.batch_sharding(mesh, 4), item_windows=8,
+    ),
+    scc.train.AECConfig(n_epochs=2, early_stopping=False),
+)
+# batch 32 = 4 items; each host's 16-row block = 2 items per batch ->
+# 8 of 16 items per host (+ the item-0 shape probe on rank 1)
+n_unique = len(set(reads))
+assert n_unique <= 9, f"rank {rank} read {n_unique} items, expected <=9"
 if rank == 0:
     print("RESULT " + json.dumps(
-        {"scan": out["history"]["train"], "stream": sout["history"]["train"]}
+        {"scan": out["history"]["train"], "stream": sout["history"]["train"],
+         "stream_local": lout["history"]["train"]}
     ), flush=True)
 """
 
@@ -130,6 +153,7 @@ def test_two_process_training_matches_single_process(tmp_path):
 
     np.testing.assert_allclose(result["scan"], ref, rtol=1e-4)
     np.testing.assert_allclose(result["stream"], ref, rtol=1e-4)
+    np.testing.assert_allclose(result["stream_local"], ref, rtol=1e-4)
 
 
 class TestProcessBlockMath:
