@@ -46,7 +46,7 @@ def cmap_lifeaquatic(n: Optional[int] = None) -> list:
         (123, 109, 168), (139, 156, 184), (214, 161, 66), (1, 170, 233),
         (195, 206, 208), (229, 195, 158), (56, 2, 130), (0, 0, 0),
     ]
-    colors = [tuple(v / 256 for v in c) for c in base]
+    colors = [tuple(v / 255 for v in c) for c in base]
     if n is None:
         return colors
     return [colors[i % len(colors)] for i in range(n)]
@@ -266,7 +266,9 @@ def view_latent_space(
     if n_clusters is None:
         n_clusters = len(centroids_a)
     d = data_a.shape[1]
-    label_list = np.unique(labels_a)
+    # centroid indices, NOT np.unique(labels): a class can end up empty
+    # (argmax(q) never assigns it) and the panels/markers are per-centroid
+    label_list = np.arange(n_clusters)
     dist_mat_a = distance_matrix(centroids_a, centroids_a, p)
     dist_mat_b = distance_matrix(centroids_b, centroids_b, p)
     vmax_a, vmax_b = centroids_a.max(), centroids_b.max()
@@ -373,7 +375,9 @@ def view_class_pdf_paper(
         fractional_distance,
     )
 
-    label_list = np.unique(labels_a)
+    # class indices 0..K-1 (labels are argmax over K); a missing class
+    # simply yields an empty selection, never a shifted one
+    label_list = np.arange(n_clusters)
     nbins = 400
     X = np.linspace(0, 40, nbins)
     colors = cmap_lifeaquatic(n_clusters)
@@ -385,7 +389,7 @@ def view_class_pdf_paper(
 
     def _hists(ax, dist, labs):
         for ll in range(n_clusters):
-            dsel = dist[labs == label_list[ll % len(label_list)]]
+            dsel = dist[labs == label_list[ll]]
             hist = np.histogram(dsel, bins=X)[0].astype(float)
             total = hist.sum()
             if total > 0:
@@ -550,13 +554,15 @@ def cluster_gallery(
     for col, label in enumerate(label_list):
         query = np.flatnonzero(labels == label)
         first_col = col == 0
-        # centroid row: mu_k strip + g(mu_k) decode
+        # centroid row: mu_k strip + g(mu_k) decode — indexed by the class
+        # LABEL, not the column (they differ when a class is empty)
+        label = int(label)
         xc = (
-            _to_hw(np.asarray(centroid_decodes)[col])
+            _to_hw(np.asarray(centroid_decodes)[label])
             if centroid_decodes is not None else None
         )
         ax_top = _cell(
-            gs_sup[0, col], centroids[col], xc, None,
+            gs_sup[0, col], centroids[label], xc, None,
             r"$\mu_k$" if first_col else "",
             r"$g(\mu_k)$" if first_col else "",
         )
@@ -565,7 +571,7 @@ def cluster_gallery(
 
         if not len(query):
             continue
-        dist = fractional_distance(centroids[col], z[query], p)
+        dist = fractional_distance(centroids[label], z[query], p)
         order = np.argsort(dist)
         ranks = _percentile_rank_indices(len(query), n_examples)
         chosen = query[order[ranks]]
@@ -656,7 +662,7 @@ def view_class_cdf(
     centroids_a, centroids_b = np.asarray(centroids_a), np.asarray(centroids_b)
     if n_clusters is None:
         n_clusters = len(centroids_a)
-    label_list = np.unique(labels_a)
+    label_list = np.arange(n_clusters)  # class can be empty; see pdf note
     colors = cmap_lifeaquatic(max(n_clusters, 2))
     nrows = int(np.ceil(n_clusters / 2))
     fig = plt.figure(figsize=(7, 2 * nrows), dpi=150)
@@ -671,7 +677,7 @@ def view_class_cdf(
             (data_b, labels_b, centroids_b, "DEC", colors[1]),
         ):
             dist = fractional_distance(cents[l], data, p)
-            sel = labels == label_list[l % len(label_list)]
+            sel = labels == label_list[l]
             d = np.sort(dist[sel])
             if len(d) == 0:
                 continue
@@ -742,7 +748,7 @@ def view_class_pdf(
     centroids_a, centroids_b = np.asarray(centroids_a), np.asarray(centroids_b)
     if n_clusters is None:
         n_clusters = len(centroids_a)
-    label_list = np.unique(labels_a)
+    label_list = np.arange(n_clusters)  # class can be empty; see pdf note
     all_d = np.concatenate([
         fractional_distance(centroids_a[l], data_a, p)
         for l in range(n_clusters)
@@ -759,7 +765,7 @@ def view_class_pdf(
 
     def _panel(ax, dist, labels, tag):
         for ll in range(n_clusters):
-            dsel = dist[labels == label_list[ll % len(label_list)]]
+            dsel = dist[labels == label_list[ll]]
             if len(dsel) == 0:  # empty class: density would divide by 0
                 continue
             h = np.histogram(dsel, bins=bins, density=True)[0]

@@ -105,6 +105,11 @@ class ZarrCubeDataset:
     def n_windows(self) -> int:
         return len(self) * self.windows_per_item
 
+    @property
+    def window_shape(self) -> tuple:
+        """(window_rows, n_freq, 1) — the per-window shape of `item`."""
+        return (self.spec.window_rows, self.shape[2], 1)
+
     def item(self, idx: int) -> np.ndarray:
         """(windows_per_item, window_rows, n_freq, 1) float32."""
         if not 0 <= idx < self._len:

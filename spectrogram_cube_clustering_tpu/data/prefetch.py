@@ -53,6 +53,7 @@ class PrefetchLoader:
         sharding=None,
         indices: Optional[Sequence[int]] = None,
         item_windows=None,
+        item_meta: Optional[tuple] = None,
     ):
         self.item_fn = item_fn
         self.indices = list(indices) if indices is not None else list(range(n_items))
@@ -61,6 +62,10 @@ class PrefetchLoader:
         self.queue_depth = queue_depth
         self.sharding = sharding
         self.item_windows = item_windows
+        # (window_shape, dtype) when known up front — spares the
+        # process-local path its read-item-0 shape probe
+        if item_meta is not None:
+            self._item_meta = (tuple(item_meta[0]), np.dtype(item_meta[1]))
 
     def _reader(self, out_q: queue.Queue, stop: threading.Event):
         """Single ordered reader feeding the batch assembler. Items are
@@ -119,9 +124,17 @@ class PrefetchLoader:
         bsz = self.batch_size
         n_batches = max(-(-total // bsz), 1)
 
-        first = self.item_fn(self.indices[0])
-        wshape = first.shape[1:]
-        dtype = first.dtype
+        # window shape/dtype probe: read item 0 ONCE per loader lifetime
+        # (cached) — DEC re-iterates the loader per refresh and the probe
+        # item may not even be in this host's block
+        meta = getattr(self, "_item_meta", None)
+        if meta is None:
+            first = self.item_fn(self.indices[0])
+            wshape, dtype = first.shape[1:], first.dtype
+            self._item_meta = (wshape, dtype)
+        else:
+            first = None
+            wshape, dtype = meta
         lo, hi = process_block(self.sharding, (bsz, *wshape), axis=0)
 
         # plan: per batch, (item position, offset within item, rows) runs
@@ -143,7 +156,8 @@ class PrefetchLoader:
                 last_use[ip] = b
 
         def local_batches():
-            futures = {0: None}  # pos -> future|array (first already read)
+            # pos -> future|None (None marks the already-read probe item)
+            futures = {0: None} if first is not None else {}
             with cf.ThreadPoolExecutor(self.num_workers) as pool:
                 def ensure(pos):
                     if pos not in futures:
@@ -263,4 +277,5 @@ def zarr_prefetch_loader(
         indices=indices,
         # fixed windows per item -> multi-host runs divide IO per process
         item_windows=dataset.windows_per_item,
+        item_meta=(dataset.window_shape, np.float32),
     )

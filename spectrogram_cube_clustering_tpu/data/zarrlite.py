@@ -136,7 +136,10 @@ class ZarrArray:
                 for i, chunk in zip(missing, out):
                     k = tuple(i)
                     cached[k] = chunk
-                    self._cache_put(k, chunk)
+                    # copy before caching: `chunk` is a row view into the
+                    # decoder's whole (n, *chunks) buffer, and caching the
+                    # view would pin that entire allocation until eviction
+                    self._cache_put(k, np.ascontiguousarray(chunk))
                 missing = []
         for i in missing:
             cached[tuple(i)] = self._read_chunk(i)

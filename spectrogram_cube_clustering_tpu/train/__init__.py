@@ -14,7 +14,11 @@ Cluster/models.py:106-168, 1089-1163):
   refreshes are scanned on-device ("segments").
 """
 
-from spectrogram_cube_clustering_tpu.train.layout import BatchedData, make_batched_data
+from spectrogram_cube_clustering_tpu.train.layout import (
+    BatchedData,
+    fetch_global,
+    make_batched_data,
+)
 from spectrogram_cube_clustering_tpu.train.state import create_train_state
 from spectrogram_cube_clustering_tpu.train.aec import (
     train_aec,

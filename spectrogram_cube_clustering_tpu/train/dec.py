@@ -223,6 +223,12 @@ def initialize_clusters(
         return labels, rng.uniform(size=(k, latent_dim)).astype(np.float32)
 
     _, _, z = full_eval(model, params, data)
+    if isinstance(z, jax.Array) and not z.is_fully_addressable:
+        # multi-process mesh: gather latents so the dense k-means/GMM run
+        # identically (same seeded input) on every host
+        from spectrogram_cube_clustering_tpu.train.layout import fetch_global
+
+        z = fetch_global(z)
     if config.init == "kmeans":
         labels, centroids = _cluster.kmeans(
             z, k, n_init=config.kmeans_n_init,
@@ -277,7 +283,11 @@ def full_eval_stream(eval_step, params, make_loader, m_total: int):
 
     Per-batch outputs stay on device until the loader is exhausted — a
     per-batch `np.asarray` would block every step on the fetch round trip
-    and serialize the pipeline (benchmarks/RESULTS.md streaming notes)."""
+    and serialize the pipeline (benchmarks/RESULTS.md streaming notes).
+    On a multi-process mesh the sharded outputs are all-gathered at the
+    end (`fetch_global`), so every host returns the global q/z."""
+    from spectrogram_cube_clustering_tpu.train.layout import fetch_global
+
     qs, zs, takes = [], [], []
     seen = 0
     for x, n_valid in make_loader():
@@ -287,8 +297,8 @@ def full_eval_stream(eval_step, params, make_loader, m_total: int):
         zs.append(z)
         takes.append(take)
         seen += take
-    qs = jax.device_get(qs)
-    zs = jax.device_get(zs)
+    qs = fetch_global(qs)
+    zs = fetch_global(zs)
     q = np.concatenate([qb[:t] for qb, t in zip(qs, takes)], axis=0)
     z = np.concatenate([zb[:t] for zb, t in zip(zs, takes)], axis=0)
     return q, q.argmax(axis=1), z
@@ -651,7 +661,12 @@ def train_dec(
             and not finished
             and (epoch + 1) % snapshot_every == 0
         ):
+            from spectrogram_cube_clustering_tpu.train.layout import (
+                fetch_global,
+            )
+
             q_s, labels_s, z_s = full_eval(model, state.params, data)
+            labels_s, z_s = fetch_global((labels_s, z_s))
             snapshot_cb(
                 epoch + 1, np.asarray(labels_s), np.asarray(z_s),
                 np.asarray(state.params["centroids"]),
@@ -666,7 +681,9 @@ def train_dec(
         if finished:
             break
 
-    labels_final = np.asarray(labels_prev)
+    from spectrogram_cube_clustering_tpu.train.layout import fetch_global
+
+    labels_final = np.asarray(fetch_global(labels_prev))
     return {
         "state": state,
         "initial_params": initial_params,
@@ -676,5 +693,7 @@ def train_dec(
         "centroids": np.asarray(state.params["centroids"]),
         "stopped_early": finished,
         "last_epoch": epoch + 1,
-        "z_initial": np.asarray(z0) if z0 is not None else None,
+        "z_initial": (
+            np.asarray(fetch_global(z0)) if z0 is not None else None
+        ),
     }

@@ -100,6 +100,23 @@ def put_process_local(
     )
 
 
+def fetch_global(tree):
+    """`jax.device_get` that also works for arrays sharded across
+    processes: such leaves are all-gathered to every process first (jitted
+    identity with a fully-replicated out sharding), so every host receives
+    the GLOBAL value. Fully-addressable or replicated leaves fetch
+    directly. Use at host boundaries (cluster init, history/label export,
+    figure snapshots) — never inside a hot loop."""
+
+    def gather(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            repl = NamedSharding(x.sharding.mesh, P())
+            return jax.jit(lambda a: a, out_shardings=repl)(x)
+        return x
+
+    return jax.device_get(jax.tree.map(gather, tree))
+
+
 def make_batched_data(
     x: np.ndarray,
     batch_size: int,

@@ -97,7 +97,11 @@ def _gmm_figure_context(config, n_clusters: int, z_dec, labels_dec,
                 z_a = np.load(cand)
                 break
         if z_a is None or len(z_a) != len(z_dec):
-            z_a = np.asarray(z_dec)
+            # Z_AEC.npy missing/mismatched: the GMM labels/centroids live
+            # in the AEC latent space, so pairing them with DEC latents
+            # would draw meaningless distances — fall back wholesale to
+            # the single-model DEC-vs-DEC view instead
+            raise FileNotFoundError
         if len(labels_a) != len(z_a) or len(centroids_a) != n_clusters:
             raise FileNotFoundError
         return z_a, labels_a, centroids_a
@@ -137,6 +141,7 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
             num_workers=int(getattr(config, "workers", None) or 4),
             sharding=sharding,
             item_windows=ds.windows_per_item,
+            item_meta=(ds.window_shape, np.float32),
         )
 
     model = make_model(config)
@@ -166,9 +171,12 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
     inflight: deque = deque()
 
     def materialize(item):
+        # fetch_global: on a multi-process mesh the outputs are sharded
+        # across hosts and a bare np.asarray would raise
         (a, xr, z), take = item
+        a, xr, z = _train.fetch_global((a, xr, z))
         firsts.append(np.asarray(a[:take]))
-        xrs.append(_to_nchw_np(xr[:take]))
+        xrs.append(np.transpose(np.asarray(xr[:take]), (0, 3, 1, 2)))
         zs.append(np.asarray(z[:take], np.float32))
 
     for x, n_valid in make_loader():
@@ -267,6 +275,8 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
 
     if config.model == "DEC":
         q, labels, z, xr = _train.full_eval(model, params, data, with_xr=True)
+        # fetch_global: sharded outputs span hosts on a multi-process mesh
+        q, labels, z, xr = _train.fetch_global((q, labels, z, xr))
         q_np = np.asarray(q, np.float32)
         z_np = np.asarray(z, np.float32)
         labels_np = np.asarray(labels)
@@ -278,7 +288,10 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
         )
         np.save(os.path.join(savepath, "q_DEC"), q_np)
         np.save(os.path.join(savepath, "Z_DEC"), z_np)
-        np.save(os.path.join(savepath, "Xr_DEC"), _to_nchw_np(xr))
+        np.save(
+            os.path.join(savepath, "Xr_DEC"),
+            np.transpose(np.asarray(xr), (0, 3, 1, 2)),
+        )
         np.save(os.path.join(savepath, "labels_DEC"), labels_np)
         np.save(os.path.join(savepath, "centroids_DEC"), centroids_np)
 
@@ -354,8 +367,9 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
 
     # AEC mode (models.py:705-733)
     z, xr, total_loss = _aec_eval_scan(model.apply, params, data.x, data.mask)
+    z, xr = _train.fetch_global((z, xr))
     z_np = np.asarray(z[:m], np.float32)
-    xr_np = _to_nchw_np(xr[:m])
+    xr_np = np.transpose(np.asarray(xr[:m]), (0, 3, 1, 2))
     total_loss = float(total_loss)
     print(f"Dataset MSE = {total_loss:.4e}")
     with open(os.path.join(savepath, "MSE.txt"), "w") as f:

@@ -206,6 +206,7 @@ def _train_stream(config, mesh=None):
                 sharding=sharding,
                 indices=indices,
                 item_windows=ds.windows_per_item,
+                item_meta=(ds.window_shape, np.float32),
             )
 
         if config.model == "AEC":

@@ -215,6 +215,58 @@ class TestFigures:
         assert "1e" in ax.get_ylabel() or "e-" in ax.get_ylabel()
         plt.close(fig)
 
+    def test_empty_class_does_not_crash_figures(self, rng):
+        """A class that argmax(q) never assigns (collapsed cluster) must
+        not crash the comparative figures — the class panels are drawn
+        per CENTROID, empty selections just render empty."""
+        m, k, d = 40, 4, 9
+        z_a = rng.normal(size=(m, d)).astype(np.float32)
+        z_b = rng.normal(size=(m, d)).astype(np.float32)
+        # class 2 has zero samples in both labelings
+        labels_a = rng.choice([0, 1, 3], size=m)
+        labels_b = rng.choice([0, 1, 3], size=m)
+        cents_a = rng.normal(size=(k, d)).astype(np.float32)
+        cents_b = rng.normal(size=(k, d)).astype(np.float32)
+        x = rng.normal(size=(m, 4, 101, 1)).astype(np.float32)
+
+        fig = plotting.view_latent_space(
+            z_a, labels_a, z_b, labels_b, cents_a, cents_b
+        )
+        assert len(fig.axes) >= 4 * k + 2
+        for f in (
+            plotting.view_class_cdf(z_a, labels_a, z_b, labels_b,
+                                    cents_a, cents_b),
+            plotting.view_class_pdf(z_a, labels_a, z_b, labels_b,
+                                    cents_a, cents_b),
+            plotting.view_class_pdf_paper(z_a, z_b, labels_a, labels_b,
+                                          cents_a, cents_b, k),
+            plotting.cluster_gallery(
+                x, z_b, labels_b, cents_b,
+                centroid_decodes=rng.normal(size=(k, 4, 101, 1)),
+            ),
+        ):
+            assert f is not None
+
+    def test_gallery_centroids_indexed_by_label_not_column(self, rng):
+        """With class 1 empty, column 2 shows class 2: its centroid strip
+        must be centroids[2], not centroids[1] (column position)."""
+        m, k, d = 20, 3, 9
+        z = rng.normal(size=(m, d)).astype(np.float32)
+        labels = rng.choice([0, 2], size=m)
+        centroids = np.arange(k * d, dtype=np.float32).reshape(k, d)
+        x = rng.normal(size=(m, 4, 101, 1)).astype(np.float32)
+        fig = plotting.cluster_gallery(x, z, labels, centroids)
+        # first image of each top cell is the centroid strip (1, d);
+        # collect the strips actually drawn in the top row
+        strips = [
+            im.get_array().data.reshape(-1)
+            for ax in fig.axes
+            for im in ax.get_images()
+            if im.get_array().shape[:2] == (1, d)
+        ]
+        assert any(np.allclose(s, centroids[2]) for s in strips)
+        assert not any(np.allclose(s, centroids[1]) for s in strips)
+
     def test_percentile_rank_indices_reference_ladder(self):
         np.testing.assert_array_equal(
             plotting._percentile_rank_indices(25000, 6),

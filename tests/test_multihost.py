@@ -89,10 +89,41 @@ lout = scc.train.train_aec_stream(
 # 8 of 16 items per host (+ the item-0 shape probe on rank 1)
 n_unique = len(set(reads))
 assert n_unique <= 9, f"rank {rank} read {n_unique} items, expected <=9"
+
+# DEC scan path: cluster init + fused refresh/segment + label export all
+# cross host boundaries (fetch_global) — this used to crash on the
+# device_get of process-spanning q/z/labels
+dec = scc.models.DEC(n_clusters=3)
+dcfg = scc.train.DECConfig(
+    n_clusters=3, n_epochs=2, tol=0.0, init="kmeans",
+    kmeans_n_init=2, kmeans_max_iter=10,
+)
+dstate = scc.train.create_train_state(
+    dec, jax.random.key(1), jnp.asarray(x[:2]), lr=1e-3
+)
+dout = scc.train.train_dec(dec, dstate, data, dcfg)
+assert dout["labels"].shape == (128,)
+
+# DEC streaming path: full_eval_stream all-gathers its sharded q/z
+dstate2 = scc.train.create_train_state(
+    dec, jax.random.key(1), jnp.asarray(x[:2]), lr=1e-3
+)
+dsout = scc.train.train_dec_stream(
+    dec, dstate2,
+    lambda: PrefetchLoader(
+        lambda i: items[i], len(items), 32, num_workers=1,
+        sharding=scc.core.batch_sharding(mesh, 4),
+    ),
+    128, dcfg,
+)
+assert dsout["labels"].shape == (128,)
 if rank == 0:
     print("RESULT " + json.dumps(
         {"scan": out["history"]["train"], "stream": sout["history"]["train"],
-         "stream_local": lout["history"]["train"]}
+         "stream_local": lout["history"]["train"],
+         "dec": dout["history"]["total"],
+         "dec_labels": np.asarray(dout["labels"]).tolist(),
+         "dec_stream": dsout["history"]["total"]}
     ), flush=True)
 """
 
@@ -154,6 +185,25 @@ def test_two_process_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(result["scan"], ref, rtol=1e-4)
     np.testing.assert_allclose(result["stream"], ref, rtol=1e-4)
     np.testing.assert_allclose(result["stream_local"], ref, rtol=1e-4)
+
+    # DEC (scan + streaming) on the same mesh: losses and labels must
+    # match the single-process run
+    dec = scc.models.DEC(n_clusters=3)
+    dcfg = scc.train.DECConfig(
+        n_clusters=3, n_epochs=2, tol=0.0, init="kmeans",
+        kmeans_n_init=2, kmeans_max_iter=10,
+    )
+    dstate = scc.train.create_train_state(
+        dec, jax.random.key(1), jnp.asarray(x[:2]), lr=1e-3
+    )
+    dref = scc.train.train_dec(dec, dstate, data, dcfg)
+    np.testing.assert_allclose(
+        result["dec"], dref["history"]["total"], rtol=1e-4
+    )
+    assert np.array_equal(result["dec_labels"], dref["labels"])
+    np.testing.assert_allclose(
+        result["dec_stream"], dref["history"]["total"], rtol=1e-4
+    )
 
 
 class TestProcessBlockMath:

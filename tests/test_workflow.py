@@ -357,6 +357,18 @@ def test_gmm_figure_context_loads_artifacts(tmp_path, cube):
     )
     assert len(labels_a) == m
 
+    # GMM artifacts present but Z_AEC missing -> WHOLE fallback: pairing
+    # AEC-space GMM labels/centroids with DEC latents would draw
+    # meaningless distances
+    np.save(gmm_dir / "labels.npy", labels_gmm)
+    os.remove(pred_dir / "Z_AEC.npy")
+    z_a, labels_a, cents_a = _gmm_figure_context(
+        config, k, z_dec, labels_dec, cents_dec
+    )
+    np.testing.assert_array_equal(z_a, z_dec)
+    np.testing.assert_array_equal(labels_a, labels_dec)
+    np.testing.assert_array_equal(cents_a, cents_dec)
+
 
 def test_unet_arch_workflow(cube):
     """arch=UNet trains and predicts end-to-end (16-d latent); the DEC
