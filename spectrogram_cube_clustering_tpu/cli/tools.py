@@ -95,7 +95,11 @@ def build_cube(argv: Optional[list] = None) -> None:
     wave = np.load(args.waveform)
     if wave.ndim == 1:
         wave = wave[None, :]
-    if jax.default_backend() == "tpu" and args.nperseg % args.hop == 0:
+    if (
+        jax.default_backend() == "tpu"
+        and args.nperseg % args.hop == 0
+        and args.hop <= 128
+    ):
         from spectrogram_cube_clustering_tpu.ops.pallas_stft import (
             spectrogram_pallas as stft,
         )

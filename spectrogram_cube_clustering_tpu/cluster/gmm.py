@@ -66,18 +66,24 @@ def _m_step(z, log_resp, reg_covar):
     nk = jnp.sum(resp, axis=0) + 10.0 * jnp.finfo(resp.dtype).eps
     means = (resp.T @ z) / nk[:, None]                      # (K, D)
 
-    def cov_k(resp_k, mu):
+    def cov_k(resp_k, nk_k, mu):
         diff = z - mu                                       # (M, D)
         c = (diff * resp_k[:, None]).T @ diff               # (D, D)
-        return c / jnp.sum(resp_k) + reg_covar * jnp.eye(d, dtype=z.dtype)
+        # divide by the same eps-guarded nk as the means: a component with
+        # zero responsibility (possible when K exceeds the natural cluster
+        # count) would otherwise produce 0/0 = NaN covariances that poison
+        # the Cholesky and silently corrupt the whole fit
+        return c / nk_k + reg_covar * jnp.eye(d, dtype=z.dtype)
 
-    covs = jax.vmap(cov_k, in_axes=(1, 0))(resp, means)
+    covs = jax.vmap(cov_k, in_axes=(1, 0, 0))(resp, nk, means)
     return nk / m, means, covs
 
 
 def _init_covariances(z, means, reg_covar):
     """Per-cluster covariance from hard assignment to the initial means."""
-    d2 = jnp.sum((z[:, None, :] - means[None]) ** 2, axis=-1)
+    from spectrogram_cube_clustering_tpu.ops.student_t import pairwise_sqdist
+
+    d2 = pairwise_sqdist(z, means)
     onehot = jax.nn.one_hot(jnp.argmin(d2, axis=-1), means.shape[0], dtype=z.dtype)
     log_resp = jnp.log(jnp.maximum(onehot, jnp.finfo(z.dtype).tiny))
     _, _, covs = _m_step(z, log_resp, reg_covar)

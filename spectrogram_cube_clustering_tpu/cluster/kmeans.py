@@ -22,10 +22,9 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _sqdist(z: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
-    """(M, K) squared distances; difference form (stable at small D)."""
-    diff = z[:, None, :] - centers[None, :, :]
-    return jnp.sum(diff * diff, axis=-1)
+from spectrogram_cube_clustering_tpu.ops.student_t import (
+    pairwise_sqdist as _sqdist,  # shared difference form (stable at small D)
+)
 
 
 def _plus_plus_init(key: jax.Array, z: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -76,7 +76,9 @@ def gap_statistic(
         d2 = ((data[:, None, :] - centers[None]) ** 2).sum(-1)
         return float(d2.min(axis=1).sum())
 
-    inertia = np.empty(len(list(k_list)))
+    k_list = list(k_list)  # materialize ONCE — an iterator would be
+    # exhausted by len() and the loop below would fill nothing
+    inertia = np.empty(len(k_list))
     gap_g = np.empty_like(inertia)
     gap_u = np.empty_like(inertia)
     for i, k in enumerate(k_list):

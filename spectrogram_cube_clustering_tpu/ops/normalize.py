@@ -62,9 +62,12 @@ _REGISTRY = {
 
 
 def make_normalizer(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Name -> normalizer fn; None / unknown names pass through unchanged,
-    matching the reference's fall-through transform dispatch
-    (ZarrDataLoader.py:18-30)."""
+    """Name -> normalizer fn; None means identity.
+
+    Deliberate deviation from the reference: its if/elif dispatch silently
+    passes UNKNOWN names through un-normalized (ZarrDataLoader.py:18-30) —
+    a typo'd `transform` would train on raw data without a trace. Here an
+    unknown name raises instead."""
     if name is None:
         return lambda x: x
     try:

@@ -125,9 +125,13 @@ def spectrogram_pallas(
     n_blocks = -(-n_frames // frames_per_block)
     rows_padded = n_blocks * frames_per_block
     rows_needed = rows_padded + ratio - 1
-    # hop-row layout, each row padded to the 128-lane tile
+    # hop-row layout, each row padded to the 128-lane tile; rows_needed
+    # always covers the last full frame, but the signal may carry leftover
+    # samples past it (t > rows_needed * hop) — drop those, never pad by
+    # a negative width
+    need = rows_needed * hop
     x2 = x.reshape(-1, t).astype(jnp.float32)
-    x2 = jnp.pad(x2, ((0, 0), (0, rows_needed * hop - t)))
+    x2 = jnp.pad(x2[:, :need], ((0, 0), (0, max(0, need - t))))
     x2 = x2.reshape(-1, rows_needed, hop)
     if hop < LANE:
         x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, LANE - hop)))

@@ -80,13 +80,25 @@ def sharded_kmeans(
         jnp.asarray(z)[sub], n_clusters, n_init=n_init, max_iter=100,
         seed=seed,
     )
-    labels = None
-    for _ in range(n_iter):
-        labels, new_centers = sharded_kmeans_step(z, centers, mesh)
-        if bool(jnp.allclose(new_centers, centers, atol=1e-6)):
-            centers = new_centers
+    # Convergence is checked every `check_every` iterations, not every
+    # one: each check is a blocking device->host scalar fetch, and on a
+    # high-RTT attachment (benchmarks/RESULTS.md host-sync notes) a
+    # per-iteration fetch serializes dispatch with execution. Lloyd
+    # iterations past convergence are no-ops, so sampled checks only cost
+    # a few idempotent steps.
+    check_every = 8
+    for i in range(n_iter):
+        prev = centers
+        _, centers = sharded_kmeans_step(z, centers, mesh)
+        if (i % check_every == check_every - 1) and bool(
+            jnp.allclose(centers, prev, atol=1e-6)
+        ):
             break
-        centers = new_centers
+    # final assignment against the WINNING centers (the loop's labels
+    # belong to each iteration's input centers — returning those with the
+    # updated centers would be mutually inconsistent, like the dense
+    # kmeans' closing assign in cluster/kmeans.py)
+    labels, _ = sharded_kmeans_step(z, centers, mesh)
     return labels, centers
 
 
@@ -120,14 +132,20 @@ def sharded_gmm(
     d = means.shape[1]
     covs = jnp.stack([jnp.eye(d, dtype=jnp.float32)] * n_clusters)
 
+    # sampled convergence checks, same rationale as sharded_kmeans: one
+    # blocking scalar fetch per check, and EM is monotone so a few extra
+    # iterations past convergence are harmless
+    check_every = 4
     prev_lb = -jnp.inf
-    for _ in range(max_iter):
+    for i in range(max_iter):
         weights, means, covs, lb = sharded_gmm_em_step(
             z, weights, means, covs, mesh, reg_covar
         )
-        if bool(jnp.abs(lb - prev_lb) < tol):
-            break
-        prev_lb = lb
+        if i % check_every == check_every - 1:
+            # average per-iteration lower-bound change < tol
+            if bool(jnp.abs(lb - prev_lb) < tol * check_every):
+                break
+            prev_lb = lb
 
     # final responsibilities -> labels, per shard
     from spectrogram_cube_clustering_tpu.cluster.gmm import (
@@ -156,9 +174,14 @@ def sharded_gmm_em_step(z, weights, means, covs, mesh: Mesh, reg_covar=1e-6):
 
     E-step responsibilities are computed per shard; the M-step reduces the
     three sufficient statistics (responsibility mass Nk, first moments,
-    second moments) with `psum`, exactly reproducing the dense update of
-    cluster.gmm._m_step. Returns (weights, means, covs, mean
-    log-likelihood), all replicated.
+    CENTERED second moments) with `psum`, matching the dense update of
+    cluster.gmm._m_step. Second moments are centered on the incoming
+    means: the raw E[zz^T] - mu mu^T form cancels catastrophically in f32
+    when the latent mean dwarfs its spread, corrupting covariances into
+    non-PSD matrices whose Cholesky is NaN. With c = old mean:
+    Cov = E[(z-c)(z-c)^T] - (mu_new-c)(mu_new-c)^T, and (mu_new-c) is one
+    EM step's movement — small, so the subtraction is well conditioned.
+    Returns (weights, means, covs, mean log-likelihood), all replicated.
     """
     from spectrogram_cube_clustering_tpu.cluster.gmm import (
         _estimate_log_prob,
@@ -175,14 +198,20 @@ def sharded_gmm_em_step(z, weights, means, covs, mesh: Mesh, reg_covar=1e-6):
         nk = jax.lax.psum(jnp.sum(resp, axis=0), DATA_AXIS)
         nk = nk + 10.0 * jnp.finfo(resp.dtype).eps
         first = jax.lax.psum(resp.T @ z_local, DATA_AXIS)         # (K, D)
-        second = jax.lax.psum(
-            jnp.einsum("mk,mi,mj->kij", resp, z_local, z_local),  # (K, D, D)
+
+        def centered_stat(resp_k, mu_k):
+            diff = z_local - mu_k                          # (m_local, D)
+            return (diff * resp_k[:, None]).T @ diff       # (D, D)
+
+        second_c = jax.lax.psum(
+            jax.vmap(centered_stat, in_axes=(1, 0))(resp, mu),  # (K, D, D)
             DATA_AXIS,
         )
         new_means = first / nk[:, None]
+        dmu = new_means - mu                               # (K, D)
         new_covs = (
-            second / nk[:, None, None]
-            - new_means[:, :, None] * new_means[:, None, :]
+            second_c / nk[:, None, None]
+            - dmu[:, :, None] * dmu[:, None, :]
             + reg_covar * jnp.eye(d, dtype=z_local.dtype)
         )
         lb = jax.lax.psum(jnp.sum(norm), DATA_AXIS) / m_total

@@ -70,6 +70,16 @@ def sharded_spectrogram(
         )
     halo = nperseg - hop
     local_t = t // n_dev
+    if halo > local_t:
+        # halo_exchange_1d reaches ONE right neighbor, so a shard must
+        # cover the whole overlap; otherwise the in-shard slice of the
+        # leading `halo` samples fails deep inside shard_map with an
+        # opaque trace error
+        raise ValueError(
+            f"halo nperseg - hop = {halo} exceeds the per-device shard "
+            f"length {local_t}; use fewer devices or a longer signal "
+            f"(need T >= mesh * (nperseg - hop))"
+        )
     frames_per_dev = local_t // hop  # with halo: last frame start = local_t - hop
 
     win = hann_window(nperseg)

@@ -98,7 +98,13 @@ def spectrogram_windows(
     from spectrogram_cube_clustering_tpu.ops.normalize import make_normalizer
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # the Pallas kernel's hop-chunk layout needs nperseg % hop == 0
+        # and hop <= 128 — fall back to the jnp path for other configs
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and nperseg % hop == 0
+            and hop <= 128
+        )
     if use_pallas:
         from spectrogram_cube_clustering_tpu.ops.pallas_stft import (
             spectrogram_pallas,

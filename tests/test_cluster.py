@@ -90,6 +90,24 @@ class TestGMM:
         assert np.isfinite(float(state.lower_bound))
         np.testing.assert_allclose(float(np.asarray(state.weights).sum()), 1.0, rtol=1e-5)
 
+    def test_empty_component_stays_finite(self, blobs):
+        """K above the data's natural cluster count can leave a component
+        with ~zero responsibility; its covariance must degrade to
+        reg_covar*I, not 0/0 = NaN (review r2)."""
+        x, _ = blobs
+        # two tight far-apart blobs, K=4: two components starve
+        rng = np.random.default_rng(0)
+        z = np.concatenate([
+            rng.normal(size=(200, 4)).astype(np.float32) * 0.05,
+            rng.normal(size=(200, 4)).astype(np.float32) * 0.05 + 50.0,
+        ])
+        labels, means = cluster.gmm(z, 4, n_init=4, kmeans_max_iter=50)
+        assert np.isfinite(np.asarray(means)).all()
+        labels = np.asarray(labels)
+        assert len(labels) == len(z)
+        # the two real blobs are still separated
+        assert len(set(labels[:200]) & set(labels[200:])) == 0
+
     def test_predict_matches_fit_labels(self, blobs):
         x, _ = blobs
         km_labels, km_centers = cluster.kmeans(x, 5, n_init=4, max_iter=50)
@@ -132,6 +150,22 @@ class TestTSNE:
         e2 = cluster.tsne(x, n_iter=260)
         assert e1.shape == (120, 2)
         np.testing.assert_allclose(e1, e2, atol=1e-4)
+
+
+def test_gap_statistic_accepts_iterator(blobs):
+    """len(list(it)) used to exhaust a generator k_list and silently
+    return uninitialized np.empty garbage (review r2)."""
+    from spectrogram_cube_clustering_tpu.cluster import gap_statistic
+
+    z, _ = blobs
+    z = z[:120]
+    from_gen = gap_statistic(
+        z, (k for k in (2, 3)), n_refs=2, n_init=2, max_iter=20
+    )
+    from_list = gap_statistic(z, [2, 3], n_refs=2, n_init=2, max_iter=20)
+    for key in ("inertia", "gap_g", "gap_u"):
+        np.testing.assert_allclose(from_gen[key], from_list[key])
+        assert np.isfinite(from_gen[key]).all()
 
 
 class TestMetricsSubsample:

@@ -57,6 +57,38 @@ class TestSTFT:
         )
         np.testing.assert_allclose(got, ref, atol=2e-3)
 
+    def test_pallas_kernel_leftover_samples(self, rng):
+        """n_frames an exact multiple of frames_per_block with leftover
+        samples past the last full frame used to compute a NEGATIVE pad
+        width and crash (review r2); the leftovers are dead weight and
+        must simply be dropped."""
+        # t=950: n_frames=8 == frames_per_block, rows_needed*hop=900 < t
+        x = rng.normal(size=(950,)).astype(np.float32)
+        ref = np.asarray(signal.spectrogram(jnp.asarray(x)))
+        got = np.asarray(
+            spectrogram_pallas(
+                jnp.asarray(x), interpret=True, frames_per_block=8
+            )
+        )
+        assert got.shape == ref.shape == (8, 101)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_spectrogram_windows_pallas_autoselect_fallback(self, rng, monkeypatch):
+        """use_pallas=None on a TPU backend must NOT route configs the
+        Pallas kernel rejects (nperseg % hop != 0, hop > 128) into it."""
+        import jax as _jax
+
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        x = rng.normal(size=(5_000,)).astype(np.float32)
+        w = np.asarray(
+            signal.spectrogram_windows(jnp.asarray(x), nperseg=250, hop=100)
+        )
+        assert w.shape[1:] == (4, 126, 1)
+        w = np.asarray(
+            signal.spectrogram_windows(jnp.asarray(x), nperseg=300, hop=150)
+        )
+        assert w.shape[1:] == (4, 151, 1)
+
     def test_spectrogram_windows_shapes(self, rng):
         x = rng.normal(size=(10_000,)).astype(np.float32)
         w = np.asarray(
@@ -85,6 +117,15 @@ class TestShardedSpectrogram:
         x = jnp.zeros((12345,), jnp.float32)
         with pytest.raises(ValueError, match="multiple of mesh"):
             parallel.sharded_spectrogram(x, mesh)
+
+    def test_rejects_halo_exceeding_shard(self):
+        """nperseg - hop beyond the per-device shard would need a
+        multi-hop halo exchange; must fail with a clear message, not an
+        opaque trace error inside shard_map."""
+        mesh = make_data_mesh()
+        x = jnp.zeros((8 * 200,), jnp.float32)  # local_t=200 < halo=300
+        with pytest.raises(ValueError, match="halo"):
+            parallel.sharded_spectrogram(x, mesh, nperseg=400, hop=100)
 
 
 class TestShardedKMeans:
@@ -216,6 +257,42 @@ class TestShardedKMeansFull:
             )
             < 0.01
         )
+
+    def test_kmeans_labels_consistent_with_returned_centers(self, rng):
+        """The returned labels must be the assignment against the RETURNED
+        centers (a closing assignment pass, like the dense kmeans) — not
+        against the pre-update centers of the last iteration."""
+        mesh = make_data_mesh()
+        k, d = 4, 6
+        z = rng.normal(size=(8 * 64, d)).astype(np.float32)
+        # n_iter=1 maximizes the pre/post-update center gap
+        labels, centers = parallel.sharded_kmeans(
+            jnp.asarray(z), k, mesh, n_iter=1, n_init=2, init_subsample=128
+        )
+        labels, centers = np.asarray(labels), np.asarray(centers)
+        d2 = ((z[:, None, :] - centers[None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(labels, d2.argmin(axis=1))
+
+    def test_sharded_gmm_large_mean_offset(self, rng):
+        """Covariance stats are centered (review r2): the raw
+        E[zz^T] - mu mu^T form cancels catastrophically in f32 when the
+        latent mean dwarfs the spread, NaN-ing the Cholesky."""
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        mesh = make_data_mesh()
+        k, d = 3, 5
+        centers_true = rng.normal(size=(k, d)).astype(np.float32) * 2.0
+        y = rng.integers(0, k, size=8 * 80)
+        z = (
+            centers_true[y]
+            + rng.normal(size=(len(y), d)).astype(np.float32) * 0.1
+            + 300.0  # mean >> spread
+        ).astype(np.float32)
+        labels, means = parallel.sharded_gmm(
+            jnp.asarray(z), k, mesh, n_init=4, max_iter=30
+        )
+        assert np.isfinite(np.asarray(means)).all()
+        assert nmi(y, np.asarray(labels)) > 0.99
 
     def test_sharded_gmm_recovers_blobs(self, rng):
         from sklearn.metrics import normalized_mutual_info_score as nmi
