@@ -95,11 +95,9 @@ def build_cube(argv: Optional[list] = None) -> None:
     wave = np.load(args.waveform)
     if wave.ndim == 1:
         wave = wave[None, :]
-    if (
-        jax.default_backend() == "tpu"
-        and args.nperseg % args.hop == 0
-        and args.hop <= 128
-    ):
+    from spectrogram_cube_clustering_tpu.signal.stft import pallas_eligible
+
+    if pallas_eligible(args.nperseg, args.hop):
         from spectrogram_cube_clustering_tpu.ops.pallas_stft import (
             spectrogram_pallas as stft,
         )

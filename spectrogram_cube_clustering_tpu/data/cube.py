@@ -93,6 +93,18 @@ class ZarrCubeDataset:
                 f"cube {self.shape} yields no items under {spec}; "
                 "check channel_start/chunk_size against the cube geometry"
             )
+        usable = spec.usable_time(self.shape[0])
+        if usable % spec.chunk_size != 0:
+            # the reference's modulo/divide item->location formula
+            # (ZarrDataLoader.py:62-66, mirrored in CubeSpec.item_location)
+            # mis-assigns channels and reads past the usable-time boundary
+            # unless usable_time is a whole number of chunks — fail loudly
+            # instead of silently extracting wrong windows
+            raise ValueError(
+                f"usable time {usable} is not a multiple of chunk_size "
+                f"{spec.chunk_size}: the reference wrap formula would "
+                "mis-map items; re-chunk or adjust chunk_size"
+            )
 
     def __len__(self) -> int:
         return self._len

@@ -173,7 +173,7 @@ class SeismicDataset:
         """(len(indices), 1, H, W) float32 stack."""
         return np.stack([self[i][1] for i in indices], axis=0)
 
-    def load_all(self, batch: int = 4096) -> np.ndarray:
+    def load_all(self) -> np.ndarray:
         """Materialize the whole catalog (reference dataset_to_RAM,
         utils.py:601-632)."""
         return self.load_batch(range(len(self)))
@@ -211,9 +211,11 @@ def save_traval_index(
         )
         m = m_db
     rng = np.random.default_rng(seed)
-    index = rng.choice(
-        np.arange(1, m_db), size=int(m * (1 + reserve)), replace=False
-    )
+    # population is [1, m_db) == m_db - 1 candidates; clamp the draw so
+    # m == m_db (the clamp path above) or a reserve overshoot cannot ask
+    # for more samples than exist
+    n_draw = min(int(m * (1 + reserve)), m_db - 1)
+    index = rng.choice(np.arange(1, m_db), size=n_draw, replace=False)
     split = int(0.8 * len(index))
     index_tra, index_val = index[:split], index[split:]
     path = os.path.join(savepath, f"TraValIndex_M={m}.pkl")

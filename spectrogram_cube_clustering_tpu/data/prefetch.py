@@ -24,6 +24,13 @@ import jax
 import numpy as np
 
 
+class _ReaderError:
+    """Queue sentinel carrying a reader-thread exception to the consumer."""
+
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
 class PrefetchLoader:
     """Iterate device-ready batches with IO/H2D overlapped.
 
@@ -83,18 +90,24 @@ class PrefetchLoader:
                     continue
             return False
 
-        with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            futures = {}
-            lookahead = self.num_workers + 2
-            submitted = 0
-            for pos in range(len(self.indices)):
-                while submitted < min(pos + lookahead, len(self.indices)):
-                    futures[submitted] = pool.submit(
-                        self.item_fn, self.indices[submitted]
-                    )
-                    submitted += 1
-                if not put(futures.pop(pos).result()):
-                    return
+        try:
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                futures = {}
+                lookahead = self.num_workers + 2
+                submitted = 0
+                for pos in range(len(self.indices)):
+                    while submitted < min(pos + lookahead, len(self.indices)):
+                        futures[submitted] = pool.submit(
+                            self.item_fn, self.indices[submitted]
+                        )
+                        submitted += 1
+                    if not put(futures.pop(pos).result()):
+                        return
+        except BaseException as e:  # noqa: BLE001
+            # surface the failure in the consumer: dying silently here
+            # would leave the training loop blocked on item_q.get() forever
+            put(_ReaderError(e))
+            return
         put(None)  # epoch sentinel
 
     def _spans_processes(self) -> bool:
@@ -221,6 +234,10 @@ class PrefetchLoader:
                 item = item_q.get()
                 if item is None:
                     break
+                if isinstance(item, _ReaderError):
+                    raise RuntimeError(
+                        "prefetch reader failed"
+                    ) from item.error
                 buf.append(item)
                 have += len(item)
                 while have >= self.batch_size:

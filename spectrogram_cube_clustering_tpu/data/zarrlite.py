@@ -155,6 +155,14 @@ class ZarrArray:
                 k = int(k)
                 if k < 0:
                     k += self.shape[d]
+                if not 0 <= k < self.shape[d]:
+                    # without this an out-of-range index maps to a chunk
+                    # file that simply doesn't exist and silently returns
+                    # fill_value, masking geometry bugs as zero data
+                    raise IndexError(
+                        f"index {k} out of bounds for axis {d} with size "
+                        f"{self.shape[d]}"
+                    )
                 starts.append(k)
                 stops.append(k + 1)
                 drop.append(d)

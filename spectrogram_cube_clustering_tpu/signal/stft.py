@@ -80,6 +80,18 @@ def dft_matrices(nperseg: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndar
     )
 
 
+def pallas_eligible(nperseg: int, hop: int) -> bool:
+    """True when the current backend + STFT geometry can use the fused
+    Pallas kernel: its hop-chunk layout needs nperseg % hop == 0 and
+    hop <= 128 lanes (ops/pallas_stft.py preconditions) — other configs
+    fall back to the XLA path, which handles them fine."""
+    return (
+        jax.default_backend() == "tpu"
+        and nperseg % hop == 0
+        and hop <= 128
+    )
+
+
 def spectrogram_windows(
     x: jnp.ndarray,
     nperseg: int = 200,
@@ -98,13 +110,7 @@ def spectrogram_windows(
     from spectrogram_cube_clustering_tpu.ops.normalize import make_normalizer
 
     if use_pallas is None:
-        # the Pallas kernel's hop-chunk layout needs nperseg % hop == 0
-        # and hop <= 128 — fall back to the jnp path for other configs
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and nperseg % hop == 0
-            and hop <= 128
-        )
+        use_pallas = pallas_eligible(nperseg, hop)
     if use_pallas:
         from spectrogram_cube_clustering_tpu.ops.pallas_stft import (
             spectrogram_pallas,

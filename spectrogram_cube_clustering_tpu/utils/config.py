@@ -126,7 +126,9 @@ class Configuration:
     # -- parsing ---------------------------------------------------------
 
     def load_config(self) -> "Configuration":
-        parser = configparser.ConfigParser()
+        # interpolation off: values are opaque strings here, and the default
+        # BasicInterpolation would crash on literal '%' in paths
+        parser = configparser.ConfigParser(interpolation=None)
         with open(self.init_path) as f:
             parser.read_file(f)
         for section in parser.sections():
@@ -286,7 +288,7 @@ def config_training(
 ) -> str:
     """Write parameter dicts to `Config/init_<mode>.ini`
     (reference config_training, utils.py:569-598)."""
-    parser = configparser.ConfigParser()
+    parser = configparser.ConfigParser(interpolation=None)
     parser["UNIVERSAL"] = {k: str(v) for k, v in universal.items()}
     parser["PARAMETERS"] = {k: str(v) for k, v in parameters.items()}
     if hyperparameters is not None:

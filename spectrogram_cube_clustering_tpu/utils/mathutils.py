@@ -50,7 +50,11 @@ def measure_label_change(labels1: np.ndarray, labels2: np.ndarray) -> pd.DataFra
     """
     labels1 = np.asarray(labels1)
     labels2 = np.asarray(labels2)
-    label_list = np.unique(labels1)
+    # classes = union of both labelings: a class empty in labels1 can
+    # still receive migrations, and a fixed-width histogram over
+    # [min, min+k) would both drop out-of-range destinations and shift
+    # the per-class columns when the label values have gaps
+    label_list = np.unique(np.concatenate([labels1, labels2]))
     k = len(label_list)
     m = len(labels1)
     counts = np.zeros((k, k), dtype=int)
@@ -60,16 +64,17 @@ def measure_label_change(labels1: np.ndarray, labels2: np.ndarray) -> pd.DataFra
     for row, label in enumerate(label_list):
         sel = labels1 == label
         changed = labels2[sel][labels2[sel] != label]
-        hist, _ = np.histogram(changed, bins=np.arange(k + 1) - 0.5 + label_list.min())
-        counts[row] = hist
-        total_counts[row] = hist.sum()
-        percentages[row] = 100.0 * hist.sum() / m
+        counts[row] = [int(np.sum(changed == dst)) for dst in label_list]
+        total_counts[row] = counts[row].sum()
+        percentages[row] = 100.0 * counts[row].sum() / m
 
     data = {"N_j": total_counts, "%N": percentages}
     data.update(
         {f"Class {int(label) + 1}": counts[row] for row, label in enumerate(label_list)}
     )
-    df = pd.DataFrame(data=data)
+    # rows are indexed by destination class value (== RangeIndex when the
+    # labels are contiguous from 0, the reference's layout)
+    df = pd.DataFrame(data=data, index=[int(v) for v in label_list])
     df.loc["total"] = df.sum(numeric_only=True)
     int_cols = [c for c in df.columns if c != "%N"]
     df[int_cols] = df[int_cols].astype(int)

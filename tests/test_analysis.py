@@ -114,6 +114,18 @@ class TestMathUtils:
         assert df.loc[2, "Class 2"] == 1
         assert df.loc[1, "Class 1"] == 1  # class 0 -> class 1
 
+    def test_measure_label_change_gapped_labels(self):
+        """Gapped label values (an empty class) used to misalign the
+        histogram bins with the class columns and drop out-of-range
+        destinations (review r2)."""
+        l1 = np.array([0, 0, 1, 3])
+        l2 = np.array([0, 3, 1, 3])  # one migration: 0 -> 3
+        df = scc_utils.measure_label_change(l1, l2)
+        assert df.loc["total", "N_j"] == 1
+        # column "Class 1" = FROM class 0, destination row label 3
+        assert df.loc[3, "Class 1"] == 1
+        assert df.loc[3, "Class 4"] == 0
+
 
 class TestFigures:
     """Smoke tests: every figure family renders and returns a Figure."""

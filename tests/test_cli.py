@@ -146,7 +146,9 @@ def test_build_cube_roundtrip(tmp_path, rng):
     """build-cube writes a Zarr cube the window reader can consume."""
     from spectrogram_cube_clustering_tpu.data import CubeSpec, ZarrCubeDataset
 
-    wave = rng.normal(size=(3, 6_000)).astype(np.float32)
+    # 8900 samples -> 88 frames: a whole number of 44-row chunks (the
+    # reader rejects geometries the wrap formula would mis-map)
+    wave = rng.normal(size=(3, 8_900)).astype(np.float32)
     wpath = str(tmp_path / "wave.npy")
     np.save(wpath, wave)
     dest = str(tmp_path / "built.zarr")
@@ -154,7 +156,13 @@ def test_build_cube_roundtrip(tmp_path, rng):
     spec = CubeSpec(chunk_size=44, window_rows=4, channel_start=0,
                     channel_stride=1, time_num=1, time_den=1)
     ds = ZarrCubeDataset(dest, spec=spec)
-    n_frames = (6_000 - 200) // 100 + 1
+    n_frames = (8_900 - 200) // 100 + 1
     assert ds.shape == (n_frames, 3, 101)
+    assert len(ds) == 2 * 3  # 2 chunks per channel x 3 channels
     item = ds.item(0)
     assert item.shape == (11, 4, 101, 1)
+    # item -> (start, channel) mapping round-trips without wrap artifacts
+    np.testing.assert_allclose(
+        np.asarray(ds.item(2)).reshape(44, 101),
+        np.asarray(ds.array[0:44, 1, :]), rtol=1e-6,
+    )

@@ -66,6 +66,20 @@ class TestZarrlite:
         np.testing.assert_array_equal(arr[-1, :], data[-1, :])
         assert arr[3, 5] == data[3, 5]
 
+    def test_out_of_range_index_raises(self, tmp_path, rng):
+        """OOB integer indices used to map to nonexistent chunk files and
+        silently return fill_value (review r2)."""
+        data = rng.integers(0, 100, size=(10, 6)).astype(np.int64)
+        path = str(tmp_path / "oob")
+        zarrlite.write_array(path, data, chunks=(4, 4))
+        arr = zarrlite.open_array(path)
+        with pytest.raises(IndexError, match="out of bounds"):
+            arr[10, 0]
+        with pytest.raises(IndexError, match="out of bounds"):
+            arr[-11, 0]
+        with pytest.raises(IndexError, match="out of bounds"):
+            arr[0, 6]
+
     def test_group(self, tmp_path, rng):
         data = rng.normal(size=(6, 5)).astype(np.float64)
         path = str(tmp_path / "g")
@@ -165,6 +179,21 @@ class TestCubeDataset:
         centroid = (e * f).sum(-1) / np.maximum(e.sum(-1), 1e-9)
         means = [centroid[labels == k].mean() for k in range(3)]
         assert means[0] < means[1] < means[2]
+
+    def test_rejects_non_chunk_multiple_usable_time(self, tmp_path, rng):
+        """usable_time % chunk_size != 0 makes the reference's wrap
+        formula mis-assign channels (SURVEY §2.3-adjacent defect); the
+        dataset must refuse the geometry instead of silently extracting
+        wrong windows (review r2)."""
+        spec = CubeSpec(chunk_size=12, window_rows=4, channel_start=1,
+                        channel_stride=2)
+        path = str(tmp_path / "bad")
+        # n_time=11*11 -> usable = 11*2 = 22, not a multiple of 12
+        data = rng.normal(size=(121, 5, 7)).astype(np.float32)
+        from spectrogram_cube_clustering_tpu.data import zarrlite
+        zarrlite.write_array(path, data, chunks=(12, 5, 7))
+        with pytest.raises(ValueError, match="multiple of chunk_size"):
+            ZarrCubeDataset(path, spec=spec)
 
     def test_train_val_split(self):
         tra, val = train_val_split(10, train_frac=0.7, seed=2009)

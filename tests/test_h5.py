@@ -90,6 +90,20 @@ class TestTraValIndex:
         np.testing.assert_array_equal(val, val2)
         assert 0 not in np.concatenate([tra, val])  # reference draws from [1, M)
 
+    def test_m_equals_db_size_clamps(self, catalog, tmp_path):
+        """m >= db size (or a reserve overshoot) used to ask the [1, M)
+        population for M samples and crash (review r2)."""
+        path, spec, _ = catalog
+        m_db = len(spec)
+        tra, val, _ = h5mod.save_traval_index(
+            m_db + 5, path, str(tmp_path), seed=1
+        )
+        assert len(tra) + len(val) == m_db - 1
+        tra, val, _ = h5mod.save_traval_index(
+            m_db - 1, path, str(tmp_path), reserve=0.5, seed=1
+        )
+        assert len(tra) + len(val) == m_db - 1
+
 
 class TestExtract:
     def test_station_filter(self, catalog, tmp_path):

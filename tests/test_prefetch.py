@@ -50,6 +50,19 @@ class TestPrefetchLoader:
         assert len(first) == len(second) == 1
         np.testing.assert_array_equal(first[0], second[0])
 
+    def test_item_error_surfaces_instead_of_hanging(self):
+        """A failing item_fn used to kill the reader thread silently and
+        leave the consumer blocked on the queue forever (review r2)."""
+        def bad_item(i):
+            if i == 3:
+                raise IOError("corrupt chunk")
+            return _item_fn(i)
+
+        loader = PrefetchLoader(bad_item, n_items=5, batch_size=4,
+                                num_workers=2)
+        with pytest.raises(RuntimeError, match="prefetch reader failed"):
+            list(loader)
+
     def test_over_zarr_cube(self, tmp_path):
         spec = CubeSpec(chunk_size=16, window_rows=4, channel_start=1,
                         channel_stride=2)

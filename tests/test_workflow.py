@@ -51,6 +51,20 @@ def _make_config(root, cube_path, model, mode, parameters=None, hp=None):
     return config
 
 
+def test_config_roundtrips_percent_in_values(tmp_path):
+    """Literal '%' in config values (e.g. URL-encoded paths) used to hit
+    ConfigParser's BasicInterpolation and crash load_config (review r2)."""
+    ini = scc_utils.config_training(
+        {"fname_dataset": str(tmp_path / "runs%2Ffoo.zarr"),
+         "savepath": str(tmp_path), "configpath": str(tmp_path / "Config")},
+        {"model": "AEC", "mode": "train", "n_epochs": 1},
+        {"batch_size": "8", "lr": "0.001"},
+    )
+    config = scc_utils.Configuration(ini)
+    config.load_config()
+    assert "%2F" in config.fname_dataset
+
+
 def test_full_workflow(cube):
     root, cube_path, true_labels = cube
 
