@@ -75,7 +75,9 @@ class LabelCatalogue:
         [lo, hi) (utils.py:327-344)."""
         if threshold is not None:
             self.threshold = threshold
-        if isinstance(self.threshold, float):
+        if isinstance(self.threshold, (int, float)) and not isinstance(
+            self.threshold, bool
+        ):
             self.df = self.df[self.df["peak"] >= self.threshold]
         elif isinstance(self.threshold, (list, tuple)):
             if len(self.threshold) != 2:
@@ -117,7 +119,8 @@ class LabelCatalogue:
         self.freq = freq
         if label_list is not None and max(label_list) > max(self.label_list):
             raise ValueError("label_list includes impossibly high label.")
-        label_list = self.label_list
+        if label_list is None:
+            label_list = self.label_list
         frames = []
         for label in label_list:
             mask = (self.df["station"] == station) & (self.df["label"] == label)

@@ -24,10 +24,17 @@ def _checkpointer():
 
 
 def save(path: str, tree: Any) -> str:
-    """Save a pytree checkpoint at `path` (created, must not exist)."""
+    """Save a pytree checkpoint at `path` (created, must not exist).
+
+    Leaves sharded across processes (e.g. the DEC snapshot's target
+    distribution on a multi-host mesh) are all-gathered first — a bare
+    device_get raises on them, which would kill the very run the
+    snapshot exists to protect."""
+    from spectrogram_cube_clustering_tpu.train.layout import fetch_global
+
     path = os.path.abspath(path)
     ckpt = _checkpointer()
-    ckpt.save(path, jax.device_get(tree))
+    ckpt.save(path, fetch_global(tree))
     ckpt.wait_until_finished()
     return path
 

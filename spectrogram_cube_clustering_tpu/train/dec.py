@@ -374,6 +374,9 @@ def train_dec_stream(
     state = state.replace(
         params=replace_centroids(state.params, jnp.asarray(centroids))
     )
+    # post-centroid-injection params = the reference's DEC_Params_Initial
+    # (models.py:1006-1012); the scan path captures the same point
+    initial_params = jax.tree.map(lambda a: a, state.params)
     q, _, _ = full_eval_stream(eval_step, state.params, make_loader, m_total)
     p = np.asarray(target_distribution(jnp.asarray(q)))
 
@@ -388,6 +391,7 @@ def train_dec_stream(
         snapshot_path=snapshot_path,
         train_step=train_step, eval_step=eval_step,
         snapshot_cb=snapshot_cb, snapshot_every=snapshot_every,
+        initial_params=initial_params,
     )
 
 
@@ -395,6 +399,7 @@ def _train_dec_stream_loop(
     model, state, make_loader, m_total, config, labels_prev, p,
     *, start_epoch, history, deltas, n_iter, snapshot_path,
     train_step, eval_step, snapshot_cb=None, snapshot_every=4,
+    initial_params=None,
 ) -> Dict:
     from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
 
@@ -496,6 +501,7 @@ def _train_dec_stream_loop(
 
     return {
         "state": state,
+        "initial_params": initial_params,  # None when resumed
         "history": history,
         "deltas": deltas,
         "labels": np.asarray(labels_prev),
@@ -552,7 +558,9 @@ def train_dec(
         start_epoch = resumed_meta["epoch"]
         p_all = jnp.asarray(extra["p_all"])
         labels_prev = jnp.asarray(extra["labels_prev"])
-        initial_params = jax.tree.map(lambda a: a, state.params)
+        # the restored params are mid-training — NOT the pre-refinement
+        # initialization; the original run saved the real one
+        initial_params = None
         z0 = None
     else:
         labels_prev, centroids = initialize_clusters(

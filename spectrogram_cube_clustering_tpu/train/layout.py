@@ -111,10 +111,22 @@ def fetch_global(tree):
     def gather(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             repl = NamedSharding(x.sharding.mesh, P())
-            return jax.jit(lambda a: a, out_shardings=repl)(x)
+            # one cached jitted identity per target sharding: a fresh
+            # jax.jit object per call would miss the jit cache (keyed on
+            # function identity) and re-trace on every fetch — hundreds
+            # of times per DEC refresh in full_eval_stream
+            fn = _GATHER_FNS.get(repl)
+            if fn is None:
+                fn = _GATHER_FNS[repl] = jax.jit(
+                    lambda a: a, out_shardings=repl
+                )
+            return fn(x)
         return x
 
     return jax.device_get(jax.tree.map(gather, tree))
+
+
+_GATHER_FNS: dict = {}
 
 
 def make_batched_data(

@@ -61,8 +61,11 @@ def _aec_eval_scan(apply_fn, params, xb, maskb):
     )
 
 
-def _to_nchw_np(x: jnp.ndarray) -> np.ndarray:
-    return np.asarray(jnp.transpose(x, (0, 3, 1, 2)))
+def _to_nchw_np(x) -> np.ndarray:
+    """NHWC -> the reference's NCHW artifact layout (CLAUDE.md boundary
+    convention). Works on host or device arrays without a device round
+    trip for the former."""
+    return np.transpose(np.asarray(x), (0, 3, 1, 2))
 
 
 def _gmm_figure_context(config, n_clusters: int, z_dec, labels_dec,
@@ -176,7 +179,7 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
         (a, xr, z), take = item
         a, xr, z = _train.fetch_global((a, xr, z))
         firsts.append(np.asarray(a[:take]))
-        xrs.append(np.transpose(np.asarray(xr[:take]), (0, 3, 1, 2)))
+        xrs.append(_to_nchw_np(xr[:take]))
         zs.append(np.asarray(z[:take], np.float32))
 
     for x, n_valid in make_loader():
@@ -211,13 +214,18 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
                 m, min(cap, m), replace=False
             )
         )
+        # group the selection by item: one read+normalize per unique item
+        # instead of one per WINDOW (~windows_per_item x less IO on the
+        # path that exists because X exceeds host RAM)
         wpi = ds.windows_per_item
-        x_sub = np.stack(
-            [item_fn(i // wpi)[i % wpi] for i in sel], axis=0
-        )
+        rows = []
+        for item_idx in np.unique(sel // wpi):
+            item = item_fn(int(item_idx))
+            rows.append(item[sel[sel // wpi == item_idx] % wpi])
+        x_sub = np.concatenate(rows, axis=0)  # sel is sorted -> aligned
         metrics = _cluster.cluster_metrics(
             savepath, labels_np[sel],
-            _to_nchw_np(jnp.asarray(x_sub)), z_np[sel], save=True,
+            _to_nchw_np(x_sub), z_np[sel], save=True,
         )
         if figures:
             # figure families on the same metrics subsample
@@ -267,7 +275,14 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
     print(f"Dataset has {len(x_np)} samples.")
     savepath = config.savepath_exp
     batch = int(getattr(config, "batch_size_predict", PREDICT_BATCH))
-    data = _train.make_batched_data(x_np, batch_size=min(batch, len(x_np)), mesh=mesh)
+    batch = min(batch, len(x_np))
+    if mesh is not None:
+        # the batch axis shards over the mesh — round UP to a device
+        # multiple (the trailing pad rows are masked out)
+        from spectrogram_cube_clustering_tpu.core import pad_to_multiple
+
+        batch = pad_to_multiple(batch, mesh.devices.size)
+    data = _train.make_batched_data(x_np, batch_size=batch, mesh=mesh)
     m = data.n_samples
 
     model = make_model(config)
@@ -288,35 +303,34 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
         )
         np.save(os.path.join(savepath, "q_DEC"), q_np)
         np.save(os.path.join(savepath, "Z_DEC"), z_np)
-        np.save(
-            os.path.join(savepath, "Xr_DEC"),
-            np.transpose(np.asarray(xr), (0, 3, 1, 2)),
-        )
+        np.save(os.path.join(savepath, "Xr_DEC"), _to_nchw_np(xr))
         np.save(os.path.join(savepath, "labels_DEC"), labels_np)
         np.save(os.path.join(savepath, "centroids_DEC"), centroids_np)
 
         silh_cap = getattr(config, "silh_max_samples", None)
         metrics = _cluster.cluster_metrics(
-            savepath, labels_np, _to_nchw_np(jnp.asarray(x_np)), z_np,
+            savepath, labels_np, _to_nchw_np(x_np), z_np,
             save=True,
             silh_max_samples=int(silh_cap) if silh_cap else None,
         )
         if figures:
             k = int(config.n_clusters)
-            fig = plotting.view_silhscore(
-                metrics["silh_scores_Z"], labels_np, k, config.model
-            )
-            fig.savefig(
-                os.path.join(savepath, "silh_score_Z.png"), dpi=300,
-                facecolor="w",
-            )
-            fig = plotting.view_silhscore(
-                metrics["silh_scores_X"], labels_np, k, config.model
-            )
-            fig.savefig(
-                os.path.join(savepath, "silh_score_X.png"), dpi=300,
-                facecolor="w",
-            )
+            for scores, name in (
+                (metrics["silh_scores_Z"], "silh_score_Z"),
+                (metrics["silh_scores_X"], "silh_score_X"),
+            ):
+                # with silh_max_samples, unsampled rows are NaN — draw
+                # only the scored rows (like the stream path) or the
+                # figure's mean line and y extent are NaN/garbage
+                scored = np.isfinite(np.asarray(scores))
+                fig = plotting.view_silhscore(
+                    np.asarray(scores)[scored], labels_np[scored], k,
+                    config.model,
+                )
+                fig.savefig(
+                    os.path.join(savepath, f"{name}.png"), dpi=300,
+                    facecolor="w",
+                )
             for name in ("T-SNE", "Gallery", "LatentSpace", "CDF", "PDF"):
                 os.makedirs(os.path.join(savepath, name), exist_ok=True)
             from spectrogram_cube_clustering_tpu.workflow.fit import _tsne
@@ -369,7 +383,7 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
     z, xr, total_loss = _aec_eval_scan(model.apply, params, data.x, data.mask)
     z, xr = _train.fetch_global((z, xr))
     z_np = np.asarray(z[:m], np.float32)
-    xr_np = np.transpose(np.asarray(xr[:m]), (0, 3, 1, 2))
+    xr_np = _to_nchw_np(xr[:m])
     total_loss = float(total_loss)
     print(f"Dataset MSE = {total_loss:.4e}")
     with open(os.path.join(savepath, "MSE.txt"), "w") as f:

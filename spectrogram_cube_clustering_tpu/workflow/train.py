@@ -296,6 +296,11 @@ def _train_stream(config, mesh=None):
                 snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
                 resume=bool(getattr(config, "resume", False)),
             )
+            if out["initial_params"] is not None:  # None when resumed
+                save(
+                    os.path.join(config.savepath_run, "DEC_Params_Initial"),
+                    out["initial_params"],
+                )
             save(
                 os.path.join(config.savepath_run, "DEC_Params_Final"),
                 out["state"].params,
@@ -483,10 +488,15 @@ def _train_dec_run(config, hp, tra_x, mesh):
         snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
         resume=bool(getattr(config, "resume", False)),
     )
-    save(
-        os.path.join(config.savepath_run, "DEC_Params_Initial"),
-        out["initial_params"],
-    )
+    if out["initial_params"] is not None:
+        # absent exactly when resuming: the restored params are
+        # mid-training, and the original run already saved the real
+        # initialization (reference artifact DEC_Params_Initial,
+        # models.py:1009-1012)
+        save(
+            os.path.join(config.savepath_run, "DEC_Params_Initial"),
+            out["initial_params"],
+        )
     save(os.path.join(config.savepath_run, "DEC_Params_Final"), out["state"].params)
     _utils.save_history(
         {"Iteration": out["history"]["iteration"],

@@ -64,6 +64,22 @@ class TestLabelCatalogue:
         with pytest.raises(ValueError):
             catalogue.gather_counts("DR01", freq="minute")
 
+    def test_gather_counts_honors_label_subset(self, catalogue):
+        """The label_list argument used to be validated then discarded
+        (review r3)."""
+        counts = catalogue.gather_counts("DR01", freq="month",
+                                         label_list=[0, 2])
+        assert list(counts.columns) == ["1", "3"]
+
+    def test_apply_threshold_accepts_int(self, catalogue):
+        """An integer threshold used to silently skip filtering
+        (review r3)."""
+        n_all = len(catalogue.df)
+        thr = int(np.ceil(catalogue.df["peak"].median()))
+        filtered = catalogue.apply_threshold(thr)
+        assert 0 < len(filtered) < n_all
+        assert (filtered["peak"] >= thr).all()
+
     def test_seasonal_statistics(self, catalogue):
         s = catalogue.seasonal_statistics()
         assert set(s.columns) == {"JFM", "JJA"}

@@ -182,6 +182,10 @@ def test_dec_resume_matches_uninterrupted(tmp_path, rng):
         model, fresh(), data, cfg6, snapshot_path=snap, resume=True
     )
     assert resumed["last_epoch"] == 6
+    # resumed runs must NOT report mid-training params as the pre-
+    # refinement initialization (review r3)
+    assert resumed["initial_params"] is None
+    assert full["initial_params"] is not None
     np.testing.assert_array_equal(resumed["labels"], full["labels"])
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(

@@ -251,6 +251,29 @@ def test_dec_figure_snapshots(cube):
         assert os.path.exists(w), w
 
 
+def test_predict_on_mesh_rounds_batch_to_device_multiple(cube):
+    """Ram-mode predict on a mesh with a batch size that does not divide
+    over the devices (e.g. dataset smaller than PREDICT_BATCH) must round
+    the batch up, not crash (review r3)."""
+    import spectrogram_cube_clustering_tpu as scc
+
+    root, cube_path, _ = cube
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 1, "early_stopping": "False"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [aec] = workflow.train(config)
+    weights = os.path.join(aec["savepath_run"], "AEC_Params_Final")
+    mesh = scc.core.make_data_mesh()
+    config = _make_config(
+        root, cube_path, "AEC", "predict",
+        {"saved_weights": weights, "batch_size_predict": "60"},
+    )
+    res = workflow.predict(config, mesh=mesh)
+    assert res["z"].shape[0] == 384
+
+
 def test_gmm_fit_on_mesh(cube):
     """gmm_fit with a mesh runs the distributed EM and matches artifacts."""
     root, cube_path, _ = cube
@@ -422,6 +445,31 @@ def test_unet_arch_workflow(cube):
     )
     with pytest.raises(ValueError, match="arch must be 'AEC'"):
         workflow.train(config)
+
+
+def test_stream_dec_train_artifacts(cube):
+    """Streaming DEC training writes the same artifact set as the ram
+    path — including DEC_Params_Initial (review r3)."""
+    root, cube_path, _ = cube
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 1, "early_stopping": "False"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [aec] = workflow.train(config)
+    weights = os.path.join(aec["savepath_run"], "AEC_Params_Final")
+    config = _make_config(
+        root, cube_path, "DEC", "train",
+        {"n_epochs": 1, "saved_weights": weights, "init": "kmeans",
+         "km_n_init": 2, "loadmode": "stream", "workers": "2"},
+        {"batch_size": "64", "lr": "0.001", "n_clusters": "3",
+         "gamma": "0.001", "tol": "0.0"},
+    )
+    [dec] = workflow.train(config)
+    run = dec["savepath_run"]
+    for name in ("DEC_Params_Initial", "DEC_Params_Final"):
+        assert os.path.isdir(os.path.join(run, name)), name
+    assert os.path.exists(os.path.join(run, "DEC_history.csv"))
 
 
 def test_stream_dec_predict_with_figures(cube):
