@@ -73,12 +73,13 @@ def main(init_path: Optional[str] = None, device: Optional[int] = None,
 
     print("=" * 80)
     print(f"Executing {config.verb} mode for {config.model}")
+    figures = bool(getattr(config, "figures", True))
     if config.mode == "train":
         workflow.train(config)
     elif config.mode == "predict":
-        workflow.predict(config)
+        workflow.predict(config, figures=figures)
     elif config.mode == "fit":
-        workflow.gmm_fit(config)
+        workflow.gmm_fit(config, figures=figures)
     else:
         raise ValueError(f"unknown mode {config.mode!r}")
     toc = datetime.now()
