@@ -128,3 +128,18 @@ def convert_torch_checkpoint(argv: Optional[list] = None) -> None:
     args = parser.parse_args(argv)
     out = torch_port.convert_checkpoint(args.pt_path, args.out_dir, args.model)
     print(f"Converted to {out}")
+
+
+def export_torch_checkpoint(argv: Optional[list] = None) -> None:
+    """Export an orbax checkpoint (AEC/DEC params trained here) to a
+    reference-loadable `.pt` state_dict — migration runs in both
+    directions (utils.torch_port.export_checkpoint)."""
+    from spectrogram_cube_clustering_tpu.utils import torch_port
+
+    parser = argparse.ArgumentParser(description=export_torch_checkpoint.__doc__)
+    parser.add_argument("ckpt_dir", help="orbax checkpoint directory")
+    parser.add_argument("out_pt", help="output .pt path")
+    parser.add_argument("--model", choices=["auto", "AEC", "DEC"], default="auto")
+    args = parser.parse_args(argv)
+    out = torch_port.export_checkpoint(args.ckpt_dir, args.out_pt, args.model)
+    print(f"Exported to {out}")

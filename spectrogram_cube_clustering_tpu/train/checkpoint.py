@@ -66,7 +66,12 @@ def save_snapshot(path: str, state, meta: dict, extra: Optional[Any] = None) -> 
 
     path = os.path.abspath(path)
     tmp = path + ".tmp"
-    if os.path.exists(tmp):
+    # Multi-process: EVERY process must call `save` (orbax coordinates
+    # its multi-host barriers internally and only process 0 writes a
+    # host-local tree), all with the SAME shared path; the surrounding
+    # filesystem juggling runs on process 0 alone.
+    primary = jax.process_index() == 0
+    if primary and os.path.exists(tmp):
         shutil.rmtree(tmp)
     tree = {
         "params": state.params,
@@ -76,11 +81,18 @@ def save_snapshot(path: str, state, meta: dict, extra: Optional[Any] = None) -> 
     if extra is not None:
         tree["extra"] = extra
     save(tmp, tree)
-    with open(os.path.join(tmp, "loop_meta.json"), "w") as f:
-        json.dump(meta, f)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    if primary:
+        with open(os.path.join(tmp, "loop_meta.json"), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    if jax.process_count() > 1:
+        # don't let any process race ahead to the next epoch (or a
+        # restart) before the rename is visible
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("snapshot_rename")
     return path
 
 

@@ -93,6 +93,61 @@ def dec_params_from_torch(sd: Mapping[str, np.ndarray]) -> dict:
     return params
 
 
+# -- reverse direction: flax params -> reference .pt ------------------------
+
+
+def _conv_inv(k):
+    """flax conv kernel (kh, kw, in, out) -> torch (out, in, kh, kw)."""
+    return np.asarray(k).transpose(3, 2, 0, 1)
+
+
+def _dense_inv(k):
+    return np.asarray(k).T
+
+
+def torch_state_dict_from_params(params: Mapping, model: str = "auto") -> Dict[str, np.ndarray]:
+    """Flax AEC/DEC params -> the reference's state_dict key layout
+    (Cluster/networks.py sequential indices), float64 like the reference's
+    own saved checkpoints (models.py:64,154,965). Exact inverse of
+    `aec_params_from_torch` / `dec_params_from_torch` — so a model trained
+    here can be loaded by the original torch code, completing migration in
+    BOTH directions."""
+    if model == "auto":
+        model = "DEC" if "centroids" in params else "AEC"
+    enc, dec = params["encoder"], params["decoder"]
+    sd: Dict[str, np.ndarray] = {}
+    for n, i in enumerate(_ENC_CONVS):
+        sd[f"encoder.encoder.{i}.weight"] = _conv_inv(enc[f"Conv_{n}"]["kernel"])
+        sd[f"encoder.encoder.{i}.bias"] = np.asarray(enc[f"Conv_{n}"]["bias"])
+    sd["encoder.encoder.6.conv.weight"] = _conv_inv(
+        enc["SpatialAttention_0"]["Conv_0"]["kernel"]
+    )
+    sd["encoder.encoder.8.weight"] = _dense_inv(enc["Dense_0"]["kernel"])
+    sd["encoder.encoder.8.bias"] = np.asarray(enc["Dense_0"]["bias"])
+    sd["decoder.decoder.0.weight"] = _dense_inv(dec["Dense_0"]["kernel"])
+    sd["decoder.decoder.0.bias"] = np.asarray(dec["Dense_0"]["bias"])
+    for n, i in enumerate(_DEC_CONVTS):
+        entry = dec[f"TorchConvTranspose_{n}"]["ConvTranspose_0"]
+        sd[f"decoder.decoder.{i}.weight"] = _conv_inv(entry["kernel"])
+        if "bias" in entry:
+            sd[f"decoder.decoder.{i}.bias"] = np.asarray(entry["bias"])
+    if model == "DEC":
+        sd["clustering.weights"] = np.asarray(params["centroids"])
+    return {k: v.astype(np.float64) for k, v in sd.items()}
+
+
+def export_checkpoint(ckpt_dir: str, out_pt: str, model: str = "auto") -> str:
+    """Orbax checkpoint directory -> reference-loadable `.pt` state_dict."""
+    import torch
+
+    from spectrogram_cube_clustering_tpu.train.checkpoint import restore
+
+    params = restore(ckpt_dir)
+    sd = torch_state_dict_from_params(params, model)
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, out_pt)
+    return out_pt
+
+
 def convert_checkpoint(pt_path: str, out_dir: str, model: str = "auto") -> str:
     """`.pt` -> orbax checkpoint directory loadable by the workflow.
 

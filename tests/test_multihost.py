@@ -101,8 +101,13 @@ dcfg = scc.train.DECConfig(
 dstate = scc.train.create_train_state(
     dec, jax.random.key(1), jnp.asarray(x[:2]), lr=1e-3
 )
-dout = scc.train.train_dec(dec, dstate, data, dcfg)
+# snapshot_path (SHARED across processes — orbax coordinates the save):
+# the epoch-end save must gather the process-spanning p_all/labels_prev
+# (checkpoint.save -> fetch_global) instead of crashing
+snap = os.path.join(sys.argv[3], "snap")
+dout = scc.train.train_dec(dec, dstate, data, dcfg, snapshot_path=snap)
 assert dout["labels"].shape == (128,)
+assert os.path.exists(snap)
 
 # DEC streaming path: full_eval_stream all-gathers its sharded q/z
 dstate2 = scc.train.create_train_state(
@@ -146,7 +151,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(rank), port],
+            [sys.executable, str(worker), str(rank), port, str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             env=env, cwd=REPO, text=True,
         )

@@ -303,3 +303,18 @@ def test_torch_checkpoint_port(tmp_path, data):
     np.testing.assert_allclose(
         np.asarray(params["centroids"]), centroids.numpy(), rtol=1e-6
     )
+
+    # reverse direction: export those flax params back to a reference
+    # .pt — the state_dict must match the original exactly (so the
+    # original torch code can load a model trained here)
+    pt_back = str(tmp_path / "roundtrip.pt")
+    torch_port.export_checkpoint(out_dir, pt_back)
+    sd_back = torch.load(pt_back, map_location="cpu", weights_only=True)
+    assert set(sd_back) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(
+            sd_back[k].numpy(),
+            sd[k].detach().numpy().astype(np.float64),
+            rtol=1e-6, atol=0,
+            err_msg=k,
+        )
