@@ -161,8 +161,11 @@ def main():
 
     _enable_compile_cache()
     if args.metric == "stft":
+        n_wave = 400_000 if args.quick else 4_000_000
+        reps = 3 if args.quick else 10
         measure, metric = (
-            lambda: measure_stft_throughput(), "stft_wave_samples_per_sec"
+            lambda: measure_stft_throughput(n_wave, reps),
+            "stft_wave_samples_per_sec",
         )
     elif args.metric == "dec":
         measure, metric = (

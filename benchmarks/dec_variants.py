@@ -24,17 +24,21 @@ state = scc.train.create_train_state(model, jax.random.key(0), jnp.asarray(x[:4]
 q, _, _ = scc.train.full_eval(model, state.params, data)
 p_all = _pad_p(target_distribution(q), data.n_batches, batch)
 
-def timeit(fn, *args, reps=3):
-    out = fn(*args); jax.tree.map(lambda a: a.block_until_ready(), out)
+def timeit(step, state0, reps=3):
+    """step(state) -> (state', out). The state CHAINS through reps so every
+    execute call has fresh inputs — same-input loops can be memoized by the
+    remote tunnel client and report impossible numbers (CLAUDE.md trap)."""
+    s, out = step(state0)
+    jax.tree.map(lambda a: a.block_until_ready(), out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
+        s, out = step(s)
     jax.tree.map(lambda a: a.block_until_ready(), out)
     return n_samples * reps / (time.perf_counter() - t0)
 
 # A: current segment fn
 seg = make_segment_fn(model, 0.001, data.n_batches)
-print("A current  :", f"{timeit(lambda s: seg(s, data.x, data.mask, p_all, jnp.array(0))[1], state):,.0f}")
+print("A current  :", f"{timeit(lambda s: seg(s, data.x, data.mask, p_all, jnp.array(0)), state):,.0f}")
 
 # B: rec-only loss (no q/KLD) same structure
 def make_rec_only(seg_len):
@@ -55,7 +59,7 @@ def make_rec_only(seg_len):
         return jax.lax.scan(step, state, (xs, ms))
     return segment
 segB = make_rec_only(data.n_batches)
-print("B rec-only :", f"{timeit(lambda s: segB(s, data.x, data.mask, jnp.array(0))[1], state):,.0f}")
+print("B rec-only :", f"{timeit(lambda s: segB(s, data.x, data.mask, jnp.array(0)), state):,.0f}")
 
 # C: current + donated state
 def make_donated(seg_len):
@@ -81,15 +85,10 @@ def make_donated(seg_len):
         return jax.lax.scan(step, state, (xs, ms, ps))
     return segment
 segC = make_donated(data.n_batches)
-st = state
-def runC(_):
-    global st
-    st, sums = segC(st, data.x, data.mask, p_all, jnp.array(0))
-    return sums
-print("C donated  :", f"{timeit(runC, None):,.0f}")
+print("C donated  :", f"{timeit(lambda s: segC(s, data.x, data.mask, p_all, jnp.array(0)), state):,.0f}")
 
 # D: AEC epoch for comparison
 aec = scc.models.AEC()
 ast = scc.train.create_train_state(aec, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-4)
 te, _ = scc.train.aec.make_epoch_fns(aec)
-print("D aec epoch:", f"{timeit(lambda s: te(s, data.x, data.mask)[1], ast):,.0f}")
+print("D aec epoch:", f"{timeit(lambda s: te(s, data.x, data.mask), ast):,.0f}")

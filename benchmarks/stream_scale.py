@@ -43,6 +43,10 @@ def main(n_windows: int = 1_000_000, batch: int = 4096, workers: int = 4):
 
     item = lambda i: x[i * batch:(i + 1) * batch]  # noqa: E731
     n_items = n_windows // batch
+    dropped = n_windows - n_items * batch
+    if dropped:
+        print(f"(streaming {n_items * batch} of {n_windows} windows; "
+              f"{dropped} trailing windows not a whole batch)", flush=True)
 
     def make_loader():
         return PrefetchLoader(item, n_items, batch, num_workers=workers)

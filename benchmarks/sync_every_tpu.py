@@ -49,11 +49,14 @@ def main():
         t2 = time.perf_counter()
         out = scc.train.train_aec(model, st, tra, tra, cfg, **kw)
         t3 = time.perf_counter()
-        thr = n * epochs / (t3 - t2)
+        # early stopping may fire — count the epochs that actually ran,
+        # or a stopped run over-reports throughput
+        ran = len(out["history"]["train"])
+        thr = n * ran / (t3 - t2)
         print(
             f"{label}: cold {t1 - t0:.1f}s, warm {t3 - t2:.2f}s "
-            f"({thr / 1e6:.2f} M samples/s incl. val pass), "
-            f"final train loss {out['history']['train'][-1]:.5f}",
+            f"({ran}/{epochs} epochs, {thr / 1e6:.2f} M samples/s incl. "
+            f"val pass), final train loss {out['history']['train'][-1]:.5f}",
             flush=True,
         )
 

@@ -157,9 +157,22 @@ def test_two_process_training_matches_single_process(tmp_path):
         )
         for rank in range(2)
     ]
+    # drain both workers CONCURRENTLY: they are collective-coupled, so a
+    # sequential communicate() can deadlock when the undrained worker's
+    # pipe fills; and always reap both so a failure never leaks an orphan
+    import concurrent.futures as cf
+
+    try:
+        with cf.ThreadPoolExecutor(2) as pool:
+            results = list(
+                pool.map(lambda p: p.communicate(timeout=600), procs)
+            )
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     outs = []
-    for p in procs:
-        stdout, stderr = p.communicate(timeout=600)
+    for p, (stdout, stderr) in zip(procs, results):
         assert p.returncode == 0, f"worker failed:\n{stderr[-3000:]}"
         outs.append(stdout)
     result = None

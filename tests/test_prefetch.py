@@ -178,4 +178,5 @@ def test_abandoned_iteration_does_not_wedge_reader():
     deadline = time.time() + 10
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
-    assert threading.active_count() <= before + 1  # reader drained/stopped
+    # strict equality: even ONE leftover thread is a wedged reader/worker
+    assert threading.active_count() == before
