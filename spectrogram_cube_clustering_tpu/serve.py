@@ -3,9 +3,12 @@
 The reference has no serving story — inference is the batch `predict`
 workflow writing `.npy` artifacts (production.py:65-106). For production
 deployment this module wraps trained params in a fixed-shape jitted
-predictor: requests of any size pad to the compiled batch (no recompiles,
-stable tail latency), and all three outputs (soft assignments, labels,
-latents) come from one device pass.
+predictor: requests of any size run through compiled fixed shapes — small
+requests pad to the smallest bucket (`buckets=True` compiles a
+power-of-two ladder), oversized requests chunk through max_batch — so no
+shape ever recompiles at request time and tail latency stays stable. All
+three outputs (soft assignments, labels, latents) come from one device
+pass per chunk.
 
     predictor = serve.DECPredictor.from_checkpoint(path, n_clusters=5)
     out = predictor(windows)            # dict with q, labels, z
@@ -36,6 +39,39 @@ def _pad_to(x: np.ndarray, batch: int) -> tuple:
     return x, n
 
 
+def _bucket_ladder(max_batch: int, buckets) -> tuple:
+    """Sorted compiled sizes. `buckets=True` -> powers of two up to
+    max_batch (small requests run a small compiled shape instead of
+    padding to the full batch); a sequence -> explicit sizes."""
+    if buckets is True:
+        sizes, b = [], 1
+        while b < max_batch:
+            sizes.append(b)
+            b *= 2
+        sizes.append(max_batch)
+        return tuple(sizes)
+    if buckets:
+        sizes = sorted(set(int(b) for b in buckets) | {max_batch})
+        return tuple(sizes)
+    return (max_batch,)
+
+
+def _run_chunked(fn, params, x: np.ndarray, sizes: tuple):
+    """Run a fixed-shape jitted fn over a request of ANY length: chunks of
+    the largest compiled size, the tail through the smallest bucket that
+    fits. Returns the list of (outputs, n_valid) per chunk."""
+    full = sizes[-1]
+    outs = []
+    i = 0
+    while i < len(x):
+        n = min(full, len(x) - i)
+        size = next(s for s in sizes if s >= n)
+        xb, _ = _pad_to(x[i : i + n], size)
+        outs.append((fn(params, jnp.asarray(xb)), n))
+        i += n
+    return outs
+
+
 class DECPredictor:
     """Fixed-shape jitted DEC inference: windows -> (q, labels, z).
 
@@ -50,10 +86,12 @@ class DECPredictor:
         n_clusters: int,
         max_batch: int = 1024,
         transform: Optional[str] = "sample_norm_cent",
+        buckets=None,
     ):
         self.model = _models.DEC(n_clusters=n_clusters)
         self.params = params
         self.max_batch = max_batch
+        self.sizes = _bucket_ladder(max_batch, buckets)
         normalize = make_normalizer(transform)
 
         @jax.jit
@@ -79,21 +117,26 @@ class DECPredictor:
         )
 
     def warmup(self) -> None:
-        """Pay the compile before serving traffic."""
-        x = np.zeros(
-            (self.max_batch, _models.INPUT_HEIGHT, _models.INPUT_WIDTH, 1),
-            np.float32,
-        )
-        q, _, _ = self._fn(self.params, jnp.asarray(x))
-        q.block_until_ready()
+        """Pay every bucket's compile before serving traffic."""
+        for size in self.sizes:
+            x = np.zeros(
+                (size, _models.INPUT_HEIGHT, _models.INPUT_WIDTH, 1),
+                np.float32,
+            )
+            q, _, _ = self._fn(self.params, jnp.asarray(x))
+            q.block_until_ready()
 
     def __call__(self, windows: np.ndarray) -> Dict[str, np.ndarray]:
-        x, n = _pad_to(np.asarray(windows, np.float32), self.max_batch)
-        q, labels, z = self._fn(self.params, jnp.asarray(x))
+        """Requests of ANY size: chunks of max_batch, tail through the
+        smallest compiled bucket that fits — never a recompile."""
+        x = np.asarray(windows, np.float32)
+        chunks = _run_chunked(self._fn, self.params, x, self.sizes)
         return {
-            "q": np.asarray(q[:n]),
-            "labels": np.asarray(labels[:n]),
-            "z": np.asarray(z[:n]),
+            "q": np.concatenate([np.asarray(q[:n]) for (q, _, _), n in chunks]),
+            "labels": np.concatenate(
+                [np.asarray(l[:n]) for (_, l, _), n in chunks]
+            ),
+            "z": np.concatenate([np.asarray(z[:n]) for (_, _, z), n in chunks]),
         }
 
 
@@ -105,10 +148,12 @@ class AECEncoder:
         params,
         max_batch: int = 1024,
         transform: Optional[str] = "sample_norm_cent",
+        buckets=None,
     ):
         self.model = _models.AEC()
         self.params = params
         self.max_batch = max_batch
+        self.sizes = _bucket_ladder(max_batch, buckets)
         normalize = make_normalizer(transform)
 
         @jax.jit
@@ -133,6 +178,6 @@ class AECEncoder:
         return cls(restore(path, template), max_batch, transform)
 
     def __call__(self, windows: np.ndarray) -> np.ndarray:
-        x, n = _pad_to(np.asarray(windows, np.float32), self.max_batch)
-        z = self._fn(self.params, jnp.asarray(x))
-        return np.asarray(z[:n])
+        x = np.asarray(windows, np.float32)
+        chunks = _run_chunked(self._fn, self.params, x, self.sizes)
+        return np.concatenate([np.asarray(z[:n]) for z, n in chunks])

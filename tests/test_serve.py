@@ -47,11 +47,29 @@ class TestDECPredictor:
         full = pred(x)
         np.testing.assert_allclose(single["z"][0], full["z"][0], rtol=1e-5)
 
-    def test_rejects_oversized_request(self, trained):
+    def test_oversized_request_chunks(self, trained):
+        """Requests above max_batch run as multiple fixed-shape chunks
+        with identical results — never a rejection or recompile."""
         path, _, x, _, _ = trained
-        pred = serve.DECPredictor.from_checkpoint(path, n_clusters=3, max_batch=16)
-        with pytest.raises(ValueError, match="exceeds max_batch"):
-            pred(np.zeros((17, 4, 101, 1), np.float32))
+        small = serve.DECPredictor.from_checkpoint(path, n_clusters=3, max_batch=16)
+        big = serve.DECPredictor.from_checkpoint(path, n_clusters=3, max_batch=128)
+        out = small(x)  # 64 windows through a 16-batch predictor
+        ref = big(x)
+        np.testing.assert_allclose(out["z"], ref["z"], rtol=1e-5, atol=1e-7)
+        np.testing.assert_array_equal(out["labels"], ref["labels"])
+
+    def test_bucket_ladder(self, trained):
+        """buckets=True compiles a power-of-two ladder; a 3-window request
+        runs the 4-bucket, matching the full-batch result."""
+        path, _, x, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(path, n_clusters=3, max_batch=64)
+        pred_b = serve.DECPredictor(
+            pred.params, n_clusters=3, max_batch=64, buckets=True
+        )
+        assert pred_b.sizes == (1, 2, 4, 8, 16, 32, 64)
+        out = pred_b(x[:3])
+        ref = pred(x)
+        np.testing.assert_allclose(out["z"], ref["z"][:3], rtol=1e-5, atol=1e-7)
 
 
 class TestAECEncoder:
