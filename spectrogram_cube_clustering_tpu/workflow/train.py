@@ -291,6 +291,8 @@ def _train_stream(config, mesh=None):
                     tol=float(hp.get("tol", 0.003)),
                     update_interval=int(getattr(config, "update_interval", -1)),
                     init=init_mode,
+                    kmeans_n_init=int(getattr(config, "km_n_init", 100)),
+                    kmeans_max_iter=int(getattr(config, "km_max_iter", 1000)),
                 ),
                 initial=initial,
                 snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
@@ -480,6 +482,8 @@ def _train_dec_run(config, hp, tra_x, mesh):
             tol=tol,
             update_interval=int(getattr(config, "update_interval", -1)),
             init=init_mode,
+            kmeans_n_init=int(getattr(config, "km_n_init", 100)),
+            kmeans_max_iter=int(getattr(config, "km_max_iter", 1000)),
             verbose=bool(getattr(config, "show", False)),
         ),
         initial=initial,
