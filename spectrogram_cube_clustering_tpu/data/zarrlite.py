@@ -139,7 +139,9 @@ class ZarrArray:
                     # copy before caching: `chunk` is a row view into the
                     # decoder's whole (n, *chunks) buffer, and caching the
                     # view would pin that entire allocation until eviction
-                    self._cache_put(k, np.ascontiguousarray(chunk))
+                    # (must be .copy() — ascontiguousarray is a no-op on a
+                    # contiguous row view and returns the view itself)
+                    self._cache_put(k, chunk.copy())
                 missing = []
         for i in missing:
             cached[tuple(i)] = self._read_chunk(i)

@@ -52,6 +52,12 @@ def _bucket_ladder(max_batch: int, buckets) -> tuple:
         return tuple(sizes)
     if buckets:
         sizes = sorted(set(int(b) for b in buckets) | {max_batch})
+        if sizes[-1] > max_batch:
+            # max_batch is the compiled-shape/HBM contract the operator
+            # sized for — a larger bucket would silently violate it
+            raise ValueError(
+                f"bucket {sizes[-1]} exceeds max_batch {max_batch}"
+            )
         return tuple(sizes)
     return (max_batch,)
 
@@ -61,6 +67,11 @@ def _run_chunked(fn, params, x: np.ndarray, sizes: tuple):
     the largest compiled size, the tail through the smallest bucket that
     fits. Returns the list of (outputs, n_valid) per chunk."""
     full = sizes[-1]
+    if len(x) == 0:
+        # empty request: one all-pad pass through the smallest bucket so
+        # callers still get correctly-shaped zero-row outputs
+        xb, _ = _pad_to(x, sizes[0])
+        return [(fn(params, jnp.asarray(xb)), 0)]
     outs = []
     i = 0
     while i < len(x):

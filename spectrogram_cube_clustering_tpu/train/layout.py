@@ -117,6 +117,11 @@ def fetch_global(tree):
             # of times per DEC refresh in full_eval_stream
             fn = _GATHER_FNS.get(repl)
             if fn is None:
+                if len(_GATHER_FNS) >= 8:
+                    # bound the cache: each entry pins its Mesh + compiled
+                    # executable for process lifetime (sessions that build
+                    # many meshes — sweeps, tests — would accumulate)
+                    _GATHER_FNS.pop(next(iter(_GATHER_FNS)))
                 fn = _GATHER_FNS[repl] = jax.jit(
                     lambda a: a, out_shardings=repl
                 )

@@ -178,5 +178,6 @@ def test_abandoned_iteration_does_not_wedge_reader():
     deadline = time.time() + 10
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
-    # strict equality: even ONE leftover thread is a wedged reader/worker
-    assert threading.active_count() == before
+    # no NEW threads may remain: even one leftover is a wedged
+    # reader/worker (<= tolerates an unrelated thread exiting mid-test)
+    assert threading.active_count() <= before

@@ -58,6 +58,21 @@ class TestDECPredictor:
         np.testing.assert_allclose(out["z"], ref["z"], rtol=1e-5, atol=1e-7)
         np.testing.assert_array_equal(out["labels"], ref["labels"])
 
+    def test_empty_request(self, trained):
+        """A zero-row request returns correctly-shaped empty outputs."""
+        path, _, x, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(path, n_clusters=3, max_batch=16)
+        out = pred(np.zeros((0, 4, 101, 1), np.float32))
+        assert out["q"].shape == (0, 3)
+        assert out["labels"].shape == (0,)
+        assert out["z"].shape == (0, 9)
+
+    def test_rejects_bucket_above_max_batch(self, trained):
+        path, _, _, _, params = trained
+        with pytest.raises(ValueError, match="exceeds max_batch"):
+            serve.DECPredictor(params, n_clusters=3, max_batch=16,
+                               buckets=[64])
+
     def test_bucket_ladder(self, trained):
         """buckets=True compiles a power-of-two ladder; a 3-window request
         runs the 4-bucket, matching the full-batch result."""
