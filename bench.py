@@ -38,7 +38,15 @@ def _enable_compile_cache():
         pass
 
 
-def measure_aec_throughput(n_samples: int, batch_size: int, epochs: int = 3):
+def measure_aec_throughput(
+    n_samples: int, batch_size: int, epochs: int = 3, fused: bool = False
+):
+    """Steady-state AEC train throughput.
+
+    `fused=True` runs all epochs as ONE device call (the shipped
+    `sync_every` on-device loop) — used for --quick, where the workload
+    is small enough that a per-epoch dispatch round trip through this
+    environment's remote tunnel would dominate and underreport ~4x."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,6 +60,30 @@ def measure_aec_throughput(n_samples: int, batch_size: int, epochs: int = 3):
     state = scc.train.create_train_state(
         model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-4
     )
+    if fused:
+        from spectrogram_cube_clustering_tpu.train.aec import (
+            _init_loop_state,
+            make_fused_epochs_fn,
+        )
+
+        run = make_fused_epochs_fn(
+            model, epochs, patience=epochs, early_stopping=False
+        )
+
+        def once(st):
+            st, loop = run(
+                st, data.x, data.mask, None, None,
+                _init_loop_state(st, epochs), jnp.int32(epochs),
+            )
+            loop["tra_hist"].block_until_ready()
+            return st, loop["tra_hist"][-1]
+
+        state, loss = once(state)  # compile + warmup
+        t0 = time.perf_counter()
+        state, loss = once(state)
+        dt = time.perf_counter() - t0
+        return n_samples * epochs / dt, float(loss)
+
     train_epoch, _ = scc.train.aec.make_epoch_fns(model)
 
     # compile + warmup
@@ -173,8 +205,14 @@ def main():
             "dec_train_samples_per_sec",
         )
     else:
+        # --quick workloads are small enough that per-epoch dispatch RTT
+        # dominates through the remote tunnel — use the fused on-device
+        # multi-epoch loop (the shipped sync_every path) with more epochs
+        epochs = 16 if args.quick else 3
         measure, metric = (
-            lambda: measure_aec_throughput(args.samples, args.batch),
+            lambda: measure_aec_throughput(
+                args.samples, args.batch, epochs=epochs, fused=args.quick
+            ),
             "aec_train_samples_per_sec",
         )
 
