@@ -17,7 +17,6 @@ pass per chunk.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

@@ -23,8 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from spectrogram_cube_clustering_tpu.core.mesh import DATA_AXIS
-
 
 @dataclasses.dataclass
 class BatchedData:
