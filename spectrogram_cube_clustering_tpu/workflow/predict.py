@@ -109,6 +109,14 @@ def _gmm_figure_context(config, n_clusters: int, z_dec, labels_dec,
             raise FileNotFoundError
         return z_a, labels_a, centroids_a
     except (FileNotFoundError, OSError, ValueError):
+        # Loud fallback: the reference crashes here (models.py:659-695);
+        # we degrade gracefully, but a silent degrade hides a mis-pointed
+        # `saved_weights` behind plausible single-model figures.
+        print(
+            "[predict] GMM comparison artifacts missing or mismatched "
+            f"(looked near {getattr(config, 'saved_weights', '?')}); "
+            "comparative figures fall back to DEC-vs-DEC views"
+        )
         return np.asarray(z_dec), np.asarray(labels_dec), np.asarray(centroids_dec)
 
 

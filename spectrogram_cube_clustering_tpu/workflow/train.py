@@ -463,12 +463,13 @@ def _train_dec_run(config, hp, tra_x, mesh):
 
         def snapshot_cb(epoch, labels, z, centroids):
             # t-SNE + figure families on the training snapshot, persisted
-            # off-thread (reference models.py:1166-1192)
-            from spectrogram_cube_clustering_tpu import cluster as _cluster
+            # off-thread (reference models.py:1166-1192); honors
+            # `tsne_backend=jax` the same as fit/predict do
+            from spectrogram_cube_clustering_tpu.workflow.fit import _tsne
 
             figs = plotting.analyze_dec(
                 tra_x, z, z, labels, labels, centroids, centroids,
-                _cluster.tsne(z), epoch=epoch,
+                _tsne(config, z), epoch=epoch,
             )
             plotting.plotter_async(figs, config.savepath_run, epoch=epoch)
 

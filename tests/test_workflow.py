@@ -342,7 +342,7 @@ def test_gmm_km_metrics_diagnostics(cube):
     )
 
 
-def test_gmm_figure_context_loads_artifacts(tmp_path, cube):
+def test_gmm_figure_context_loads_artifacts(tmp_path, cube, capsys):
     """DEC-predict comparative figures load the GMM run's labels/centroids
     + the AEC prediction's Z_AEC (reference models.py:659-695), falling
     back to self-comparison when artifacts are missing."""
@@ -363,11 +363,14 @@ def test_gmm_figure_context_loads_artifacts(tmp_path, cube):
     weights.mkdir(parents=True)
     config = types.SimpleNamespace(saved_weights=str(weights))
 
-    # no artifacts -> self-comparison fallback
+    # no artifacts -> self-comparison fallback, announced loudly (the
+    # reference crashes here; a silent degrade would hide a mis-pointed
+    # saved_weights behind plausible single-model figures)
     z_a, labels_a, cents_a = _gmm_figure_context(
         config, k, z_dec, labels_dec, cents_dec
     )
     np.testing.assert_array_equal(z_a, z_dec)
+    assert "fall back" in capsys.readouterr().out
 
     # real artifacts -> loaded
     gmm_dir = run_dir / "GMM" / f"n_clusters={k}"
