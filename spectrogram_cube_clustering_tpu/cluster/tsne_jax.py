@@ -74,41 +74,115 @@ def _row_cond_p(d2_row, target_entropy, n_steps=50):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def _joint_p(x, perplexity, chunk=1024):
-    """Symmetrized joint probabilities P (M, M), diagonal zero."""
+def _joint_p(x, perplexity, chunk=4096):
+    """Symmetrized joint probabilities P (M, M), diagonal zero.
+
+    Rows are processed in `chunk`-sized blocks (lax.map), so the peak
+    intermediate is (chunk, M) — only the final P is ever (M, M). At the
+    30k exact-path cap that is 0.5 GB of scratch + 3.6 GB for P instead
+    of three 3.6 GB buffers at once.
+    """
     m = x.shape[0]
-    d2 = _pairwise_sq(x)
-    # self-distances excluded via +inf on the diagonal
-    d2 = d2 + jnp.diag(jnp.full((m,), jnp.inf, d2.dtype))
     target_entropy = jnp.log(perplexity)
-    cond = jax.vmap(lambda row: _row_cond_p(row, target_entropy))(d2)
+    sq = jnp.sum(x * x, axis=1)
+
+    n_chunks = -(-m // chunk)
+    m_pad = n_chunks * chunk
+    x_pad = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+
+    def rows_block(start):
+        xr = lax.dynamic_slice_in_dim(x_pad, start, chunk)
+        sq_r = jnp.sum(xr * xr, axis=1)
+        prod = jnp.matmul(xr, x.T, precision=lax.Precision.HIGHEST)
+        d2 = jnp.maximum(sq_r[:, None] - 2.0 * prod + sq[None, :], 0.0)
+        # self-distances excluded via +inf on the diagonal
+        row_ids = start + jnp.arange(chunk)
+        d2 = jnp.where(row_ids[:, None] == jnp.arange(m)[None, :],
+                       jnp.inf, d2)
+        return jax.vmap(lambda row: _row_cond_p(row, target_entropy))(d2)
+
+    cond = lax.map(rows_block, jnp.arange(n_chunks) * chunk)
+    cond = cond.reshape(m_pad, m)[:m]
     p = (cond + cond.T) / (2.0 * m)
     return jnp.maximum(p, MACHINE_EPS)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iter", "exag_iter"))
-def _optimize(p, y0, learning_rate, early_exaggeration, n_iter, exag_iter=250):
-    m = y0.shape[0]
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "exag_iter", "chunk")
+)
+def _optimize(
+    p, y0, learning_rate, early_exaggeration, n_iter, exag_iter=250,
+    chunk=4096,
+):
+    """Gradient loop with the gradient computed in row chunks.
 
-    def kl_grad(y, p_eff):
-        d2 = _pairwise_sq(y)
+    The dense formulation holds num/q/pq as (M, M) buffers simultaneously
+    (3 x 3.6 GB at the 30k cap — over v5e HBM next to P and model state);
+    here two chunked passes (Z reduction, then grad rows) keep the peak
+    scratch at (chunk, M) with only P resident at (M, M). For M <= chunk
+    this degenerates to one map step per pass, i.e. the dense math.
+    """
+    m = y0.shape[0]
+    n_chunks = -(-m // chunk)
+    m_pad = n_chunks * chunk
+    starts = jnp.arange(n_chunks) * chunk
+    # rows >= m contribute nothing: their num/pq rows are masked to zero
+    valid = (jnp.arange(m_pad) < m).astype(y0.dtype)
+
+    def num_rows(y, y_pad, start):
+        """(chunk, m) Student-t numerators for global rows [start, ...)."""
+        yr = lax.dynamic_slice_in_dim(y_pad, start, chunk)
+        sq_r = jnp.sum(yr * yr, axis=1)
+        sq = jnp.sum(y * y, axis=1)
+        prod = jnp.matmul(yr, y.T, precision=lax.Precision.HIGHEST)
+        d2 = jnp.maximum(sq_r[:, None] - 2.0 * prod + sq[None, :], 0.0)
         num = 1.0 / (1.0 + d2)
-        num = num * (1.0 - jnp.eye(m, dtype=y.dtype))
-        z = jnp.maximum(jnp.sum(num), MACHINE_EPS)
-        q = jnp.maximum(num / z, MACHINE_EPS)
-        pq = (p_eff - q) * num                       # (M, M)
-        grad = 4.0 * (
-            y * jnp.sum(pq, axis=1, keepdims=True)
-            - jnp.matmul(pq, y, precision=lax.Precision.HIGHEST)
+        row_ids = start + jnp.arange(chunk)
+        num = jnp.where(row_ids[:, None] == jnp.arange(m)[None, :], 0.0, num)
+        mask = lax.dynamic_slice_in_dim(valid, start, chunk)
+        return num * mask[:, None]
+
+    def kl_grad(y, exag):
+        y_pad = jnp.pad(y, ((0, m_pad - m), (0, 0)))
+        z = jnp.maximum(
+            jnp.sum(lax.map(lambda s: jnp.sum(num_rows(y, y_pad, s)), starts)),
+            MACHINE_EPS,
         )
-        kl = jnp.sum(p_eff * jnp.log(p_eff / q))
-        return grad, kl
+
+        def grad_rows(start):
+            num = num_rows(y, y_pad, start)
+            q = jnp.maximum(num / z, MACHINE_EPS)
+            pr = lax.dynamic_slice_in_dim(p, start, chunk)  # p row-padded
+            p_eff = pr * exag
+            pq = (p_eff - q) * num
+            yr = lax.dynamic_slice_in_dim(y_pad, start, chunk)
+            grad = 4.0 * (
+                yr * jnp.sum(pq, axis=1, keepdims=True)
+                - jnp.matmul(pq, y, precision=lax.Precision.HIGHEST)
+            )
+            # padded p rows are exactly zero: 0 * log(0/q) must be 0,
+            # not NaN
+            kl = jnp.sum(
+                jnp.where(
+                    p_eff > 0,
+                    p_eff * jnp.log(jnp.maximum(p_eff, MACHINE_EPS) / q),
+                    0.0,
+                )
+            )
+            return grad, kl
+
+        grads, kls = lax.map(grad_rows, starts)
+        return grads.reshape(m_pad, 2)[:m], jnp.sum(kls)
+
+    # pad P rows once so chunked row slices stay in bounds; padded rows
+    # are masked out of every reduction
+    p = jnp.pad(p, ((0, m_pad - m), (0, 0)))
 
     def step(carry, i):
         y, vel, gains = carry
         exag = jnp.where(i < exag_iter, early_exaggeration, 1.0)
         momentum = jnp.where(i < exag_iter, 0.5, 0.8)
-        grad, kl = kl_grad(y, p * exag)
+        grad, kl = kl_grad(y, exag)
         same_sign = jnp.sign(grad) == jnp.sign(vel)
         gains = jnp.clip(
             jnp.where(same_sign, gains * 0.8, gains + 0.2), 0.01, None

@@ -25,6 +25,7 @@ from spectrogram_cube_clustering_tpu.ops.student_t import student_t_assignment
 class DEC(nn.Module):
     n_clusters: int
     latent_dim: int = 9
+    input_hw: tuple = (4, 101)
     alpha: float = 1.0
     attention_faithful: bool = True
     dtype: jnp.dtype = jnp.float32
@@ -37,7 +38,9 @@ class DEC(nn.Module):
             attention_faithful=self.attention_faithful,
             **kw,
         )
-        self.decoder = Decoder(latent_dim=self.latent_dim, **kw)
+        self.decoder = Decoder(
+            latent_dim=self.latent_dim, input_hw=self.input_hw, **kw
+        )
         self.centroids = self.param(
             "centroids", xavier_init, (self.n_clusters, self.latent_dim),
             self.param_dtype,

@@ -220,7 +220,8 @@ def make_step_fns(model):
 
 
 def train_aec_stream(
-    model, state, make_loader, config: AECConfig, make_val_loader=None
+    model, state, make_loader, config: AECConfig, make_val_loader=None,
+    snapshot_path=None, snapshot_every: int = 1, resume: bool = False,
 ):
     """AEC pretraining over a streaming loader (windows exceed HBM).
 
@@ -228,15 +229,34 @@ def train_aec_stream(
     epoch (data.prefetch.PrefetchLoader). Host IO overlaps the jitted
     step; epoch losses weight batches by valid count. Early-stopping and
     history semantics match `train_aec`.
+
+    With `snapshot_path`, a full train-state snapshot (optimizer state +
+    early-stop carry + history) is written every `snapshot_every` epochs;
+    `resume=True` picks training up from it after preemption — the same
+    epoch-granular contract as `train_aec` and `train_dec_stream`, and
+    the snapshot format is interchangeable with the scan path's.
     """
     import numpy as np
+
+    from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
 
     train_step, eval_step = make_step_fns(model)
     best_val = float("inf")
     best_params = None
     strikes = 0
     history = {"epoch": [], "train": [], "validation": []}
-    for epoch in range(config.n_epochs):
+    start_epoch = 0
+    if resume and snapshot_path is not None and os.path.exists(snapshot_path):
+        state, meta, extra = ckpt.restore_snapshot(
+            snapshot_path, state, extra_template=state.params
+        )
+        start_epoch = meta["epoch"]
+        history = meta["history"]
+        best_val = meta["best_val"]
+        strikes = meta["strikes"]
+        if meta.get("have_best"):
+            best_params = extra
+    for epoch in range(start_epoch, config.n_epochs):
         # losses stay on device until epoch end: a float() per batch would
         # serialize every step on the dispatch round trip (disastrous on
         # remote-attached devices — benchmarks/RESULTS.md streaming notes)
@@ -270,6 +290,14 @@ def train_aec_stream(
                 strikes += 1
             if epoch > config.patience and strikes > config.patience:
                 break
+        if snapshot_path is not None and (epoch + 1) % snapshot_every == 0:
+            ckpt.save_snapshot(
+                snapshot_path, state,
+                {"epoch": epoch + 1, "history": history,
+                 "best_val": best_val, "strikes": strikes,
+                 "have_best": best_params is not None},
+                extra=best_params if best_params is not None else state.params,
+            )
     final = best_params if (config.early_stopping and best_params is not None) else state.params
     return {
         "state": state, "final_params": final, "best_val": best_val,

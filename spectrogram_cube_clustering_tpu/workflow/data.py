@@ -64,19 +64,66 @@ def _waveform_windows(config) -> np.ndarray:
     return np.asarray(out)
 
 
+def _h5_windows(config) -> np.ndarray:
+    """H5 event-catalog samples as NHWC windows (M, 87, 100, 1).
+
+    The reference's SeismicDataset flow (utils.py:211-287, dormant in
+    production.py:29-34): each catalog event is ONE model window — crop
+    drops the embedded time/freq vectors; normalization is applied later
+    with the configured transform like every other source. Sets
+    `config.input_hw` so make_model builds the matching geometry, and
+    `config.index_tra` for gallery/init paths that index by training
+    position (reference models.py:529).
+    """
+    from spectrogram_cube_clustering_tpu.data.h5 import SeismicDataset
+
+    ds = SeismicDataset(
+        config.fname_dataset,
+        getattr(config, "h5_ftype", None) or "h5",
+        transform=None,  # workflow applies config.transform afterwards
+    )
+    x = ds.load_all()  # (M, 1, H, W)
+    x = np.moveaxis(x, 1, -1).astype(np.float32)  # NHWC
+    config.input_hw = (int(x.shape[1]), int(x.shape[2]))
+    return x
+
+
+def _h5_split(config, n: int):
+    """Train/val indices for the catalog: the reference's persisted
+    TraVal index pickle when `indexpath` is configured (utils.py:173-179),
+    else the seeded 70/30 permutation split."""
+    if getattr(config, "indexpath", None):
+        from spectrogram_cube_clustering_tpu.data.h5 import load_traval_index
+
+        idx_tra, idx_val = load_traval_index(config.indexpath)
+        return np.asarray(idx_tra), np.asarray(idx_val)
+    return train_val_split(n)
+
+
 def load_windows(
     config, split: bool
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Materialize windows as float32 arrays: (train, val or None).
 
     datafiletype 'zarr' (default) reads the chunked cube; 'waveform' runs
-    the on-device STFT over a raw .npy waveform first.
+    the on-device STFT over a raw .npy waveform first; 'h5' reads the
+    event-catalog spectrograms (one window per catalog event).
     """
-    if getattr(config, "datafiletype", None) == "waveform":
+    ftype = getattr(config, "datafiletype", None)
+    if ftype == "waveform":
         x = _waveform_windows(config)
         if not split:
             return x, None
         idx_tra, idx_val = train_val_split(len(x))
+        return x[idx_tra], x[idx_val]
+    if ftype == "h5":
+        x = _h5_windows(config)
+        if not split:
+            config.index_tra = np.arange(len(x))
+            return x, None
+        idx_tra, idx_val = _h5_split(config, len(x))
+        config.index_tra = np.asarray(idx_tra)
+        config.index_val = np.asarray(idx_val)
         return x[idx_tra], x[idx_val]
     ds = ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
     if not split:

@@ -68,6 +68,28 @@ def _to_nchw_np(x) -> np.ndarray:
     return np.transpose(np.asarray(x), (0, 3, 1, 2))
 
 
+def _gallery_traces(config):
+    """Waveform rows for the cluster gallery: when the source is an H5
+    event catalog the reference reads `/4.0/Trace` per displayed sample
+    (plotting.py:369-380); other sources carry no waveforms -> None and
+    the gallery omits the trace row. Returned as a lazy idx -> (L,)
+    callable so only the ~n_examples*K displayed traces are read."""
+    if getattr(config, "datafiletype", None) != "h5":
+        return None
+
+    from spectrogram_cube_clustering_tpu.data import h5 as _h5
+
+    fname = config.fname_dataset
+
+    def read_trace(idx):
+        import h5py
+
+        with h5py.File(fname, "r") as f:
+            return np.asarray(f[_h5.TRACE_PATH][int(idx)]).ravel()
+
+    return read_trace
+
+
 def _gmm_figure_context(config, n_clusters: int, z_dec, labels_dec,
                         centroids_dec):
     """(z_a, labels_a, centroids_a) for the comparative GMM-vs-DEC figures.
@@ -348,13 +370,17 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
                 os.path.join(savepath, "T-SNE", "t-SNE.png"), dpi=300,
                 facecolor="w",
             )
-            # centroid decodes through the trained decoder
-            dec_out = _models.Decoder().apply(
+            # centroid decodes through the trained decoder (same window
+            # geometry as the model — H5 sources are (87, 100))
+            dec_out = _models.Decoder(
+                input_hw=getattr(model, "input_hw", (4, 101))
+            ).apply(
                 {"params": params["decoder"]}, jnp.asarray(centroids_np)
             )
             plotting.cluster_gallery(
                 x_np, z_np, labels_np, centroids_np,
                 centroid_decodes=np.asarray(dec_out),
+                traces=_gallery_traces(config),
             ).savefig(
                 os.path.join(savepath, "Gallery", "gallery.png"), dpi=300,
                 facecolor="w",

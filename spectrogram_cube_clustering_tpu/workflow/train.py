@@ -49,12 +49,24 @@ def make_model(config, n_clusters: Optional[int] = None):
         raise ValueError(f"unknown precision {config.precision!r}")
     kw = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
 
+    # window geometry: set by the data path (config.input_hw) when the
+    # source isn't the default (4, 101) Zarr window — e.g. the H5 event
+    # catalog's (87, 100) spectrograms (SURVEY.md C3)
+    hw = getattr(config, "input_hw", None)
+    if hw is not None:
+        kw["input_hw"] = (int(hw[0]), int(hw[1]))
+
     arch = getattr(config, "arch", None) or "AEC"
     if config.model == "DEC" or n_clusters is not None:
         return _models.DEC(
             n_clusters=int(n_clusters or config.n_clusters), **kw
         )
     if arch == "UNet":
+        if kw.pop("input_hw", (4, 101)) != (4, 101):
+            raise ValueError(
+                "arch='UNet' supports only the (4, 101) Zarr window "
+                "geometry; use arch='AEC' for other sources"
+            )
         return _models.UNet(**kw)
     if arch == "AEC":
         return _models.AEC(**kw)
@@ -228,6 +240,10 @@ def _train_stream(config, mesh=None):
                     patience=int(getattr(config, "patience", 10)),
                 ),
                 make_val_loader=lambda: make_loader(list(idx_val)),
+                # preemption-safe like the ram path: full-state snapshot
+                # in tmp/, resumable via config `resume = True`
+                snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
+                resume=bool(getattr(config, "resume", False)),
             )
             _utils.save_history(
                 {"Epoch": out["history"]["epoch"],

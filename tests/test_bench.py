@@ -9,9 +9,10 @@ def test_measure_aec_throughput_runs():
 
     import numpy as np
 
-    tput, loss = measure_aec_throughput(256, 64, epochs=1)
+    tput, loss, spread = measure_aec_throughput(256, 64, epochs=1, reps=2)
     assert tput > 0
     assert np.isfinite(loss)
+    assert spread["reps"] == 2 and spread["min"] <= tput <= spread["max"]
 
 
 def test_measure_dec_throughput_runs():
@@ -20,14 +21,30 @@ def test_measure_dec_throughput_runs():
 
     import numpy as np
 
-    tput, loss = measure_dec_throughput(256, 64, epochs=1)
+    tput, loss, spread = measure_dec_throughput(256, 64, epochs=1)
     assert tput > 0
     assert np.isfinite(loss)
+    assert spread["reps"] == 1
 
 
 def test_measure_stft_throughput_runs():
     sys.path.insert(0, "/root/repo")
     from bench import measure_stft_throughput
 
-    tput, v = measure_stft_throughput(n_wave_samples=20_000, reps=2)
+    tput, v, spread = measure_stft_throughput(
+        n_wave_samples=20_000, chain_len=2, reps=2
+    )
     assert tput > 0
+    assert spread["reps"] == 2
+
+
+def test_measure_stream_throughput_runs():
+    sys.path.insert(0, "/root/repo")
+    from bench import measure_stream_throughput
+
+    import numpy as np
+
+    tput, loss, spread = measure_stream_throughput(1024, 256, epochs=1)
+    assert tput > 0
+    assert np.isfinite(loss)
+    assert spread["reps"] == 1

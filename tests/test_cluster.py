@@ -219,6 +219,45 @@ class TestTSNEJax:
         lab = KMeans(k, n_init=10, random_state=0).fit_predict(emb)
         assert nmi(y, lab) > 0.95
 
+    def test_row_chunking_matches_single_chunk(self, rng):
+        """The (chunk, M)-scratch row-chunked P construction and gradient
+        loop (the exact path's HBM story at the 30k cap) must reproduce
+        the single-chunk (dense) math."""
+        import jax
+        import jax.numpy as jnp
+
+        from spectrogram_cube_clustering_tpu.cluster.tsne_jax import (
+            _joint_p,
+            _optimize,
+        )
+
+        m, d = 150, 6  # not a multiple of the chunk -> exercises padding
+        x = rng.normal(size=(m, d)).astype(np.float32)
+        p_dense = _joint_p(jnp.asarray(x), jnp.float32(5.0), chunk=256)
+        p_chunk = _joint_p(jnp.asarray(x), jnp.float32(5.0), chunk=64)
+        np.testing.assert_allclose(
+            np.asarray(p_chunk), np.asarray(p_dense), rtol=1e-5, atol=1e-12
+        )
+
+        # few iterations: the gradient math must match chunked vs dense;
+        # long runs amplify f32 reduction-order noise chaotically, so a
+        # trajectory comparison is only meaningful over a short horizon
+        y0 = 1e-4 * jax.random.normal(jax.random.key(0), (m, 2), jnp.float32)
+        y_dense, kl_dense = _optimize(
+            p_dense, y0, jnp.float32(10.0), jnp.float32(12.0), 5,
+            chunk=256,
+        )
+        y_chunk, kl_chunk = _optimize(
+            p_dense, y0, jnp.float32(10.0), jnp.float32(12.0), 5,
+            chunk=64,
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_chunk), np.asarray(y_dense), rtol=1e-3, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(kl_chunk), np.asarray(kl_dense), rtol=1e-3
+        )
+
     def test_landmark_direct_small_falls_back_to_exact(self, rng):
         from spectrogram_cube_clustering_tpu.cluster import (
             tsne_jax,

@@ -152,6 +152,116 @@ def test_sigkill_preemption_then_resume(tmp_path):
     assert out["history"]["epoch"] == [1, 2, 3, 4, 5]
 
 
+def test_aec_stream_resume_matches_uninterrupted(tmp_path, rng):
+    """Streaming AEC (the larger-than-HBM tier, where preemption hurts
+    most) carries the same epoch-granular snapshot contract as the scan
+    path: state + history + early-stop carry, interchangeable format."""
+    x, _ = scc.data.synthetic_windows(96, n_classes=3, seed=5)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    model = scc.models.AEC()
+
+    def make_loader():
+        return scc.data.PrefetchLoader(
+            lambda i: x[i * 8 : (i + 1) * 8], n_items=12, batch_size=32,
+            num_workers=2,
+        )
+
+    def fresh():
+        return scc.train.create_train_state(
+            model, jax.random.key(7), jnp.asarray(x[:2]), lr=1e-3
+        )
+
+    cfg4 = scc.train.AECConfig(n_epochs=4, early_stopping=False)
+    full = scc.train.train_aec_stream(model, fresh(), make_loader, cfg4)
+
+    snap = str(tmp_path / "asnap")
+    cfg2 = scc.train.AECConfig(n_epochs=2, early_stopping=False)
+    scc.train.train_aec_stream(
+        model, fresh(), make_loader, cfg2, snapshot_path=snap
+    )
+    assert os.path.exists(snap)
+    resumed = scc.train.train_aec_stream(
+        model, fresh(), make_loader, cfg4, snapshot_path=snap, resume=True
+    )
+    assert resumed["history"]["epoch"] == full["history"]["epoch"]
+    np.testing.assert_allclose(
+        resumed["history"]["train"], full["history"]["train"], rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        resumed["state"].params, full["state"].params,
+    )
+
+
+def test_aec_stream_sigkill_mid_epoch_then_resume(tmp_path):
+    """Real process death MID-epoch (inside the loader); the stream path
+    resumes from the last completed-epoch snapshot."""
+    import subprocess
+    import sys
+    import textwrap
+
+    snap = str(tmp_path / "asnap")
+    script = textwrap.dedent(f"""
+        import os
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp, numpy as np
+        import spectrogram_cube_clustering_tpu as scc
+
+        x, _ = scc.data.synthetic_windows(96, n_classes=3, seed=5)
+        x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+        model = scc.models.AEC()
+        calls = [0]
+
+        def item_fn(i):
+            calls[0] += 1
+            if calls[0] == 30:   # mid-epoch 3 (12 items/epoch)
+                os._exit(137)    # simulated preemption
+            return x[i * 8 : (i + 1) * 8]
+
+        def make_loader():
+            return scc.data.PrefetchLoader(
+                item_fn, n_items=12, batch_size=32, num_workers=1,
+            )
+
+        state = scc.train.create_train_state(
+            model, jax.random.key(7), jnp.asarray(x[:2]), lr=1e-3
+        )
+        scc.train.train_aec_stream(
+            model, state, make_loader,
+            scc.train.AECConfig(n_epochs=5, early_stopping=False),
+            snapshot_path={snap!r}, snapshot_every=1,
+        )
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, cwd="/root/repo"
+    )
+    assert proc.returncode == 137, proc.stderr.decode()[-500:]
+    assert os.path.exists(snap)
+
+    x, _ = scc.data.synthetic_windows(96, n_classes=3, seed=5)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    model = scc.models.AEC()
+
+    def make_loader():
+        return scc.data.PrefetchLoader(
+            lambda i: x[i * 8 : (i + 1) * 8], n_items=12, batch_size=32,
+            num_workers=2,
+        )
+
+    state = scc.train.create_train_state(
+        model, jax.random.key(7), jnp.asarray(x[:2]), lr=1e-3
+    )
+    out = scc.train.train_aec_stream(
+        model, state, make_loader,
+        scc.train.AECConfig(n_epochs=5, early_stopping=False),
+        snapshot_path=snap, resume=True,
+    )
+    assert out["history"]["epoch"] == [1, 2, 3, 4, 5]
+
+
 def test_dec_resume_matches_uninterrupted(tmp_path, rng):
     """DEC epoch-granular resume continues the run with the snapshotted
     target distribution and labels."""

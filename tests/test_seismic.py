@@ -300,3 +300,207 @@ class TestRemoveStream:
         assert op[1]["seedresp"]["units"] == "VEL"
         assert op[1]["water_level"] == 60
         assert "taper_fraction" not in op[1]
+
+
+# ---------------------------------------------------------------------------
+# native pole-zero deconvolution (no obspy, no evalresp binary)
+
+RESP_PAZ_TEXT = RESP_TEXT + """\
+B053F03     Transfer function type:                A
+B053F04     Stage sequence number:                 1
+B053F05     Response in units lookup:              M/S - Velocity in Meters Per Second
+B053F06     Response out units lookup:             V - Volts
+B053F07     A0 normalization factor:               2.0
+B053F08     Normalization frequency:               0.02
+B053F09     Number of zeroes:                      2
+B053F14     Number of poles:                       2
+B053F10-13     0  +0.00000E+00  +0.00000E+00  +0.00000E+00  +0.00000E+00
+B053F10-13     1  +0.00000E+00  +0.00000E+00  +0.00000E+00  +0.00000E+00
+B053F15-18     0  -2.00000E+00  +2.00000E+00  +0.00000E+00  +0.00000E+00
+B053F15-18     1  -2.00000E+00  -2.00000E+00  +0.00000E+00  +0.00000E+00
+"""
+
+SENS = 5.24814e8
+A0 = 2.0
+# fast poles (decay ~0.5 s) keep the truncated-convolution tail
+# negligible so the roundtrip comparison isolates the deconvolution
+POLES = [-2.0 + 2.0j, -2.0 - 2.0j]
+
+
+def _analytic_response(freqs):
+    """Hand-written H(f) for RESP_PAZ_TEXT in counts per (m/s): the test's
+    independent oracle for the library's RESP evaluation."""
+    s = 2j * np.pi * np.asarray(freqs, np.float64)
+    num = s * s  # two zeros at the origin
+    den = (s - POLES[0]) * (s - POLES[1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = SENS * A0 * np.where(den == 0, 0.0, num / den)
+    return h
+
+
+class TestNativeDeconvolution:
+    @pytest.fixture
+    def resp_paz(self, tmp_path):
+        p = tmp_path / "RESP.KP.KPDR..HDH"
+        p.write_text(RESP_PAZ_TEXT)
+        return str(p)
+
+    def test_parse_resp_paz(self, resp_paz):
+        paz = seismic.parse_resp_paz(resp_paz)
+        assert paz["sensitivity"] == pytest.approx(SENS)
+        assert paz["input_units"] == "M/S"
+        [stage] = paz["stages"]
+        assert stage["type"] == "A"
+        assert stage["a0"] == pytest.approx(A0)
+        assert stage["zeros"] == [0j, 0j]
+        np.testing.assert_allclose(stage["poles"], POLES)
+
+    def test_parse_requires_paz(self, tmp_path):
+        p = tmp_path / "RESP.nopaz"
+        p.write_text(RESP_TEXT)
+        with pytest.raises(ValueError, match="pole-zero"):
+            seismic.parse_resp_paz(str(p))
+
+    def test_evaluate_matches_analytic(self, resp_paz):
+        freqs = np.asarray([0.01, 0.05, 0.2, 1.0, 4.0])
+        h = seismic.evaluate_response(resp_paz, freqs, units="VEL")
+        np.testing.assert_allclose(h, _analytic_response(freqs), rtol=1e-12)
+        # DISP = VEL response x j*omega (V = j*omega*D)
+        h_dis = seismic.evaluate_response(resp_paz, freqs, units="DISP")
+        np.testing.assert_allclose(
+            h_dis, _analytic_response(freqs) * 2j * np.pi * freqs,
+            rtol=1e-12,
+        )
+
+    @staticmethod
+    def _tukey(n, frac=0.25):
+        """Cosine-tapered window: the planted ground motion must decay to
+        zero at the record ends — an untapered tone zero-padded through
+        the response creates a boundary step whose spike the record
+        truncation drops, and the ~1/s^2 inversion turns that into a
+        large low-frequency error (exactly why the real pipeline tapers
+        before deconvolving)."""
+        m = int(frac * n / 2)
+        w = np.ones(n)
+        ramp = 0.5 * (1 - np.cos(np.pi * np.arange(m) / m))
+        w[:m] = ramp
+        w[n - m:] = ramp[::-1]
+        return w
+
+    def test_roundtrip_recovers_input(self, resp_paz):
+        """Synthetic ground velocity -> counts through the analytic
+        response -> remove_response_native recovers the input (the
+        VERDICT r3 'done' criterion for the native deconvolution)."""
+        fs, n = 10.0, 4096
+        t = np.arange(n) / fs
+        x = (
+            np.sin(2 * np.pi * 0.05 * t)
+            + 0.5 * np.sin(2 * np.pi * 0.3 * t + 1.0)
+            + 0.2 * np.sin(2 * np.pi * 1.5 * t + 2.0)
+        ) * self._tukey(n)
+        nfft = 1 << int(np.ceil(np.log2(2 * n)))
+        freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
+        counts = np.fft.irfft(
+            np.fft.rfft(x, nfft) * _analytic_response(freqs), nfft
+        )[:n]
+
+        band = (0.02, 0.04, 2.0, 4.0)
+        rec = seismic.remove_response_native(
+            counts, fs, resp_paz, units="VEL", water_level=120.0,
+            taper_fraction=0.0, pre_filt=band,
+        )
+        # Compare through the same band limit: the record truncation
+        # injects noise below ~0.02 Hz that 1/H amplifies (the response
+        # has zeros at the origin), which is precisely what pre_filt
+        # guards in the real pipeline. In-band, recovery is sharp.
+        want = np.fft.irfft(
+            np.fft.rfft(x, nfft) * seismic.cosine_sac_taper(freqs, band),
+            nfft,
+        )[:n]
+        core = slice(n // 8, n - n // 8)
+        err = np.abs(rec[core] - want[core]).max()
+        assert err < 5e-3, f"roundtrip error {err:.2e}"
+
+    def test_units_conversion_integrates(self, resp_paz):
+        """Requesting DISP recovers the displacement (= integral of the
+        planted velocity tone)."""
+        fs, n, f0 = 10.0, 4096, 0.25
+        t = np.arange(n) / fs
+        w = self._tukey(n)
+        vel = np.sin(2 * np.pi * f0 * t) * w
+        nfft = 1 << int(np.ceil(np.log2(2 * n)))
+        freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
+        counts = np.fft.irfft(
+            np.fft.rfft(vel, nfft) * _analytic_response(freqs), nfft
+        )[:n]
+        band = (0.05, 0.1, 1.0, 2.0)
+        rec = seismic.remove_response_native(
+            counts, fs, resp_paz, units="DISP", water_level=120.0,
+            taper_fraction=0.0, pre_filt=band,
+        )
+        # oracle: exact in-band displacement = spectral integral of the
+        # planted velocity (a time-domain cumsum oracle carries a
+        # half-sample phase lag that would dominate the comparison); the
+        # extra 1/(j*omega) pushes near-DC bins under the water level, so
+        # displacement is only recoverable in-band (the real pipeline
+        # bandpasses for the same reason)
+        integ = np.where(freqs > 0, 1.0, 0.0) / np.where(
+            freqs > 0, 2j * np.pi * freqs, 1.0
+        )
+        want = np.fft.irfft(
+            np.fft.rfft(vel, nfft) * integ
+            * seismic.cosine_sac_taper(freqs, band),
+            nfft,
+        )[:n]
+        core = slice(n // 8, n - n // 8)
+        got = rec[core] - rec[core].mean()
+        ref = want[core] - want[core].mean()
+        assert np.abs(got - ref).max() < 5e-3
+
+    def test_pre_filt_suppresses_out_of_band(self, resp_paz):
+        fs, n = 10.0, 2048
+        t = np.arange(n) / fs
+        x = (
+            np.sin(2 * np.pi * 0.2 * t) + np.sin(2 * np.pi * 4.0 * t)
+        ) * self._tukey(n)
+        nfft = 1 << int(np.ceil(np.log2(2 * n)))
+        freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
+        counts = np.fft.irfft(
+            np.fft.rfft(x, nfft) * _analytic_response(freqs), nfft
+        )[:n]
+        rec = seismic.remove_response_native(
+            counts, fs, resp_paz, units="VEL", water_level=120.0,
+            taper_fraction=0.0, pre_filt=(0.01, 0.05, 1.0, 2.0),
+        )
+        spec = np.abs(np.fft.rfft(rec))
+        f = np.fft.rfftfreq(n, 1.0 / fs)
+        in_band = spec[np.argmin(np.abs(f - 0.2))]
+        out_band = spec[np.argmin(np.abs(f - 4.0))]
+        assert out_band < in_band * 1e-3
+
+    def test_remove_trace_prefers_native(self, resp_paz, tmp_path):
+        """remove_trace uses the native path (no simulate call) when the
+        RESP has pole-zero stages, and falls back to obspy simulate when
+        it does not."""
+        fs, n = 10.0, 512
+        data = np.sin(2 * np.pi * 0.2 * np.arange(n) / fs)
+
+        class Tr:
+            def __init__(self):
+                self.data = data.copy()
+                self.stats = FakeStats(sampling_rate=fs)
+                self.simulated = []
+
+            def simulate(self, **kw):
+                self.simulated.append(kw)
+
+        tr = Tr()
+        seismic.remove_trace(tr, resp_paz, units="VEL")
+        assert not tr.simulated
+        assert not np.allclose(tr.data, data)  # actually deconvolved
+
+        nopaz = tmp_path / "RESP.nopaz"
+        nopaz.write_text(RESP_TEXT)
+        tr2 = Tr()
+        seismic.remove_trace(tr2, str(nopaz), units="VEL")
+        assert len(tr2.simulated) == 1  # fell back to obspy simulate

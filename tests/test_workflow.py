@@ -508,3 +508,133 @@ def test_stream_dec_predict_with_figures(cube):
         assert os.path.exists(os.path.join(pred, f)), f
     assert os.path.isdir(os.path.join(pred, "T-SNE"))
     assert res["labels"].shape[0] == 384
+
+
+# ---- H5 event-catalog workflow (datafiletype='h5') ------------------------
+
+H5_M, H5_CLASSES = 96, 3
+
+
+@pytest.fixture(scope="module")
+def h5_catalog(tmp_path_factory):
+    """Synthetic RIS-style catalog: raw 88x101 spectrograms (row 87 = time
+    vector, col 0 = freq vector) with 3 planted classes as distinct
+    frequency-band energies, plus per-event waveform traces."""
+    import json
+
+    import h5py
+
+    rng = np.random.default_rng(11)
+    root = tmp_path_factory.mktemp("h5wf")
+    path = str(root / "catalog.h5")
+    labels = np.arange(H5_M) % H5_CLASSES
+    spec = rng.normal(scale=0.1, size=(H5_M, 88, 101))
+    for i, lab in enumerate(labels):
+        band = slice(5 + 25 * lab, 25 + 25 * lab)
+        spec[i, band, 1:] += 3.0 + rng.normal(scale=0.2)
+    spec[:, 87, 1:] = np.arange(100)
+    spec[:, 0:87, 0] = np.linspace(0, 10, 87)
+    trace = rng.normal(size=(H5_M, 200))
+    meta = [
+        json.dumps({"Station": "DR01", "StartTime": "2015-01-01 00:00:00.0"})
+        for _ in range(H5_M)
+    ]
+    with h5py.File(path, "w") as f:
+        g = f.require_group("/4.0")
+        g.create_dataset("Spectrogram", data=spec)
+        g.create_dataset("Trace", data=trace)
+        g.create_dataset(
+            "Catalogue", data=np.array(meta, dtype=h5py.string_dtype())
+        )
+    return root, path, labels
+
+
+def test_h5_catalog_workflow(h5_catalog, monkeypatch):
+    """The reference's SeismicDataset flow (utils.py:211-287, dormant in
+    production.py:29-34) runs end-to-end: AEC train/predict, GMM fit, DEC
+    train/predict on (87, 100) event windows, with the gallery's waveform
+    rows read from /4.0/Trace (plotting.py:369-380)."""
+    root, h5_path, true_labels = h5_catalog
+
+    def mk(model, mode, parameters=None, hp=None):
+        params = dict(parameters or {})
+        params["datafiletype"] = "h5"
+        universal = {
+            "fname_dataset": h5_path,
+            "savepath": str(root / "Outputs"),
+            "configpath": str(root / "Config"),
+            "transform": "sample_norm_cent",
+        }
+        p = {"model": model, "mode": mode, "tb": "False", "show": "False"}
+        p.update(params)
+        ini = scc_utils.config_training(universal, p, hp)
+        config = scc_utils.load_config(ini)
+        config.init_exp_env()
+        return config
+
+    # ---- AEC pretrain on (87, 100) windows -----------------------------
+    config = mk(
+        "AEC", "train",
+        {"n_epochs": 15, "early_stopping": "False"},
+        {"batch_size": "32", "lr": "0.001"},
+    )
+    [aec] = workflow.train(config)
+    assert tuple(config.input_hw) == (87, 100)
+    hist = aec["history"]["train"]
+    assert hist[-1] < hist[0]
+    run_dir = aec["savepath_run"]
+    weights = os.path.join(run_dir, "AEC_Params_Final")
+
+    # ---- AEC predict: artifacts carry the H5 geometry ------------------
+    config = mk("AEC", "predict", {"saved_weights": weights})
+    workflow.predict(config)
+    pred = os.path.join(run_dir, "Prediction")
+    assert np.load(os.path.join(pred, "Z_AEC.npy")).shape == (H5_M, 9)
+    assert np.load(os.path.join(pred, "Xr_AEC.npy")).shape == (
+        H5_M, 1, 87, 100
+    )
+
+    # ---- GMM fit -------------------------------------------------------
+    config = mk(
+        "GMM", "fit",
+        {"saved_weights": weights, "km_n_init": 4, "km_max_iter": 100},
+        {"n_clusters": str(H5_CLASSES)},
+    )
+    workflow.gmm_fit(config, figures=False)
+
+    # ---- DEC refine (init=load) ---------------------------------------
+    config = mk(
+        "DEC", "train",
+        {"n_epochs": 3, "saved_weights": weights, "init": "load",
+         "update_interval": -1},
+        {"batch_size": "32", "lr": "0.0005", "n_clusters": str(H5_CLASSES),
+         "gamma": "0.01", "tol": "0.0"},
+    )
+    [dec] = workflow.train(config)
+    from sklearn.metrics import normalized_mutual_info_score
+
+    nmi = normalized_mutual_info_score(true_labels, dec["labels"])
+    assert nmi > 0.5, f"DEC NMI vs planted classes too low: {nmi:.3f}"
+    dec_weights = os.path.join(dec["savepath_run"], "DEC_Params_Final")
+
+    # ---- DEC predict with figures: gallery gets waveform rows ---------
+    from spectrogram_cube_clustering_tpu.analysis import plotting
+
+    seen = {}
+    orig_gallery = plotting.cluster_gallery
+
+    def spy(*args, **kwargs):
+        seen["traces"] = kwargs.get("traces")
+        return orig_gallery(*args, **kwargs)
+
+    monkeypatch.setattr(plotting, "cluster_gallery", spy)
+    config = mk("DEC", "predict", {"saved_weights": dec_weights})
+    out = workflow.predict(config, figures=True)
+    assert out["labels"].shape == (H5_M,)
+    gallery = os.path.join(
+        dec["savepath_run"], "Prediction", "Gallery", "gallery.png"
+    )
+    assert os.path.exists(gallery)
+    # the trace reader was handed to the gallery and reads /4.0/Trace
+    assert seen["traces"] is not None
+    assert seen["traces"](0).shape == (200,)
