@@ -59,14 +59,16 @@ def _rep_stats(rates):
 
 def measure_aec_throughput(
     n_samples: int, batch_size: int, epochs: int = 3, fused: bool = False,
-    reps: int = 1,
+    reps: int = 1, packed: bool = False,
 ):
     """Steady-state AEC train throughput.
 
     `fused=True` runs all epochs as ONE device call (the shipped
     `sync_every` on-device loop) — used for --quick, where the workload
     is small enough that a per-epoch dispatch round trip through this
-    environment's remote tunnel would dominate and underreport ~4x."""
+    environment's remote tunnel would dominate and underreport ~4x.
+    `packed=True` measures the MXU-packed variant (`arch = packed`,
+    models/packed.py) instead of the reference-parity AEC."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,7 +78,7 @@ def measure_aec_throughput(
     x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
     data = scc.train.make_batched_data(x, batch_size=batch_size)
 
-    model = scc.models.AEC()
+    model = scc.models.PackedAEC() if packed else scc.models.AEC()
     state = scc.train.create_train_state(
         model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-4
     )
@@ -291,6 +293,13 @@ def _measure_set(args):
                 reps=args.reps,
             ),
         ),
+        "aec_packed": (
+            "aec_packed_train_samples_per_sec",
+            lambda: measure_aec_throughput(
+                args.samples, args.batch, epochs=aec_epochs, fused=True,
+                reps=args.reps, packed=True,
+            ),
+        ),
         "dec": (
             "dec_train_samples_per_sec",
             lambda: measure_dec_throughput(
@@ -322,12 +331,16 @@ def main():
     )
     ap.add_argument(
         "--metric",
-        choices=["all", "aec", "dec", "stft", "stft_pallas", "stream"],
+        choices=[
+            "all", "aec", "aec_packed", "dec", "stft", "stft_pallas",
+            "stream",
+        ],
         default="all",
         help="all: the full headline table in one JSON line (driver "
-        "default); aec: pretrain step throughput (primary); dec: "
-        "refinement step; stft_pallas: fused Pallas spectrogram kernel; "
-        "stream: prefetch-loader streaming train step",
+        "default); aec: pretrain step throughput (primary); aec_packed: "
+        "the MXU-packed variant (arch=packed); dec: refinement step; "
+        "stft_pallas: fused Pallas spectrogram kernel; stream: "
+        "prefetch-loader streaming train step",
     )
     args = ap.parse_args()
 

@@ -370,12 +370,10 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
                 os.path.join(savepath, "T-SNE", "t-SNE.png"), dpi=300,
                 facecolor="w",
             )
-            # centroid decodes through the trained decoder (same window
-            # geometry as the model — H5 sources are (87, 100))
-            dec_out = _models.Decoder(
-                input_hw=getattr(model, "input_hw", (4, 101))
-            ).apply(
-                {"params": params["decoder"]}, jnp.asarray(centroids_np)
+            # centroid decodes through the trained model's own decoder
+            # submodule (works for any arch/geometry: AEC, packed, H5)
+            dec_out = model.bind({"params": params}).decoder(
+                jnp.asarray(centroids_np)
             )
             plotting.cluster_gallery(
                 x_np, z_np, labels_np, centroids_np,

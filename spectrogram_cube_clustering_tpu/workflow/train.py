@@ -58,9 +58,15 @@ def make_model(config, n_clusters: Optional[int] = None):
 
     arch = getattr(config, "arch", None) or "AEC"
     if config.model == "DEC" or n_clusters is not None:
-        return _models.DEC(
-            n_clusters=int(n_clusters or config.n_clusters), **kw
-        )
+        k = int(n_clusters or config.n_clusters)
+        if arch == "packed":
+            if kw.pop("input_hw", (4, 101)) != (4, 101):
+                raise ValueError(
+                    "arch='packed' supports only the (4, 101) Zarr window "
+                    "geometry; use arch='AEC' for other sources"
+                )
+            return _models.PackedDEC(n_clusters=k, **kw)
+        return _models.DEC(n_clusters=k, **kw)
     if arch == "UNet":
         if kw.pop("input_hw", (4, 101)) != (4, 101):
             raise ValueError(
@@ -68,6 +74,16 @@ def make_model(config, n_clusters: Optional[int] = None):
                 "geometry; use arch='AEC' for other sources"
             )
         return _models.UNet(**kw)
+    if arch == "packed":
+        # MXU-packed variant: 1.42x the parity AEC's train throughput on
+        # v5e at equal loss (benchmarks/RESULTS.md contraction-width
+        # experiment); different latent space, so not the default
+        if kw.pop("input_hw", (4, 101)) != (4, 101):
+            raise ValueError(
+                "arch='packed' supports only the (4, 101) Zarr window "
+                "geometry; use arch='AEC' for other sources"
+            )
+        return _models.PackedAEC(**kw)
     if arch == "AEC":
         return _models.AEC(**kw)
     raise ValueError(f"unknown arch {arch!r}")
@@ -97,10 +113,10 @@ def _normalize(config, x: Optional[np.ndarray]) -> Optional[np.ndarray]:
     return np.asarray(fn(jnp.asarray(x)))
 
 
-def _init_template(model) -> dict:
+def _init_template(model, input_hw=None) -> dict:
+    h, w = input_hw or (_models.INPUT_HEIGHT, _models.INPUT_WIDTH)
     return model.init(
-        jax.random.key(0),
-        jnp.zeros((1, _models.INPUT_HEIGHT, _models.INPUT_WIDTH, 1)),
+        jax.random.key(0), jnp.zeros((1, int(h), int(w), 1))
     )["params"]
 
 
@@ -113,15 +129,24 @@ def load_aec_params(config, model) -> dict:
     In every other case (AEC predict, DEC predict) the checkpoint's
     structure matches the model itself.
     """
-    template = _init_template(model)
-    if isinstance(model, _models.DEC) and config.mode == "train":
-        if getattr(config, "arch", "AEC") != "AEC":
+    hw = getattr(config, "input_hw", None)
+    template = _init_template(model, hw)
+    if (isinstance(model, (_models.DEC, _models.PackedDEC))
+            and config.mode == "train"):
+        arch = getattr(config, "arch", "AEC") or "AEC"
+        if arch == "packed":
+            src = _models.PackedAEC()
+        elif arch == "AEC":
+            src = _models.AEC(
+                input_hw=tuple(hw) if hw else (4, 101)
+            )
+        else:
             raise ValueError(
                 "DEC inherits the AEC encoder/decoder; arch must be 'AEC' "
-                "(the reference's UNet-pretrain/AEC-refine mismatch transfers "
-                "no weights, SURVEY.md §2.3 defect 2)"
+                "or 'packed' (the reference's UNet-pretrain/AEC-refine "
+                "mismatch transfers no weights, SURVEY.md §2.3 defect 2)"
             )
-        aec_params = restore(config.saved_weights, _init_template(_models.AEC()))
+        aec_params = restore(config.saved_weights, _init_template(src, hw))
         from spectrogram_cube_clustering_tpu.models.dec import (
             load_encoder_decoder_from_aec,
         )

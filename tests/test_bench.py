@@ -15,6 +15,19 @@ def test_measure_aec_throughput_runs():
     assert spread["reps"] == 2 and spread["min"] <= tput <= spread["max"]
 
 
+def test_measure_aec_packed_throughput_runs():
+    sys.path.insert(0, "/root/repo")
+    from bench import measure_aec_throughput
+
+    import numpy as np
+
+    tput, loss, spread = measure_aec_throughput(
+        256, 64, epochs=1, fused=True, packed=True
+    )
+    assert tput > 0
+    assert np.isfinite(loss)
+
+
 def test_measure_dec_throughput_runs():
     sys.path.insert(0, "/root/repo")
     from bench import measure_dec_throughput

@@ -114,3 +114,53 @@ class TestLayout:
         np.testing.assert_array_equal(
             np.asarray(models.from_nchw(nchw)), np.asarray(x8)
         )
+
+
+class TestPacked:
+    """MXU-packed variant (models/packed.py): same task contract as
+    AEC/DEC with (2,2) space-to-depth packing — 1.42x the parity AEC on
+    v5e (benchmarks/RESULTS.md contraction-width experiment)."""
+
+    def test_space_to_depth_roundtrip(self, rng):
+        from spectrogram_cube_clustering_tpu.models.packed import (
+            _depth_to_space,
+            _space_to_depth,
+        )
+
+        x = jnp.asarray(rng.normal(size=(3, 4, 101, 1)).astype(np.float32))
+        packed = _space_to_depth(x)
+        assert packed.shape == (3, 2, 52, 4)
+        np.testing.assert_array_equal(np.asarray(_depth_to_space(packed)),
+                                      np.asarray(x))
+
+    def test_packed_aec_shapes(self, x8):
+        model = models.PackedAEC()
+        params = model.init(jax.random.key(0), x8)
+        xr, z = model.apply(params, x8)
+        assert xr.shape == x8.shape
+        assert z.shape == (len(x8), 9)
+        assert np.isfinite(np.asarray(xr)).all()
+
+    def test_packed_dec_contract(self, x8):
+        from spectrogram_cube_clustering_tpu.models.dec import (
+            load_encoder_decoder_from_aec,
+            replace_centroids,
+        )
+
+        model = models.PackedDEC(n_clusters=5)
+        params = model.init(jax.random.key(0), x8)["params"]
+        q, xr, z = model.apply({"params": params}, x8)
+        assert q.shape == (len(x8), 5)
+        np.testing.assert_allclose(np.asarray(q).sum(axis=1), 1.0, atol=1e-5)
+        assert xr.shape == x8.shape and z.shape == (len(x8), 9)
+        # centroid injection + AEC weight transfer work unchanged
+        cents = np.asarray(z)[:5]
+        params = replace_centroids(params, jnp.asarray(cents))
+        np.testing.assert_allclose(np.asarray(params["centroids"]), cents)
+        aec = models.PackedAEC()
+        aec_params = aec.init(jax.random.key(1), x8)["params"]
+        merged = load_encoder_decoder_from_aec(params, aec_params)
+        q2, _, z2 = model.apply({"params": merged}, x8)
+        _, z_aec = aec.apply({"params": aec_params}, x8)
+        np.testing.assert_allclose(np.asarray(z2), np.asarray(z_aec),
+                                   atol=1e-6)

@@ -638,3 +638,39 @@ def test_h5_catalog_workflow(h5_catalog, monkeypatch):
     # the trace reader was handed to the gallery and reads /4.0/Trace
     assert seen["traces"] is not None
     assert seen["traces"](0).shape == (200,)
+
+
+def test_packed_arch_workflow(cube):
+    """arch=packed (MXU-packed AEC/DEC, models/packed.py — 1.42x the
+    parity AEC on v5e) runs the full AEC->DEC train/predict flow with
+    weight transfer and artifacts intact."""
+    root, cube_path, true_labels = cube
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 8, "early_stopping": "False", "arch": "packed"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [aec] = workflow.train(config)
+    assert aec["history"]["train"][-1] < aec["history"]["train"][0]
+    weights = os.path.join(aec["savepath_run"], "AEC_Params_Final")
+
+    config = _make_config(
+        root, cube_path, "DEC", "train",
+        {"n_epochs": 2, "saved_weights": weights, "init": "kmeans",
+         "km_n_init": 2, "km_max_iter": 20, "arch": "packed"},
+        {"batch_size": "64", "lr": "0.0005", "n_clusters": str(N_CLASSES),
+         "gamma": "0.01", "tol": "0.0"},
+    )
+    [dec] = workflow.train(config)
+    assert dec["labels"].shape == (len(true_labels),)
+    dec_weights = os.path.join(dec["savepath_run"], "DEC_Params_Final")
+
+    config = _make_config(
+        root, cube_path, "DEC", "predict",
+        {"saved_weights": dec_weights, "arch": "packed"},
+    )
+    out = workflow.predict(config, figures=False)
+    assert out["q"].shape == (len(true_labels), N_CLASSES)
+    assert os.path.exists(
+        os.path.join(dec["savepath_run"], "Prediction", "labels_DEC.npy")
+    )
