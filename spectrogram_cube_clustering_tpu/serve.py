@@ -97,8 +97,13 @@ class DECPredictor:
         max_batch: int = 1024,
         transform: Optional[str] = "sample_norm_cent",
         buckets=None,
+        arch: str = "AEC",
     ):
-        self.model = _models.DEC(n_clusters=n_clusters)
+        self.model = (
+            _models.PackedDEC(n_clusters=n_clusters)
+            if arch == "packed"
+            else _models.DEC(n_clusters=n_clusters)
+        )
         self.params = params
         self.max_batch = max_batch
         self.sizes = _bucket_ladder(max_batch, buckets)
@@ -115,15 +120,20 @@ class DECPredictor:
     def from_checkpoint(
         cls, path: str, n_clusters: int, max_batch: int = 1024,
         transform: Optional[str] = "sample_norm_cent",
+        arch: str = "AEC",
     ) -> "DECPredictor":
         from spectrogram_cube_clustering_tpu.train.checkpoint import restore
 
-        template = _models.DEC(n_clusters=n_clusters).init(
+        cls_model = (
+            _models.PackedDEC if arch == "packed" else _models.DEC
+        )
+        template = cls_model(n_clusters=n_clusters).init(
             jax.random.key(0),
             jnp.zeros((1, _models.INPUT_HEIGHT, _models.INPUT_WIDTH, 1)),
         )["params"]
         return cls(
-            restore(path, template), n_clusters, max_batch, transform
+            restore(path, template), n_clusters, max_batch, transform,
+            arch=arch,
         )
 
     def warmup(self) -> None:

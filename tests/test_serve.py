@@ -100,3 +100,23 @@ class TestAECEncoder:
             jnp.asarray(xn), method="encode",
         )
         np.testing.assert_allclose(z, np.asarray(want), rtol=2e-4, atol=1e-6)
+
+
+def test_packed_predictor_from_checkpoint(tmp_path):
+    """arch='packed' serves the MXU-packed DEC (models/packed.py) through
+    the same fixed-shape bucket ladder."""
+    x, _ = scc.data.synthetic_windows(32, n_classes=3, seed=2)
+    xn = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    dec = scc.models.PackedDEC(n_clusters=3)
+    params = dec.init(jax.random.key(0), jnp.asarray(xn[:2]))["params"]
+    path = str(tmp_path / "DEC_Params_Final")
+    save(path, params)
+
+    pred = serve.DECPredictor.from_checkpoint(
+        path, n_clusters=3, max_batch=16, arch="packed"
+    )
+    out = pred(x[:5])
+    assert out["q"].shape == (5, 3)
+    q_direct, _, _ = dec.apply({"params": params},
+                               jnp.asarray(xn[:5]))
+    np.testing.assert_allclose(out["q"], np.asarray(q_direct), atol=1e-5)
