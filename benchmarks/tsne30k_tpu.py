@@ -43,9 +43,11 @@ def main():
     y = rng.integers(0, k, m)
     z = (centers[y] + rng.normal(size=(m, d))).astype(np.float32)
 
+    print("state resident; starting exact t-SNE", flush=True)
     t0 = time.perf_counter()
     emb = tsne_jax(z, n_iter=2000, max_samples=m)
     wall = time.perf_counter() - t0
+    print(f"t-SNE done in {wall:.1f}s", flush=True)
     assert emb.shape == (m, 2) and np.isfinite(emb).all()
 
     from sklearn.cluster import KMeans

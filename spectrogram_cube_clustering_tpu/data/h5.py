@@ -179,6 +179,60 @@ class SeismicDataset:
         return self.load_batch(range(len(self)))
 
 
+class H5StreamDataset:
+    """Block-reading H5 catalog adapter with the streaming item API of
+    `ZarrCubeDataset` (`item` / `windows_per_item` / `n_windows` /
+    `window_shape`), for `loadmode='stream'` over event catalogs that
+    exceed host RAM: item i is catalog rows [i*block, (i+1)*block),
+    cropped to (n, 87, 100, 1) float32 — one contiguous H5 read per item
+    instead of one per event. Normalization is applied by the caller
+    (the workflow's `_np_normalizer`), like the Zarr streaming path.
+    """
+
+    def __init__(self, fname: str, block: int = 256, crop: bool = True):
+        if block < 1:
+            raise ValueError(f"block must be >= 1, got {block}")
+        self.fname = fname
+        self.block = int(block)
+        self.crop = crop
+        self.m = query_db_size(fname)[0]
+        with _h5py().File(fname, "r") as f:
+            h, w = f[SPECTROGRAM_PATH].shape[1:3]
+        self._shape = (h - 1, w - 1, 1) if crop else (h, w, 1)
+
+    def __len__(self) -> int:
+        return -(-self.m // self.block)
+
+    @property
+    def windows_per_item(self):
+        """Per-item window counts (the last block may be short) — the
+        form PrefetchLoader's per-host IO division accepts."""
+        full, rem = divmod(self.m, self.block)
+        counts = [self.block] * full
+        if rem:
+            counts.append(rem)
+        return counts
+
+    @property
+    def n_windows(self) -> int:
+        return self.m
+
+    @property
+    def window_shape(self) -> tuple:
+        return self._shape
+
+    def item(self, idx: int) -> np.ndarray:
+        lo = idx * self.block
+        hi = min(lo + self.block, self.m)
+        if not (0 <= lo < self.m):
+            raise IndexError(f"item {idx} out of range for {len(self)}")
+        with _h5py().File(self.fname, "r") as f:
+            x = np.asarray(f[SPECTROGRAM_PATH][lo:hi], np.float32)
+        if self.crop:
+            x = crop_specgram(x)
+        return x[..., None]
+
+
 def load_images(fname_dataset: str, index: Sequence[int]):
     """Full-resolution spectrogram images + time/freq vectors, mean/absmax
     normalized (reference load_images, utils.py:995-1014)."""

@@ -151,14 +151,13 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
     20000) whose windows are re-read from the cube — the only honest
     option when X exceeds host RAM.
     """
-    from spectrogram_cube_clustering_tpu.data import ZarrCubeDataset
-    from spectrogram_cube_clustering_tpu.workflow.data import _cube_spec
     from spectrogram_cube_clustering_tpu.workflow.train import (
         _np_normalizer,
+        _stream_dataset,
         _stream_sharding,
     )
 
-    ds = ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
+    ds = _stream_dataset(config)
     normalize = _np_normalizer(config)
     item_fn = lambda i: normalize(ds.item(i))  # noqa: E731
     m = ds.n_windows
@@ -246,8 +245,10 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
         )
         # group the selection by item: one read+normalize per unique item
         # instead of one per WINDOW (~windows_per_item x less IO on the
-        # path that exists because X exceeds host RAM)
-        wpi = ds.windows_per_item
+        # path that exists because X exceeds host RAM). For H5 blocks
+        # (ragged last item) the scalar block size still maps window ->
+        # (item, offset) correctly: item i covers rows [i*b, (i+1)*b).
+        wpi = getattr(ds, "block", None) or ds.windows_per_item
         rows = []
         for item_idx in np.unique(sel // wpi):
             item = item_fn(int(item_idx))

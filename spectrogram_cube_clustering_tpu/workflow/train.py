@@ -195,6 +195,26 @@ def _stream_sharding(config, mesh, batch_size: int):
     return _core.batch_sharding(mesh, 4)
 
 
+def _stream_dataset(config):
+    """The streaming item source for loadmode='stream': the Zarr cube by
+    default, or the H5 event catalog (`datafiletype='h5'`,
+    data.h5.H5StreamDataset block reader). Sets `config.input_hw` for H5
+    so make_model builds the matching geometry."""
+    from spectrogram_cube_clustering_tpu.data import ZarrCubeDataset
+    from spectrogram_cube_clustering_tpu.workflow.data import _cube_spec
+
+    if getattr(config, "datafiletype", None) == "h5":
+        from spectrogram_cube_clustering_tpu.data.h5 import H5StreamDataset
+
+        ds = H5StreamDataset(
+            config.fname_dataset,
+            block=int(getattr(config, "h5_stream_block", None) or 256),
+        )
+        config.input_hw = tuple(int(v) for v in ds.window_shape[:2])
+        return ds
+    return ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
+
+
 def _replicate_state(state, mesh):
     """Pin train state replicated on the mesh (deterministic placement for
     the per-batch jitted steps; on one device this is a no-op)."""
@@ -207,18 +227,14 @@ def _replicate_state(state, mesh):
 
 def _train_stream(config, mesh=None):
     """loadmode='stream': windows never materialize in host RAM at once —
-    Zarr items stream through the prefetch loader into per-batch jitted
-    steps (reference `loadmode` knob, AEC_train.py:55 / production.py
-    'ram' path; the reference only ever loads to RAM). With a mesh, each
-    streamed batch arrives sharded over it (see _stream_sharding)."""
-    from spectrogram_cube_clustering_tpu.data import (
-        ZarrCubeDataset,
-        train_val_split,
-        zarr_prefetch_loader,
-    )
-    from spectrogram_cube_clustering_tpu.workflow.data import _cube_spec
+    Zarr cube items (or H5 catalog blocks, `datafiletype='h5'`) stream
+    through the prefetch loader into per-batch jitted steps (reference
+    `loadmode` knob, AEC_train.py:55 / production.py 'ram' path; the
+    reference only ever loads to RAM). With a mesh, each streamed batch
+    arrives sharded over it (see _stream_sharding)."""
+    from spectrogram_cube_clustering_tpu.data import train_val_split
 
-    ds = ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
+    ds = _stream_dataset(config)
     normalize = _np_normalizer(config)
     item_fn = lambda i: normalize(ds.item(i))  # noqa: E731
 

@@ -126,3 +126,28 @@ class TestExtract:
             path, dest, include=list(set(stations)), after="20150105T000000"
         )
         assert 0 < kept < M - 1
+
+
+class TestH5StreamDataset:
+    def test_blocks_match_rows(self, catalog):
+        path, spec, _ = catalog
+        ds = h5mod.H5StreamDataset(path, block=5)
+        assert len(ds) == 3  # 12 rows in blocks of 5 -> 5,5,2
+        assert ds.windows_per_item == [5, 5, 2]
+        assert ds.n_windows == M
+        assert ds.window_shape == (87, 100, 1)
+        item0 = ds.item(0)
+        assert item0.shape == (5, 87, 100, 1)
+        # block content == per-row reads, cropped, unnormalized
+        want = spec[0:5, :-1, 1:].astype(np.float32)[..., None]
+        np.testing.assert_array_equal(item0, want)
+        # ragged last block
+        last = ds.item(2)
+        assert last.shape == (2, 87, 100, 1)
+        with pytest.raises(IndexError):
+            ds.item(3)
+
+    def test_rejects_bad_block(self, catalog):
+        path, _, _ = catalog
+        with pytest.raises(ValueError, match="block"):
+            h5mod.H5StreamDataset(path, block=0)

@@ -674,3 +674,48 @@ def test_packed_arch_workflow(cube):
     assert os.path.exists(
         os.path.join(dec["savepath_run"], "Prediction", "labels_DEC.npy")
     )
+
+
+def test_h5_stream_loadmode(h5_catalog):
+    """loadmode='stream' over an H5 catalog: blocks stream through the
+    prefetch loader (data.h5.H5StreamDataset) for both training and
+    prediction, with the same artifact names as the ram path."""
+    root, h5_path, _ = h5_catalog
+    universal = {
+        "fname_dataset": h5_path,
+        "savepath": str(root / "Outputs"),
+        "configpath": str(root / "Config"),
+        "transform": "sample_norm_cent",
+    }
+
+    def mk(model, mode, parameters=None, hp=None):
+        p = {"model": model, "mode": mode, "tb": "False", "show": "False",
+             "datafiletype": "h5", "loadmode": "stream", "workers": "2",
+             "h5_stream_block": "16"}
+        p.update(parameters or {})
+        ini = scc_utils.config_training(universal, p, hp)
+        config = scc_utils.load_config(ini)
+        config.init_exp_env()
+        return config
+
+    config = mk(
+        "AEC", "train",
+        {"n_epochs": 2, "early_stopping": "False"},
+        {"batch_size": "32", "lr": "0.001"},
+    )
+    [out] = workflow.train(config)
+    assert tuple(config.input_hw) == (87, 100)
+    assert np.isfinite(out["history"]["train"]).all()
+    run_dir = out["savepath_run"]
+    assert os.path.isdir(os.path.join(run_dir, "AEC_Params_Final"))
+
+    config = mk(
+        "AEC", "predict",
+        {"saved_weights": os.path.join(run_dir, "AEC_Params_Final"),
+         "silh_max_samples": 50},
+    )
+    res = workflow.predict(config, figures=False)
+    assert res["z"].shape == (H5_M, 9)
+    assert os.path.exists(
+        os.path.join(run_dir, "Prediction", "Z_AEC.npy")
+    )
