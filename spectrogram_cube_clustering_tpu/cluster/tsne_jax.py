@@ -110,24 +110,32 @@ def _joint_p(x, perplexity, chunk=4096):
 @functools.partial(
     jax.jit, static_argnames=("n_iter", "exag_iter", "chunk")
 )
-def _optimize(
-    p, y0, learning_rate, early_exaggeration, n_iter, exag_iter=250,
-    chunk=4096,
+def _optimize_segment(
+    p, carry, iter0, learning_rate, early_exaggeration, n_iter,
+    exag_iter=250, chunk=4096,
 ):
-    """Gradient loop with the gradient computed in row chunks.
+    """`n_iter` gradient iterations starting at absolute iteration
+    `iter0` (a traced scalar — no recompile per segment), carrying
+    (y, velocity, gains). Gradients are computed in row chunks.
 
-    The dense formulation holds num/q/pq as (M, M) buffers simultaneously
-    (3 x 3.6 GB at the 30k cap — over v5e HBM next to P and model state);
-    here two chunked passes (Z reduction, then grad rows) keep the peak
-    scratch at (chunk, M) with only P resident at (M, M). For M <= chunk
-    this degenerates to one map step per pass, i.e. the dense math.
+    Two design constraints from the 30k cap on v5e:
+    - memory: the dense formulation holds num/q/pq as (M, M) buffers
+      simultaneously (3 x 3.6 GB — over HBM next to P and model state);
+      two chunked passes (Z reduction, then grad rows) keep the peak
+      scratch at (chunk, M) with only P resident at (M, M). For
+      M <= chunk this degenerates to one map step per pass (dense math).
+    - dispatch length: at 30k a single 2000-iteration scan is a ~100 s
+      device execute, which remote-attached runtimes (this environment's
+      tunnel) kill; `tsne_jax` therefore drives this in bounded segments
+      (measured on v5e: 600-iteration dispatches run fine, one
+      2000-iteration dispatch crashes the worker).
     """
-    m = y0.shape[0]
+    m = carry[0].shape[0]
     n_chunks = -(-m // chunk)
     m_pad = n_chunks * chunk
     starts = jnp.arange(n_chunks) * chunk
     # rows >= m contribute nothing: their num/pq rows are masked to zero
-    valid = (jnp.arange(m_pad) < m).astype(y0.dtype)
+    valid = (jnp.arange(m_pad) < m).astype(carry[0].dtype)
 
     def num_rows(y, y_pad, start):
         """(chunk, m) Student-t numerators for global rows [start, ...)."""
@@ -192,9 +200,28 @@ def _optimize(
         y = y - jnp.mean(y, axis=0, keepdims=True)
         return (y, vel, gains), kl
 
-    init = (y0, jnp.zeros_like(y0), jnp.ones_like(y0))
-    (y, _, _), kls = lax.scan(step, init, jnp.arange(n_iter))
-    return y, kls
+    carry, kls = lax.scan(step, carry, iter0 + jnp.arange(n_iter))
+    return carry, kls
+
+
+def _optimize(
+    p, y0, learning_rate, early_exaggeration, n_iter, exag_iter=250,
+    chunk=4096, segment: int = 250,
+):
+    """Full gradient loop driven in `segment`-iteration device dispatches
+    (see _optimize_segment for why); returns (y, kls)."""
+    carry = (y0, jnp.zeros_like(y0), jnp.ones_like(y0))
+    kls = []
+    done = 0
+    while done < n_iter:
+        n = min(segment, n_iter - done)
+        carry, kl = _optimize_segment(
+            p, carry, jnp.int32(done), learning_rate, early_exaggeration,
+            n, exag_iter=exag_iter, chunk=chunk,
+        )
+        kls.append(kl)
+        done += n
+    return carry[0], jnp.concatenate([jnp.atleast_1d(k) for k in kls])
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
