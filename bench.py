@@ -153,18 +153,26 @@ def measure_dec_throughput(
     p_all = _pad_p(target_distribution(q), data.n_batches, batch_size)
     segment = make_segment_fn(model, 0.001, data.n_batches)
 
-    state, sums = segment(state, data.x, data.mask, p_all, jnp.array(0))
-    jax.tree.map(lambda a: a.block_until_ready(), sums)
+    # run all epochs as ONE device call (scan over the jitted segment —
+    # nested jit inlines) so the remote tunnel's per-dispatch RTT is
+    # amortized out, same rationale as the fused AEC headline
+    @jax.jit
+    def run_epochs(st, xs, mask, p):
+        def body(s, _):
+            s2, sums = segment(s, xs, mask, p, jnp.array(0))
+            return s2, (sums[0].sum(), sums[3].sum())
+        return jax.lax.scan(body, st, None, length=epochs)
+
+    state, (ls, ns) = run_epochs(state, data.x, data.mask, p_all)
+    ls.block_until_ready()
     rates = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(epochs):
-            state, sums = segment(state, data.x, data.mask, p_all, jnp.array(0))
-        jax.tree.map(lambda a: a.block_until_ready(), sums)
+        state, (ls, ns) = run_epochs(state, data.x, data.mask, p_all)
+        ls.block_until_ready()
         rates.append(n_samples * epochs / (time.perf_counter() - t0))
     med, spread = _rep_stats(rates)
-    # sums are per-step (seg_len,) arrays (per-batch history support)
-    return med, float(sums[0].sum() / sums[3].sum()), spread
+    return med, float(ls[-1] / ns[-1]), spread
 
 
 def measure_stft_throughput(
@@ -282,7 +290,12 @@ def _measure_set(args):
     per-dispatch RTT is amortized out of the number (matters most at
     --quick sizes, where per-epoch dispatch underreports ~4x; at full
     size the fused loop is also simply the fastest shipped path, +5%)."""
-    aec_epochs = 16 if args.quick else 6
+    # quick mode runs MANY epochs per fused device call: at 16k samples
+    # one 16-epoch call is only ~80 ms of device time, so the remote
+    # tunnel's ~100 ms dispatch RTT halves the reported number on
+    # high-latency days (observed 2.1 vs 3.3 M across rounds); 64 epochs
+    # pushes the RTT fraction under ~25%
+    aec_epochs = 64 if args.quick else 6
     n_wave = 400_000 if args.quick else 4_000_000
     chain = 3 if args.quick else 10
     return {
@@ -303,7 +316,8 @@ def _measure_set(args):
         "dec": (
             "dec_train_samples_per_sec",
             lambda: measure_dec_throughput(
-                args.samples, args.batch, reps=args.reps
+                args.samples, args.batch, epochs=48 if args.quick else 3,
+                reps=args.reps,
             ),
         ),
         "stft_pallas": (
