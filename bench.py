@@ -295,9 +295,11 @@ def _measure_set(args):
     # tunnel's ~100 ms dispatch RTT halves the reported number on
     # high-latency days (observed 2.1 vs 3.3 M across rounds); 64 epochs
     # pushes the RTT fraction under ~25%
-    aec_epochs = 64 if args.quick else 6
-    n_wave = 400_000 if args.quick else 4_000_000
-    chain = 3 if args.quick else 10
+    aec_epochs = 64 if args.quick else 16
+    # same RTT math for the STFT: the kernel does 4M samples in ~4 ms, so
+    # short chains measure the tunnel, not the chip
+    n_wave = 2_000_000 if args.quick else 4_000_000
+    chain = 30 if args.quick else 50
     return {
         "aec": (
             "aec_train_samples_per_sec",
@@ -316,7 +318,7 @@ def _measure_set(args):
         "dec": (
             "dec_train_samples_per_sec",
             lambda: measure_dec_throughput(
-                args.samples, args.batch, epochs=48 if args.quick else 3,
+                args.samples, args.batch, epochs=48 if args.quick else 8,
                 reps=args.reps,
             ),
         ),

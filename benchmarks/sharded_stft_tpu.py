@@ -40,7 +40,7 @@ def main():
     from spectrogram_cube_clustering_tpu.signal.stft import spectrogram
 
     n = 4_000_000
-    reps = 10
+    reps = 50  # long chain: short ones measure tunnel RTT, not the chip
     mesh = make_data_mesh()
     print(f"mesh: {mesh.devices.size} device(s), backend {jax.default_backend()}")
 

@@ -19,7 +19,9 @@ manual DMA — all three are Mosaic compile hazards (miscompiles or
 pathological compile times, found empirically on v5e).
 
 Measured on one v5e chip (4M-sample waveform, nperseg=200, hop=100):
-~1,022 Msamples/s vs 71 Msamples/s for the XLA rfft path — 14x — (dependency-chained timing, benchmarks/RESULTS.md) with
+~3,435 Msamples/s vs ~71 Msamples/s for the XLA rfft path — ~46x —
+(chain-50 dependency timing, benchmarks/RESULTS.md; shorter chains
+under-report by folding in the remote tunnel's per-dispatch RTT) with
 numerics matching signal.stft.spectrogram to 1.2e-4 absolute on the log10
 scale (f32-precision matmuls; the MXU's default reduced precision is NOT
 acceptable here — the windowed DFT cancels catastrophically at near-zero
