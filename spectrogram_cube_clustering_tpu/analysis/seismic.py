@@ -299,7 +299,7 @@ def parse_resp_paz(resp_path: str) -> dict:
 
     stages = []
     current = None
-    mode = None  # 'zeros' | 'poles' while inside a complex-number table
+    seen_seq = set()
     sensitivity = None
 
     with open(resp_path) as fh:
@@ -315,7 +315,22 @@ def parse_resp_paz(resp_path: str) -> dict:
                     "input_units": None,
                 }
                 stages.append(current)
-                mode = None
+            elif tag == "B053F04" and current is not None:
+                # Stage sequence number: the same stage appearing twice
+                # means the RESP carries MULTIPLE epochs (rdseed appends
+                # one response block per epoch); merging them would
+                # multiply every epoch's transfer function together and
+                # silently deconvolve a wildly wrong response — require
+                # a pre-split single-epoch file (obspy/evalresp select
+                # by trace time; callers fall back to obspy here)
+                seq = line[-1]
+                if seq in seen_seq:
+                    raise ValueError(
+                        f"{resp_path} contains multiple response epochs "
+                        f"(stage sequence {seq} repeats); split the RESP "
+                        "to a single epoch for the native path"
+                    )
+                seen_seq.add(seq)
             elif tag == "B053F05" and current is not None:
                 # "Response in units lookup: M/S - Velocity ..."
                 try:
@@ -382,7 +397,15 @@ def evaluate_response(resp_path: str, freqs, units: str = "DISP"):
         k = _UNIT_DERIVS[native] - _UNIT_DERIVS[req]
         if k:
             jw = 2j * np.pi * freqs
-            h = h * jw ** k
+            if k < 0:
+                # dividing by jw at f=0 is 0 * inf = NaN, which would
+                # poison the water-level inversion (gamma = NaN) and the
+                # whole deconvolved trace; the DC response is 0 there,
+                # same as a pole at the origin
+                jw_safe = np.where(freqs == 0, 1.0, jw)
+                h = h * np.where(freqs == 0, 0.0, jw_safe ** k)
+            else:
+                h = h * jw ** k
     return h
 
 

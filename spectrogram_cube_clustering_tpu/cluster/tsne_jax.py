@@ -75,12 +75,15 @@ def _row_cond_p(d2_row, target_entropy, n_steps=50):
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _joint_p(x, perplexity, chunk=4096):
-    """Symmetrized joint probabilities P (M, M), diagonal zero.
+    """Symmetrized joint probabilities, returned ROW-PADDED to the next
+    `chunk` multiple: (m_pad, M), pad rows exactly zero, diagonal zero.
 
     Rows are processed in `chunk`-sized blocks (lax.map), so the peak
-    intermediate is (chunk, M) — only the final P is ever (M, M). At the
-    30k exact-path cap that is 0.5 GB of scratch + 3.6 GB for P instead
-    of three 3.6 GB buffers at once.
+    intermediate is (chunk, M) — only the final P is ever (M, M)-sized.
+    The padding happens here (inside one jit, where XLA frees the
+    unpadded intermediate) so the optimizer never holds a second
+    full-size P copy; at the 30k cap that is the difference between
+    ~3.7 and ~7.3 GB of HBM resident through the gradient loop.
     """
     m = x.shape[0]
     target_entropy = jnp.log(perplexity)
@@ -103,8 +106,8 @@ def _joint_p(x, perplexity, chunk=4096):
 
     cond = lax.map(rows_block, jnp.arange(n_chunks) * chunk)
     cond = cond.reshape(m_pad, m)[:m]
-    p = (cond + cond.T) / (2.0 * m)
-    return jnp.maximum(p, MACHINE_EPS)
+    p = jnp.maximum((cond + cond.T) / (2.0 * m), MACHINE_EPS)
+    return jnp.pad(p, ((0, m_pad - m), (0, 0)))
 
 
 @functools.partial(
@@ -131,8 +134,15 @@ def _optimize_segment(
       2000-iteration dispatch crashes the worker).
     """
     m = carry[0].shape[0]
-    n_chunks = -(-m // chunk)
-    m_pad = n_chunks * chunk
+    # p arrives row-padded (pad rows exactly zero); its padding defines
+    # the chunk grid — any chunk dividing it works
+    m_pad = p.shape[0]
+    if m_pad % chunk != 0 or m_pad < m:
+        raise ValueError(
+            f"padded P rows {m_pad} must be a multiple of chunk {chunk} "
+            f"covering m={m} (pass _joint_p output)"
+        )
+    n_chunks = m_pad // chunk
     starts = jnp.arange(n_chunks) * chunk
     # rows >= m contribute nothing: their num/pq rows are masked to zero
     valid = (jnp.arange(m_pad) < m).astype(carry[0].dtype)
@@ -182,10 +192,6 @@ def _optimize_segment(
         grads, kls = lax.map(grad_rows, starts)
         return grads.reshape(m_pad, 2)[:m], jnp.sum(kls)
 
-    # pad P rows once so chunked row slices stay in bounds; padded rows
-    # are masked out of every reduction
-    p = jnp.pad(p, ((0, m_pad - m), (0, 0)))
-
     def step(carry, i):
         y, vel, gains = carry
         exag = jnp.where(i < exag_iter, early_exaggeration, 1.0)
@@ -209,7 +215,8 @@ def _optimize(
     chunk=4096, segment: int = 250,
 ):
     """Full gradient loop driven in `segment`-iteration device dispatches
-    (see _optimize_segment for why); returns (y, kls)."""
+    (see _optimize_segment for why); `p` is _joint_p's row-padded output.
+    Returns (y, kls)."""
     carry = (y0, jnp.zeros_like(y0), jnp.ones_like(y0))
     kls = []
     done = 0

@@ -98,12 +98,19 @@ class DECPredictor:
         transform: Optional[str] = "sample_norm_cent",
         buckets=None,
         arch: str = "AEC",
+        input_hw=(4, 101),
     ):
-        self.model = (
-            _models.PackedDEC(n_clusters=n_clusters)
-            if arch == "packed"
-            else _models.DEC(n_clusters=n_clusters)
-        )
+        self.input_hw = (int(input_hw[0]), int(input_hw[1]))
+        if arch == "packed":
+            if self.input_hw != (4, 101):
+                raise ValueError(
+                    "arch='packed' serves only the (4, 101) geometry"
+                )
+            self.model = _models.PackedDEC(n_clusters=n_clusters)
+        else:
+            self.model = _models.DEC(
+                n_clusters=n_clusters, input_hw=self.input_hw
+            )
         self.params = params
         self.max_batch = max_batch
         self.sizes = _bucket_ladder(max_batch, buckets)
@@ -121,28 +128,28 @@ class DECPredictor:
         cls, path: str, n_clusters: int, max_batch: int = 1024,
         transform: Optional[str] = "sample_norm_cent",
         arch: str = "AEC",
+        input_hw=(4, 101),
     ) -> "DECPredictor":
         from spectrogram_cube_clustering_tpu.train.checkpoint import restore
 
-        cls_model = (
-            _models.PackedDEC if arch == "packed" else _models.DEC
+        h, w = int(input_hw[0]), int(input_hw[1])
+        model = (
+            _models.PackedDEC(n_clusters=n_clusters)
+            if arch == "packed"
+            else _models.DEC(n_clusters=n_clusters, input_hw=(h, w))
         )
-        template = cls_model(n_clusters=n_clusters).init(
-            jax.random.key(0),
-            jnp.zeros((1, _models.INPUT_HEIGHT, _models.INPUT_WIDTH, 1)),
+        template = model.init(
+            jax.random.key(0), jnp.zeros((1, h, w, 1))
         )["params"]
         return cls(
             restore(path, template), n_clusters, max_batch, transform,
-            arch=arch,
+            arch=arch, input_hw=(h, w),
         )
 
     def warmup(self) -> None:
         """Pay every bucket's compile before serving traffic."""
         for size in self.sizes:
-            x = np.zeros(
-                (size, _models.INPUT_HEIGHT, _models.INPUT_WIDTH, 1),
-                np.float32,
-            )
+            x = np.zeros((size, *self.input_hw, 1), np.float32)
             q, _, _ = self._fn(self.params, jnp.asarray(x))
             q.block_until_ready()
 
@@ -169,8 +176,10 @@ class AECEncoder:
         max_batch: int = 1024,
         transform: Optional[str] = "sample_norm_cent",
         buckets=None,
+        input_hw=(4, 101),
     ):
-        self.model = _models.AEC()
+        self.input_hw = (int(input_hw[0]), int(input_hw[1]))
+        self.model = _models.AEC(input_hw=self.input_hw)
         self.params = params
         self.max_batch = max_batch
         self.sizes = _bucket_ladder(max_batch, buckets)
@@ -188,14 +197,16 @@ class AECEncoder:
     def from_checkpoint(
         cls, path: str, max_batch: int = 1024,
         transform: Optional[str] = "sample_norm_cent",
+        input_hw=(4, 101),
     ) -> "AECEncoder":
         from spectrogram_cube_clustering_tpu.train.checkpoint import restore
 
-        template = _models.AEC().init(
-            jax.random.key(0),
-            jnp.zeros((1, _models.INPUT_HEIGHT, _models.INPUT_WIDTH, 1)),
+        h, w = int(input_hw[0]), int(input_hw[1])
+        template = _models.AEC(input_hw=(h, w)).init(
+            jax.random.key(0), jnp.zeros((1, h, w, 1))
         )["params"]
-        return cls(restore(path, template), max_batch, transform)
+        return cls(restore(path, template), max_batch, transform,
+                   input_hw=(h, w))
 
     def __call__(self, windows: np.ndarray) -> np.ndarray:
         x = np.asarray(windows, np.float32)

@@ -75,15 +75,25 @@ def _h5_windows(config) -> np.ndarray:
     `config.index_tra` for gallery/init paths that index by training
     position (reference models.py:529).
     """
-    from spectrogram_cube_clustering_tpu.data.h5 import SeismicDataset
+    ftype = getattr(config, "h5_ftype", None) or "h5"
+    if ftype == "np":
+        from spectrogram_cube_clustering_tpu.data.h5 import SeismicDataset
 
-    ds = SeismicDataset(
-        config.fname_dataset,
-        getattr(config, "h5_ftype", None) or "h5",
-        transform=None,  # workflow applies config.transform afterwards
-    )
-    x = ds.load_all()  # (M, 1, H, W)
-    x = np.moveaxis(x, 1, -1).astype(np.float32)  # NHWC
+        ds = SeismicDataset(
+            config.fname_dataset, "np",
+            transform=None,  # workflow applies config.transform afterwards
+        )
+        x = np.moveaxis(ds.load_all(), 1, -1).astype(np.float32)  # NHWC
+    else:
+        # contiguous block reads (one H5 slice per 4096 events) instead of
+        # SeismicDataset's one-open-one-read per event — orders of
+        # magnitude fewer IO calls at catalog scale
+        from spectrogram_cube_clustering_tpu.data.h5 import H5StreamDataset
+
+        ds = H5StreamDataset(config.fname_dataset, block=4096)
+        x = np.concatenate(
+            [ds.item(i) for i in range(len(ds))], axis=0
+        )
     config.input_hw = (int(x.shape[1]), int(x.shape[2]))
     return x
 

@@ -82,9 +82,7 @@ def _gallery_traces(config):
     fname = config.fname_dataset
 
     def read_trace(idx):
-        import h5py
-
-        with h5py.File(fname, "r") as f:
+        with _h5._h5py().File(fname, "r") as f:
             return np.asarray(f[_h5.TRACE_PATH][int(idx)]).ravel()
 
     return read_trace

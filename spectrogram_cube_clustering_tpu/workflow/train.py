@@ -56,33 +56,30 @@ def make_model(config, n_clusters: Optional[int] = None):
     if hw is not None:
         kw["input_hw"] = (int(hw[0]), int(hw[1]))
 
+    def require_default_hw(arch_name):
+        # UNet/packed are fixed to the reference's (4, 101) Zarr window;
+        # geometry-general sources (the H5 catalog) must use arch='AEC'
+        if kw.pop("input_hw", (4, 101)) != (4, 101):
+            raise ValueError(
+                f"arch={arch_name!r} supports only the (4, 101) Zarr "
+                "window geometry; use arch='AEC' for other sources"
+            )
+
     arch = getattr(config, "arch", None) or "AEC"
     if config.model == "DEC" or n_clusters is not None:
         k = int(n_clusters or config.n_clusters)
         if arch == "packed":
-            if kw.pop("input_hw", (4, 101)) != (4, 101):
-                raise ValueError(
-                    "arch='packed' supports only the (4, 101) Zarr window "
-                    "geometry; use arch='AEC' for other sources"
-                )
+            require_default_hw(arch)
             return _models.PackedDEC(n_clusters=k, **kw)
         return _models.DEC(n_clusters=k, **kw)
     if arch == "UNet":
-        if kw.pop("input_hw", (4, 101)) != (4, 101):
-            raise ValueError(
-                "arch='UNet' supports only the (4, 101) Zarr window "
-                "geometry; use arch='AEC' for other sources"
-            )
+        require_default_hw(arch)
         return _models.UNet(**kw)
     if arch == "packed":
         # MXU-packed variant: 1.42x the parity AEC's train throughput on
         # v5e at equal loss (benchmarks/RESULTS.md contraction-width
         # experiment); different latent space, so not the default
-        if kw.pop("input_hw", (4, 101)) != (4, 101):
-            raise ValueError(
-                "arch='packed' supports only the (4, 101) Zarr window "
-                "geometry; use arch='AEC' for other sources"
-            )
+        require_default_hw(arch)
         return _models.PackedAEC(**kw)
     if arch == "AEC":
         return _models.AEC(**kw)

@@ -233,10 +233,15 @@ class TestTSNEJax:
 
         m, d = 150, 6  # not a multiple of the chunk -> exercises padding
         x = rng.normal(size=(m, d)).astype(np.float32)
+        # _joint_p returns ROW-PADDED P (pad rows exactly zero) so the
+        # optimizer never holds a second full-size copy
         p_dense = _joint_p(jnp.asarray(x), jnp.float32(5.0), chunk=256)
         p_chunk = _joint_p(jnp.asarray(x), jnp.float32(5.0), chunk=64)
+        assert p_dense.shape == (256, m) and p_chunk.shape == (192, m)
+        np.testing.assert_array_equal(np.asarray(p_dense[m:]), 0.0)
         np.testing.assert_allclose(
-            np.asarray(p_chunk), np.asarray(p_dense), rtol=1e-5, atol=1e-12
+            np.asarray(p_chunk[:m]), np.asarray(p_dense[:m]),
+            rtol=1e-5, atol=1e-12,
         )
 
         # few iterations: the gradient math must match chunked vs dense;

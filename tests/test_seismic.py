@@ -504,3 +504,38 @@ class TestNativeDeconvolution:
         tr2 = Tr()
         seismic.remove_trace(tr2, str(nopaz), units="VEL")
         assert len(tr2.simulated) == 1  # fell back to obspy simulate
+
+    def test_acc_units_finite(self, resp_paz):
+        """Requesting ACC (unit-derivative k < 0: divide by j*omega) must
+        not produce NaN at f=0 — a NaN there poisons the water-level
+        gamma and returns an all-NaN trace (review r3)."""
+        freqs = np.asarray([0.0, 0.1, 1.0])
+        h = seismic.evaluate_response(resp_paz, freqs, units="ACC")
+        assert np.isfinite(h).all()
+        assert h[0] == 0
+        np.testing.assert_allclose(
+            h[1:], _analytic_response(freqs[1:]) / (2j * np.pi * freqs[1:]),
+            rtol=1e-12,
+        )
+        fs, n = 10.0, 1024
+        t = np.arange(n) / fs
+        x = np.sin(2 * np.pi * 0.5 * t) * self._tukey(n)
+        nfft = 1 << int(np.ceil(np.log2(2 * n)))
+        fr = np.fft.rfftfreq(nfft, 1.0 / fs)
+        counts = np.fft.irfft(
+            np.fft.rfft(x, nfft) * _analytic_response(fr), nfft
+        )[:n]
+        rec = seismic.remove_response_native(
+            counts, fs, resp_paz, units="ACC", taper_fraction=0.0,
+        )
+        assert np.isfinite(rec).all()
+
+    def test_multi_epoch_resp_rejected(self, tmp_path):
+        """A RESP carrying two epochs (repeated stage sequence numbers)
+        must be rejected, not silently merged into a product of both
+        epochs' transfer functions (review r3)."""
+        stage = "B053F03" + RESP_PAZ_TEXT.split("B053F03")[1]
+        p = tmp_path / "RESP.two"
+        p.write_text(RESP_PAZ_TEXT + stage)
+        with pytest.raises(ValueError, match="multiple response epochs"):
+            seismic.parse_resp_paz(str(p))

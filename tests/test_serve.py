@@ -120,3 +120,22 @@ def test_packed_predictor_from_checkpoint(tmp_path):
     q_direct, _, _ = dec.apply({"params": params},
                                jnp.asarray(xn[:5]))
     np.testing.assert_allclose(out["q"], np.asarray(q_direct), atol=1e-5)
+
+
+def test_h5_geometry_predictor_from_checkpoint(tmp_path):
+    """DEC checkpoints trained on the H5 event-catalog geometry (87, 100)
+    serve through `input_hw=` (review r3: the default template used to
+    hard-code (4, 101) and fail the restore)."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(8, 87, 100, 1)).astype(np.float32)
+    dec = scc.models.DEC(n_clusters=3, input_hw=(87, 100))
+    params = dec.init(jax.random.key(0), jnp.asarray(x[:2]))["params"]
+    path = str(tmp_path / "DEC_Params_Final")
+    save(path, params)
+
+    pred = serve.DECPredictor.from_checkpoint(
+        path, n_clusters=3, max_batch=8, input_hw=(87, 100)
+    )
+    out = pred(x[:3])
+    assert out["q"].shape == (3, 3)
+    assert np.isfinite(out["q"]).all()
