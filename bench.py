@@ -126,11 +126,13 @@ def measure_aec_throughput(
 
 
 def measure_dec_throughput(
-    n_samples: int, batch_size: int, epochs: int = 3, reps: int = 1
+    n_samples: int, batch_size: int, epochs: int = 3, reps: int = 1,
+    packed: bool = False,
 ):
     """DEC refinement segment-scan throughput (the reference's hot loop,
     Cluster/models.py:1089-1163): samples/sec through the jitted
-    MSE + gamma*KLD train step, target refresh excluded."""
+    MSE + gamma*KLD train step, target refresh excluded. `packed=True`
+    measures the MXU-packed variant (models.PackedDEC, arch=packed)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -145,7 +147,10 @@ def measure_dec_throughput(
     x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
     data = scc.train.make_batched_data(x, batch_size=batch_size)
 
-    model = scc.models.DEC(n_clusters=5)
+    model = (
+        scc.models.PackedDEC(n_clusters=5) if packed
+        else scc.models.DEC(n_clusters=5)
+    )
     state = scc.train.create_train_state(
         model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-3
     )
@@ -322,6 +327,13 @@ def _measure_set(args):
                 reps=args.reps,
             ),
         ),
+        "dec_packed": (
+            "dec_packed_train_samples_per_sec",
+            lambda: measure_dec_throughput(
+                args.samples, args.batch, epochs=48 if args.quick else 8,
+                reps=args.reps, packed=True,
+            ),
+        ),
         "stft_pallas": (
             "stft_wave_samples_per_sec",
             lambda: measure_stft_throughput(n_wave, chain, reps=args.reps),
@@ -348,15 +360,15 @@ def main():
     ap.add_argument(
         "--metric",
         choices=[
-            "all", "aec", "aec_packed", "dec", "stft", "stft_pallas",
-            "stream",
+            "all", "aec", "aec_packed", "dec", "dec_packed", "stft",
+            "stft_pallas", "stream",
         ],
         default="all",
         help="all: the full headline table in one JSON line (driver "
-        "default); aec: pretrain step throughput (primary); aec_packed: "
-        "the MXU-packed variant (arch=packed); dec: refinement step; "
-        "stft_pallas: fused Pallas spectrogram kernel; stream: "
-        "prefetch-loader streaming train step",
+        "default); aec: pretrain step throughput (primary); aec_packed/"
+        "dec_packed: the MXU-packed variants (arch=packed); dec: "
+        "refinement step; stft_pallas: fused Pallas spectrogram kernel; "
+        "stream: prefetch-loader streaming train step",
     )
     args = ap.parse_args()
 
@@ -384,7 +396,9 @@ def main():
         with open(baseline_path) as f:
             baseline = json.load(f)
     for name, row in results.items():
-        ref = baseline.get(row["metric"])
+        # packed variants train the same task: anchor against the same
+        # measured-reference loop as their parity counterpart
+        ref = baseline.get(row["metric"].replace("_packed", ""))
         row["vs_baseline"] = round(row["value"] / ref, 2) if ref else None
 
     # One JSON line. The headline keeps the driver schema (metric/value/

@@ -71,6 +71,12 @@ def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
         )
         np.save(os.path.join(config.savepath_run, "labels"), labels)
         np.save(os.path.join(config.savepath_run, "centroids"), centroids)
+        # the latents these labels/centroids were fit on: DEC training
+        # copies this dir into its own run (train._record_gmm_provenance)
+        # so DEC prediction can draw the comparative GMM-vs-DEC figures
+        # (reference models.py:659-695) without reaching back into the
+        # AEC run's Prediction dir
+        np.save(os.path.join(config.savepath_run, "Z_AEC"), z)
 
         if figures:
             tsne_results = _tsne(config, z)

@@ -112,6 +112,10 @@ def _gmm_figure_context(config, n_clusters: int, z_dec, labels_dec,
         )
         z_a = None
         for cand in (
+            # the DEC run's own provenance copy, recorded at init=load
+            # time by workflow.train._record_gmm_provenance — the only
+            # candidate that resolves for the CLI workflow's dir layout
+            os.path.join(gmm_dir, "Z_AEC.npy"),
             os.path.join(run_dir, "Z_AEC.npy"),
             os.path.join(run_dir, "Prediction", "Z_AEC.npy"),
             os.path.join(run_dir, os.pardir, "Prediction", "Z_AEC.npy"),

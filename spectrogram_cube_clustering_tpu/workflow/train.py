@@ -157,6 +157,42 @@ def _gmm_artifacts_dir(config, n_clusters: int) -> str:
     return os.path.join(run_dir, "GMM", f"n_clusters={n_clusters}")
 
 
+def _record_gmm_provenance(config, n_clusters: int, gmm_dir: str) -> None:
+    """Copy the GMM init artifacts (labels/centroids plus the AEC latents
+    they were fit on) into the DEC run dir under GMM/n_clusters=K/.
+
+    At train time `saved_weights` points at the AEC params, so
+    `_gmm_artifacts_dir` resolves; at predict time it points at the DEC
+    params, where the same relative search can only succeed if the DEC
+    run carries its own copy — without this, the CLI workflow's
+    comparative GMM-vs-DEC figures (reference models.py:659-695) always
+    fell back to DEC-vs-DEC views (observed in the round-3 on-chip
+    full-workflow run)."""
+    import shutil
+
+    if jax.process_index() != 0:  # same gating as checkpoint saves
+        return
+    dst = os.path.join(
+        config.savepath_run, "GMM", f"n_clusters={n_clusters}"
+    )
+    if os.path.abspath(dst) == os.path.abspath(gmm_dir):
+        return
+    os.makedirs(dst, exist_ok=True)
+    for name in ("labels.npy", "centroids.npy"):
+        shutil.copyfile(
+            os.path.join(gmm_dir, name), os.path.join(dst, name)
+        )
+    aec_run = os.path.abspath(os.path.join(config.saved_weights, os.pardir))
+    for cand in (
+        os.path.join(gmm_dir, "Z_AEC.npy"),
+        os.path.join(aec_run, "Z_AEC.npy"),
+        os.path.join(aec_run, "Prediction", "Z_AEC.npy"),
+    ):
+        if os.path.exists(cand):
+            shutil.copyfile(cand, os.path.join(dst, "Z_AEC.npy"))
+            break
+
+
 def _np_normalizer(config):
     """Host-side per-window normalizer over NHWC stacks for the streaming
     item path (same semantics as ops.normalize)."""
@@ -337,6 +373,7 @@ def _train_stream(config, mesh=None):
                     np.load(os.path.join(gmm_dir, "labels.npy")),
                     np.load(os.path.join(gmm_dir, "centroids.npy")),
                 )
+                _record_gmm_provenance(config, n_clusters, gmm_dir)
             out = _train.train_dec_stream(
                 model, state, make_loader, ds.n_windows,
                 _train.DECConfig(
@@ -508,6 +545,7 @@ def _train_dec_run(config, hp, tra_x, mesh):
             np.load(os.path.join(gmm_dir, "labels.npy")),
             np.load(os.path.join(gmm_dir, "centroids.npy")),
         )
+        _record_gmm_provenance(config, n_clusters, gmm_dir)
 
     writer, log_scalar = _tb_writer(config, config.savepath_run)
 

@@ -136,6 +136,13 @@ def test_full_workflow(cube):
     assert dec_out["labels"].shape == (len(true_labels),)
     assert dec_out["centroids"].shape == (N_CLASSES, 9)
 
+    # init=load records the GMM provenance inside the DEC run — the CLI
+    # workflow's predict stage can only resolve the comparative-figure
+    # context from there (saved_weights points at DEC params by then)
+    prov = os.path.join(dec_run, "GMM", f"n_clusters={N_CLASSES}")
+    for fname in ("labels.npy", "centroids.npy", "Z_AEC.npy"):
+        assert os.path.exists(os.path.join(prov, fname)), fname
+
     # clustering quality: DEC labels must recover the planted classes
     from sklearn.metrics import normalized_mutual_info_score
 
@@ -162,6 +169,24 @@ def test_full_workflow(cube):
     # predict labels match training's final labels (same params, same data)
     labels_pred = np.load(os.path.join(dec_pred, "labels_DEC.npy"))
     assert np.mean(labels_pred == dec_out["labels"]) > 0.99
+
+    # the comparative-figure context resolves to the REAL GMM artifacts
+    # via the DEC run's provenance copy (no DEC-vs-DEC fallback): the
+    # returned AEC-space pieces are byte-identical to the GMM fit's
+    from spectrogram_cube_clustering_tpu.workflow.predict import (
+        _gmm_figure_context,
+    )
+
+    z_a, labels_a, cents_a = _gmm_figure_context(
+        config, N_CLASSES, out["z"], out["labels"], out["centroids"]
+    )
+    assert np.array_equal(z_a, np.load(os.path.join(gmm_dir, "Z_AEC.npy")))
+    assert np.array_equal(
+        labels_a, np.load(os.path.join(gmm_dir, "labels.npy"))
+    )
+    assert np.array_equal(
+        cents_a, np.load(os.path.join(gmm_dir, "centroids.npy"))
+    )
 
 
 def test_stream_loadmode_aec(cube):
