@@ -62,6 +62,7 @@ DATATYPES: Dict[str, str] = {
     "seed": "int",
     "batch_size_predict": "int",
     "sync_every": "int",
+    "attention_faithful": "bool",
 }
 
 _BOOL_TRUE = {"1", "yes", "true", "on"}

@@ -66,12 +66,18 @@ def make_model(config, n_clusters: Optional[int] = None):
             )
 
     arch = getattr(config, "arch", None) or "AEC"
+    # reference attention quirk (networks.py:163-168 returns
+    # conv*sigmoid(conv), discarding its input): replicated by default
+    # for weight-port parity; `attention_faithful = False` opts into the
+    # textbook input*sigmoid(attention) form (AEC/DEC only — UNet has no
+    # attention module and packed uses none)
+    faithful = bool(getattr(config, "attention_faithful", True))
     if config.model == "DEC" or n_clusters is not None:
         k = int(n_clusters or config.n_clusters)
         if arch == "packed":
             require_default_hw(arch)
             return _models.PackedDEC(n_clusters=k, **kw)
-        return _models.DEC(n_clusters=k, **kw)
+        return _models.DEC(n_clusters=k, attention_faithful=faithful, **kw)
     if arch == "UNet":
         require_default_hw(arch)
         return _models.UNet(**kw)
@@ -82,7 +88,7 @@ def make_model(config, n_clusters: Optional[int] = None):
         require_default_hw(arch)
         return _models.PackedAEC(**kw)
     if arch == "AEC":
-        return _models.AEC(**kw)
+        return _models.AEC(attention_faithful=faithful, **kw)
     raise ValueError(f"unknown arch {arch!r}")
 
 

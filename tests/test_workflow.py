@@ -435,6 +435,31 @@ def test_gmm_figure_context_loads_artifacts(tmp_path, cube, capsys):
     np.testing.assert_array_equal(cents_a, cents_dec)
 
 
+def test_attention_faithful_config_key(cube):
+    """`attention_faithful = False` in the .ini opts out of the
+    reference's conv*sigmoid(conv) attention quirk (networks.py:163-168)
+    for both AEC and DEC model construction."""
+    from spectrogram_cube_clustering_tpu.workflow.train import make_model
+
+    root, cube_path, _ = cube
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 1, "attention_faithful": "False"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    assert make_model(config).attention_faithful is False
+    assert make_model(config, n_clusters=3).attention_faithful is False
+    # default stays the weight-port-parity quirk
+    config2 = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 1},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    assert make_model(config2).attention_faithful is True
+    # (the two variants' functional difference — 1-channel vs 8-channel
+    # gating, 84- vs 672-wide Dense — is pinned in test_torch_parity.py)
+
+
 def test_unet_arch_workflow(cube):
     """arch=UNet trains and predicts end-to-end (16-d latent); the DEC
     stage intentionally rejects UNet weights (SURVEY.md §2.3 defect 2)."""
