@@ -75,6 +75,10 @@ def main():
             losses.block_until_ready()
             rates.append(len(x) * epochs / (time.perf_counter() - t0))
         rates.sort()
+        # NOTE: the timed reps continue from the warmed state, so this
+        # loss is after (1 + reps) * epochs cumulative epochs (24 at the
+        # defaults), not `epochs` — the cross-variant comparison is
+        # equal-schedule either way
         return rates[len(rates) // 2], float(losses[-1])
 
     n_samples, batch = 262_144, 4096

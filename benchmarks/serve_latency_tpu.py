@@ -1,0 +1,72 @@
+"""Serving latency/throughput of DECPredictor on the real chip.
+
+Per-request wall-clock latency (p50/p95) at several request sizes, plus
+sustained throughput at the largest. Every request carries FRESH windows:
+this environment's tunnel client memoizes repeated identical execute
+calls (CLAUDE.md), so same-input latency loops would report the cache,
+not the chip. Wall numbers include the remote tunnel's ~100 ms dispatch
+RTT — on directly-attached TPUs the small-request latencies drop to the
+on-device time (~1 ms at these model sizes); the large-request throughput
+is what RTT cannot hide.
+
+Run from /root/repo: `python benchmarks/serve_latency_tpu.py`
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    import spectrogram_cube_clustering_tpu as scc
+    from spectrogram_cube_clustering_tpu import serve
+
+    rng = np.random.default_rng(0)
+    model = scc.models.DEC(n_clusters=5)
+    params = model.init(
+        jax.random.key(0), np.zeros((1, 4, 101, 1), np.float32)
+    )["params"]
+    pred = serve.DECPredictor(params, n_clusters=5, max_batch=4096)
+    pred.warmup()
+
+    out = {"platform": jax.devices()[0].platform}
+    for size in (1, 64, 1024, 4096):
+        # fresh windows per request (tunnel memoization trap)
+        reqs = [
+            rng.normal(size=(size, 4, 101, 1)).astype(np.float32)
+            for _ in range(20)
+        ]
+        pred(reqs[0])  # bucket warm (already compiled; touch the path)
+        lats = []
+        for x in reqs:
+            t0 = time.perf_counter()
+            r = pred(x)
+            assert r["labels"].shape == (size,)
+            lats.append((time.perf_counter() - t0) * 1e3)
+        lats.sort()
+        out[f"req{size}"] = {
+            "p50_ms": round(lats[len(lats) // 2], 1),
+            "p95_ms": round(lats[int(len(lats) * 0.95) - 1], 1),
+        }
+
+    # sustained throughput: back-to-back full-bucket requests
+    big = [
+        rng.normal(size=(4096, 4, 101, 1)).astype(np.float32)
+        for _ in range(10)
+    ]
+    t0 = time.perf_counter()
+    for x in big:
+        pred(x)
+    dt = time.perf_counter() - t0
+    out["sustained_samples_per_sec"] = round(4096 * len(big) / dt, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ from spectrogram_cube_clustering_tpu import cluster as _cluster
 from spectrogram_cube_clustering_tpu import utils as _utils
 from spectrogram_cube_clustering_tpu.analysis import plotting
 from spectrogram_cube_clustering_tpu.workflow.data import load_data
+from spectrogram_cube_clustering_tpu.workflow.train import write_z_pointer
 
 
 def _tsne(config, z):
@@ -71,12 +72,19 @@ def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
         )
         np.save(os.path.join(config.savepath_run, "labels"), labels)
         np.save(os.path.join(config.savepath_run, "centroids"), centroids)
-        # the latents these labels/centroids were fit on: DEC training
-        # copies this dir into its own run (train._record_gmm_provenance)
-        # so DEC prediction can draw the comparative GMM-vs-DEC figures
-        # (reference models.py:659-695) without reaching back into the
-        # AEC run's Prediction dir
-        np.save(os.path.join(config.savepath_run, "Z_AEC"), z)
+        # the latents these labels/centroids were fit on: a pointer back
+        # to the AEC run's Prediction/Z_AEC.npy (not a copy — review r3),
+        # which DEC training carries into its own run
+        # (train._record_gmm_provenance) so DEC prediction can draw the
+        # comparative GMM-vs-DEC figures (reference models.py:659-695)
+        z_src = os.path.join(
+            os.path.abspath(os.path.join(config.saved_weights, os.pardir)),
+            "Prediction", "Z_AEC.npy",
+        )
+        if os.path.exists(z_src):
+            write_z_pointer(config.savepath_run, z_src)
+        else:  # latents came from somewhere we can't point at: keep a copy
+            np.save(os.path.join(config.savepath_run, "Z_AEC"), z)
 
         if figures:
             tsne_results = _tsne(config, z)

@@ -110,17 +110,24 @@ def _gmm_figure_context(config, n_clusters: int, z_dec, labels_dec,
         run_dir = os.path.abspath(
             os.path.join(config.saved_weights, os.pardir)
         )
+        from spectrogram_cube_clustering_tpu.workflow.train import (
+            resolve_z_aec_path,
+        )
+
         z_a = None
-        for cand in (
-            # the DEC run's own provenance copy, recorded at init=load
-            # time by workflow.train._record_gmm_provenance — the only
-            # candidate that resolves for the CLI workflow's dir layout
-            os.path.join(gmm_dir, "Z_AEC.npy"),
-            os.path.join(run_dir, "Z_AEC.npy"),
-            os.path.join(run_dir, "Prediction", "Z_AEC.npy"),
-            os.path.join(run_dir, os.pardir, "Prediction", "Z_AEC.npy"),
-        ):
-            if os.path.exists(cand):
+        # the DEC run's own provenance record (copy or Z_AEC.path pointer,
+        # written at init=load time by _record_gmm_provenance) is the only
+        # candidate that resolves for the CLI workflow's dir layout
+        candidates = [resolve_z_aec_path(gmm_dir)] + [
+            os.path.join(d, "Z_AEC.npy")
+            for d in (
+                run_dir,
+                os.path.join(run_dir, "Prediction"),
+                os.path.join(run_dir, os.pardir, "Prediction"),
+            )
+        ]
+        for cand in candidates:
+            if cand and os.path.exists(cand):
                 z_a = np.load(cand)
                 break
         if z_a is None or len(z_a) != len(z_dec):

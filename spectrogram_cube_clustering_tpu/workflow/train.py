@@ -123,6 +123,38 @@ def _init_template(model, input_hw=None) -> dict:
     )["params"]
 
 
+def _check_restored_shapes(restored, template, what: str) -> None:
+    """Raise a clear error when a checkpoint's param shapes differ from the
+    model template (orbax restore is shape-lenient, so without this the
+    mismatch only surfaces as an opaque dot_general error inside the first
+    jitted step)."""
+    mismatches = []
+
+    def walk(r, t, path):
+        if isinstance(t, dict):
+            for k in t:
+                if k in r:
+                    walk(r[k], t[k], path + (k,))
+            return
+        rs, ts = getattr(r, "shape", None), getattr(t, "shape", None)
+        if rs is not None and ts is not None and tuple(rs) != tuple(ts):
+            mismatches.append(("/".join(path), tuple(rs), tuple(ts)))
+
+    walk(restored, template, ())
+    if mismatches:
+        detail = "; ".join(
+            f"{p}: checkpoint {rs} vs model {ts}"
+            for p, rs, ts in mismatches[:4]
+        )
+        raise ValueError(
+            f"checkpoint at odds with the configured {what} model — param "
+            f"shapes differ ({detail}). Check that `arch`, `input_hw` and "
+            "`attention_faithful` match the values the checkpoint was "
+            "trained with (attention_faithful changes the encoder head "
+            "width, models/aec.py)."
+        )
+
+
 def load_aec_params(config, model) -> dict:
     """Restore params from config.saved_weights (an orbax checkpoint dir).
 
@@ -141,7 +173,10 @@ def load_aec_params(config, model) -> dict:
             src = _models.PackedAEC()
         elif arch == "AEC":
             src = _models.AEC(
-                input_hw=tuple(hw) if hw else (4, 101)
+                input_hw=tuple(hw) if hw else (4, 101),
+                attention_faithful=getattr(
+                    model, "attention_faithful", True
+                ),
             )
         else:
             raise ValueError(
@@ -150,12 +185,15 @@ def load_aec_params(config, model) -> dict:
                 "mismatch transfers no weights, SURVEY.md §2.3 defect 2)"
             )
         aec_params = restore(config.saved_weights, _init_template(src, hw))
+        _check_restored_shapes(aec_params, _init_template(src, hw), "AEC")
         from spectrogram_cube_clustering_tpu.models.dec import (
             load_encoder_decoder_from_aec,
         )
 
         return load_encoder_decoder_from_aec(template, aec_params)
-    return restore(config.saved_weights, template)
+    restored = restore(config.saved_weights, template)
+    _check_restored_shapes(restored, template, type(model).__name__)
+    return restored
 
 
 def _gmm_artifacts_dir(config, n_clusters: int) -> str:
@@ -163,9 +201,39 @@ def _gmm_artifacts_dir(config, n_clusters: int) -> str:
     return os.path.join(run_dir, "GMM", f"n_clusters={n_clusters}")
 
 
+def write_z_pointer(dirpath: str, src: str) -> None:
+    """Record where this dir's GMM init latents live (`Z_AEC.path`)
+    instead of duplicating the multi-MB Z_AEC.npy into every swept-K and
+    DEC run dir (review r3: a K x hp sweep at cube scale stored hundreds
+    of MB of identical copies). The path is stored relative to the
+    pointer's own dir so a relocated experiment tree still resolves."""
+    with open(os.path.join(dirpath, "Z_AEC.path"), "w") as fh:
+        fh.write(os.path.relpath(os.path.abspath(src), dirpath))
+
+
+def resolve_z_aec_path(dirpath: str) -> Optional[str]:
+    """The latents file a GMM artifact dir refers to: its own Z_AEC.npy
+    copy (old layout) or the target of its Z_AEC.path pointer (relative
+    to the pointer's dir; absolute also accepted)."""
+    local = os.path.join(dirpath, "Z_AEC.npy")
+    if os.path.exists(local):
+        return local
+    pointer = os.path.join(dirpath, "Z_AEC.path")
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            target = fh.read().strip()
+        if target:
+            if not os.path.isabs(target):
+                target = os.path.normpath(os.path.join(dirpath, target))
+            if os.path.exists(target):
+                return target
+    return None
+
+
 def _record_gmm_provenance(config, n_clusters: int, gmm_dir: str) -> None:
-    """Copy the GMM init artifacts (labels/centroids plus the AEC latents
-    they were fit on) into the DEC run dir under GMM/n_clusters=K/.
+    """Copy the GMM init artifacts (labels/centroids plus a pointer to the
+    AEC latents they were fit on) into the DEC run dir under
+    GMM/n_clusters=K/.
 
     At train time `saved_weights` points at the AEC params, so
     `_gmm_artifacts_dir` resolves; at predict time it points at the DEC
@@ -190,12 +258,12 @@ def _record_gmm_provenance(config, n_clusters: int, gmm_dir: str) -> None:
         )
     aec_run = os.path.abspath(os.path.join(config.saved_weights, os.pardir))
     for cand in (
-        os.path.join(gmm_dir, "Z_AEC.npy"),
+        resolve_z_aec_path(gmm_dir),
         os.path.join(aec_run, "Z_AEC.npy"),
         os.path.join(aec_run, "Prediction", "Z_AEC.npy"),
     ):
-        if os.path.exists(cand):
-            shutil.copyfile(cand, os.path.join(dst, "Z_AEC.npy"))
+        if cand and os.path.exists(cand):
+            write_z_pointer(dst, cand)
             break
 
 

@@ -140,8 +140,15 @@ def test_full_workflow(cube):
     # workflow's predict stage can only resolve the comparative-figure
     # context from there (saved_weights points at DEC params by then)
     prov = os.path.join(dec_run, "GMM", f"n_clusters={N_CLASSES}")
-    for fname in ("labels.npy", "centroids.npy", "Z_AEC.npy"):
+    for fname in ("labels.npy", "centroids.npy", "Z_AEC.path"):
         assert os.path.exists(os.path.join(prov, fname)), fname
+    # the provenance latents are a pointer (not a copy) resolving back to
+    # the AEC prediction's Z_AEC.npy (review r3)
+    from spectrogram_cube_clustering_tpu.workflow.train import (
+        resolve_z_aec_path,
+    )
+
+    assert resolve_z_aec_path(prov) == os.path.join(pred_dir, "Z_AEC.npy")
 
     # clustering quality: DEC labels must recover the planted classes
     from sklearn.metrics import normalized_mutual_info_score
@@ -180,7 +187,7 @@ def test_full_workflow(cube):
     z_a, labels_a, cents_a = _gmm_figure_context(
         config, N_CLASSES, out["z"], out["labels"], out["centroids"]
     )
-    assert np.array_equal(z_a, np.load(os.path.join(gmm_dir, "Z_AEC.npy")))
+    assert np.array_equal(z_a, np.load(resolve_z_aec_path(gmm_dir)))
     assert np.array_equal(
         labels_a, np.load(os.path.join(gmm_dir, "labels.npy"))
     )
@@ -458,6 +465,82 @@ def test_attention_faithful_config_key(cube):
     assert make_model(config2).attention_faithful is True
     # (the two variants' functional difference — 1-channel vs 8-channel
     # gating, 84- vs 672-wide Dense — is pinned in test_torch_parity.py)
+
+
+def test_z_pointer_roundtrip_and_relocation(tmp_path):
+    """GMM latent provenance is a Z_AEC.path pointer, not a multi-MB copy
+    (review r3); the relative pointer survives relocating the whole tree."""
+    from spectrogram_cube_clustering_tpu.workflow.train import (
+        resolve_z_aec_path, write_z_pointer,
+    )
+
+    tree = tmp_path / "Outputs"
+    src_dir = tree / "Run" / "Prediction"
+    gmm_dir = tree / "Run" / "GMM" / "n_clusters=3"
+    src_dir.mkdir(parents=True)
+    gmm_dir.mkdir(parents=True)
+    z = np.arange(18, dtype=np.float32).reshape(2, 9)
+    np.save(src_dir / "Z_AEC.npy", z)
+
+    write_z_pointer(str(gmm_dir), str(src_dir / "Z_AEC.npy"))
+    resolved = resolve_z_aec_path(str(gmm_dir))
+    np.testing.assert_array_equal(np.load(resolved), z)
+
+    # relocate the whole tree: the relative pointer still resolves
+    moved = tmp_path / "Elsewhere"
+    tree.rename(moved)
+    resolved = resolve_z_aec_path(str(moved / "Run" / "GMM" / "n_clusters=3"))
+    assert resolved is not None
+    np.testing.assert_array_equal(np.load(resolved), z)
+
+    # an old-layout local copy wins over the pointer
+    local_dir = moved / "Run" / "GMM" / "n_clusters=3"
+    np.save(local_dir / "Z_AEC.npy", z + 1)
+    np.testing.assert_array_equal(
+        np.load(resolve_z_aec_path(str(local_dir))), z + 1
+    )
+
+
+def test_attention_faithful_checkpoint_roundtrip(cube):
+    """An AEC pretrained with attention_faithful=False transfers into a
+    matching DEC (672- vs 84-wide encoder head), and a flag mismatch at
+    load time raises a clear error instead of an opaque jitted shape
+    failure (review r3)."""
+    from spectrogram_cube_clustering_tpu.workflow.train import (
+        load_aec_params, make_model,
+    )
+
+    root, cube_path, _ = cube
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 1, "early_stopping": "False",
+         "attention_faithful": "False"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [out] = workflow.train(config)
+    saved = os.path.join(out["savepath_run"], "AEC_Params_Final")
+
+    # consistent flag: encoder/decoder transfer into the 672-wide DEC
+    dec_config = _make_config(
+        root, cube_path, "DEC", "train",
+        {"saved_weights": saved, "attention_faithful": "False"},
+        {"batch_size": "64", "lr": "0.001", "n_clusters": "3",
+         "gamma": "0.01", "tol": "0.001"},
+    )
+    model = make_model(dec_config, n_clusters=3)
+    params = load_aec_params(dec_config, model)
+    assert params["encoder"]["Dense_0"]["kernel"].shape[0] == 672
+
+    # mismatched flag (checkpoint False, config default True): loud error
+    bad_config = _make_config(
+        root, cube_path, "DEC", "train",
+        {"saved_weights": saved},
+        {"batch_size": "64", "lr": "0.001", "n_clusters": "3",
+         "gamma": "0.01", "tol": "0.001"},
+    )
+    bad_model = make_model(bad_config, n_clusters=3)
+    with pytest.raises(ValueError, match="attention_faithful"):
+        load_aec_params(bad_config, bad_model)
 
 
 def test_unet_arch_workflow(cube):
