@@ -55,7 +55,8 @@ def main():
             "p95_ms": round(lats[int(len(lats) * 0.95) - 1], 1),
         }
 
-    # sustained throughput: back-to-back full-bucket requests
+    # sustained throughput: back-to-back full-bucket requests, f32 wire
+    # vs bfloat16 wire (`transfer_dtype` halves host->device bytes)
     big = [
         rng.normal(size=(4096, 4, 101, 1)).astype(np.float32)
         for _ in range(10)
@@ -65,6 +66,19 @@ def main():
         pred(x)
     dt = time.perf_counter() - t0
     out["sustained_samples_per_sec"] = round(4096 * len(big) / dt, 1)
+
+    pred16 = serve.DECPredictor(
+        params, n_clusters=5, max_batch=4096, transfer_dtype="bfloat16"
+    )
+    pred16.warmup()
+    pred16(big[0])
+    t0 = time.perf_counter()
+    for x in big:
+        pred16(x)
+    dt = time.perf_counter() - t0
+    out["sustained_bf16_transfer_samples_per_sec"] = round(
+        4096 * len(big) / dt, 1
+    )
     print(json.dumps(out))
 
 

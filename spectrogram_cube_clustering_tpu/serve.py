@@ -27,6 +27,31 @@ from spectrogram_cube_clustering_tpu import models as _models
 from spectrogram_cube_clustering_tpu.ops.normalize import make_normalizer
 
 
+def _host_transfer_dtype(transfer_dtype: Optional[str]):
+    """Numpy dtype requests are cast to before the host->device copy.
+
+    Serving is transfer-bound on bandwidth-limited links (measured: the
+    sustained 4096-window rate here tracks the wire, RESULTS.md
+    "Serving latency"); half-width transfer doubles it. The jitted path
+    casts back to f32 before normalization, so the only effect is input
+    quantization: ~3 significant digits for bfloat16 (keeps f32's range),
+    ~4 for float16 (range-limited to ±65k). Raw spectrogram magnitudes
+    are normalized per window downstream, so this is well inside the
+    noise floor of the pipeline."""
+    if transfer_dtype is None:
+        return None
+    if transfer_dtype == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    if transfer_dtype == "float16":
+        return np.dtype(np.float16)
+    raise ValueError(
+        f"transfer_dtype must be None, 'bfloat16' or 'float16', "
+        f"got {transfer_dtype!r}"
+    )
+
+
 def _pad_to(x: np.ndarray, batch: int) -> tuple:
     n = len(x)
     if n > batch:
@@ -99,8 +124,10 @@ class DECPredictor:
         buckets=None,
         arch: str = "AEC",
         input_hw=(4, 101),
+        transfer_dtype: Optional[str] = None,
     ):
         self.input_hw = (int(input_hw[0]), int(input_hw[1]))
+        self._wire_dtype = _host_transfer_dtype(transfer_dtype)
         if arch == "packed":
             if self.input_hw != (4, 101):
                 raise ValueError(
@@ -118,6 +145,7 @@ class DECPredictor:
 
         @jax.jit
         def fn(params, x):
+            x = x.astype(jnp.float32)
             q, _, z = self.model.apply({"params": params}, normalize(x))
             return q, jnp.argmax(q, axis=1), z
 
@@ -129,6 +157,7 @@ class DECPredictor:
         transform: Optional[str] = "sample_norm_cent",
         arch: str = "AEC",
         input_hw=(4, 101),
+        transfer_dtype: Optional[str] = None,
     ) -> "DECPredictor":
         from spectrogram_cube_clustering_tpu.train.checkpoint import restore
 
@@ -143,20 +172,22 @@ class DECPredictor:
         )["params"]
         return cls(
             restore(path, template), n_clusters, max_batch, transform,
-            arch=arch, input_hw=(h, w),
+            arch=arch, input_hw=(h, w), transfer_dtype=transfer_dtype,
         )
 
     def warmup(self) -> None:
         """Pay every bucket's compile before serving traffic."""
         for size in self.sizes:
-            x = np.zeros((size, *self.input_hw, 1), np.float32)
+            x = np.zeros(
+                (size, *self.input_hw, 1), self._wire_dtype or np.float32
+            )
             q, _, _ = self._fn(self.params, jnp.asarray(x))
             q.block_until_ready()
 
     def __call__(self, windows: np.ndarray) -> Dict[str, np.ndarray]:
         """Requests of ANY size: chunks of max_batch, tail through the
         smallest compiled bucket that fits — never a recompile."""
-        x = np.asarray(windows, np.float32)
+        x = np.asarray(windows, self._wire_dtype or np.float32)
         chunks = _run_chunked(self._fn, self.params, x, self.sizes)
         return {
             "q": np.concatenate([np.asarray(q[:n]) for (q, _, _), n in chunks]),
@@ -177,8 +208,10 @@ class AECEncoder:
         transform: Optional[str] = "sample_norm_cent",
         buckets=None,
         input_hw=(4, 101),
+        transfer_dtype: Optional[str] = None,
     ):
         self.input_hw = (int(input_hw[0]), int(input_hw[1]))
+        self._wire_dtype = _host_transfer_dtype(transfer_dtype)
         self.model = _models.AEC(input_hw=self.input_hw)
         self.params = params
         self.max_batch = max_batch
@@ -188,7 +221,8 @@ class AECEncoder:
         @jax.jit
         def fn(params, x):
             return self.model.apply(
-                {"params": params}, normalize(x), method="encode"
+                {"params": params}, normalize(x.astype(jnp.float32)),
+                method="encode",
             )
 
         self._fn = fn
@@ -198,6 +232,7 @@ class AECEncoder:
         cls, path: str, max_batch: int = 1024,
         transform: Optional[str] = "sample_norm_cent",
         input_hw=(4, 101),
+        transfer_dtype: Optional[str] = None,
     ) -> "AECEncoder":
         from spectrogram_cube_clustering_tpu.train.checkpoint import restore
 
@@ -206,9 +241,9 @@ class AECEncoder:
             jax.random.key(0), jnp.zeros((1, h, w, 1))
         )["params"]
         return cls(restore(path, template), max_batch, transform,
-                   input_hw=(h, w))
+                   input_hw=(h, w), transfer_dtype=transfer_dtype)
 
     def __call__(self, windows: np.ndarray) -> np.ndarray:
-        x = np.asarray(windows, np.float32)
+        x = np.asarray(windows, self._wire_dtype or np.float32)
         chunks = _run_chunked(self._fn, self.params, x, self.sizes)
         return np.concatenate([np.asarray(z[:n]) for z, n in chunks])

@@ -102,6 +102,39 @@ class TestAECEncoder:
         np.testing.assert_allclose(z, np.asarray(want), rtol=2e-4, atol=1e-6)
 
 
+class TestTransferDtype:
+    def test_bf16_transfer_matches_f32(self, trained):
+        """Half-width host->device transfer (`transfer_dtype`): labels
+        identical, q/z within input-quantization tolerance of the f32
+        path (serving is wire-bound, RESULTS.md 'Serving latency')."""
+        path, _, x, _, _ = trained
+        f32 = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=128
+        )
+        bf16 = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=128, transfer_dtype="bfloat16"
+        )
+        a, b = f32(x), bf16(x)
+        assert np.array_equal(a["labels"], b["labels"])
+        np.testing.assert_allclose(a["q"], b["q"], atol=5e-3)
+        np.testing.assert_allclose(a["z"], b["z"], rtol=0.05, atol=5e-2)
+
+    def test_f16_encoder_matches_f32(self, trained):
+        _, aec_path, x, _, _ = trained
+        f32 = serve.AECEncoder.from_checkpoint(aec_path, max_batch=128)
+        f16 = serve.AECEncoder.from_checkpoint(
+            aec_path, max_batch=128, transfer_dtype="float16"
+        )
+        np.testing.assert_allclose(f32(x), f16(x), rtol=0.02, atol=2e-2)
+
+    def test_unknown_transfer_dtype_rejected(self, trained):
+        path, _, _, _, _ = trained
+        with pytest.raises(ValueError, match="transfer_dtype"):
+            serve.DECPredictor.from_checkpoint(
+                path, n_clusters=3, transfer_dtype="int8"
+            )
+
+
 def test_packed_predictor_from_checkpoint(tmp_path):
     """arch='packed' serves the MXU-packed DEC (models/packed.py) through
     the same fixed-shape bucket ladder."""
