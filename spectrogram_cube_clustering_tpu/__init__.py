@@ -28,6 +28,7 @@ workflow  : train/predict/gmm_fit orchestration (reference production.py parity)
 utils     : configuration (.ini), experiment trees, history CSVs, profiling
 analysis  : plotting, label/environment catalogues, seismic preprocessing
 serve     : low-latency online inference (fixed-shape jitted predictors)
+serve_http: HTTP serving front-end + cross-request micro-batching
 cli       : entry points (runDC equivalent, drivers, H5/cube tools)
 """
 
@@ -43,6 +44,7 @@ from spectrogram_cube_clustering_tpu import (  # noqa: F401
     ops,
     parallel,
     serve,
+    serve_http,
     signal,
     train,
     utils,
@@ -51,5 +53,6 @@ from spectrogram_cube_clustering_tpu import (  # noqa: F401
 
 __all__ = [
     "analysis", "cli", "cluster", "core", "data", "models", "ops",
-    "parallel", "serve", "signal", "train", "utils", "workflow", "__version__",
+    "parallel", "serve", "serve_http", "signal", "train", "utils",
+    "workflow", "__version__",
 ]

@@ -1,0 +1,290 @@
+"""HTTP serving front-end tests: micro-batching parity + wire protocol.
+
+The reference has no serving tier (inference = batch predict artifacts,
+production.py:65-106); serve_http is a beyond-reference addition, tested
+end-to-end over real localhost HTTP with concurrent clients.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import spectrogram_cube_clustering_tpu as scc
+from spectrogram_cube_clustering_tpu import serve, serve_http
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    x, _ = scc.data.synthetic_windows(64, n_classes=3, seed=1)
+    dec = scc.models.DEC(n_clusters=3)
+    xn = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    params = dec.init(jax.random.key(0), jnp.asarray(xn[:2]))["params"]
+    pred = serve.DECPredictor(params, n_clusters=3, max_batch=64)
+    pred.warmup()
+    return pred, x
+
+
+@pytest.fixture()
+def server(predictor):
+    pred, _ = predictor
+    srv = serve_http.make_server(pred, max_wait_ms=20.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+    t.join(timeout=10)
+
+
+def _post(srv, path, arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    host, port = srv.server_address[:2]
+    req = urllib.request.Request(
+        f"http://{host}:{port}{path}", data=buf.getvalue(), method="POST"
+    )
+    return urllib.request.urlopen(req, timeout=30)
+
+
+def _get_json(srv, path):
+    host, port = srv.server_address[:2]
+    with urllib.request.urlopen(
+        f"http://{host}:{port}{path}", timeout=30
+    ) as resp:
+        return json.loads(resp.read())
+
+
+class TestMicroBatcher:
+    def test_results_match_direct_call(self, predictor):
+        pred, x = predictor
+        mb = serve_http.MicroBatcher(pred, max_wait_ms=5.0)
+        try:
+            out = mb(x[:10])
+            ref = pred(x[:10])
+            np.testing.assert_allclose(out["q"], ref["q"], rtol=1e-6)
+            np.testing.assert_array_equal(out["labels"], ref["labels"])
+        finally:
+            mb.close()
+
+    def test_concurrent_requests_coalesce_and_split_correctly(self, predictor):
+        """8 threads each send a distinct slice; every caller gets exactly
+        its own rows back, and coalescing ran fewer device batches than
+        requests (the whole point of the micro-batcher)."""
+        pred, x = predictor
+        mb = serve_http.MicroBatcher(pred, max_wait_ms=250.0)
+        ref = pred(x)
+        results = {}
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = mb(x[i * 8 : (i + 1) * 8])
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(8)
+        ]
+        try:
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+        finally:
+            stats = mb.stats()
+            mb.close()
+        assert not errors
+        for i in range(8):
+            np.testing.assert_allclose(
+                results[i]["z"], ref["z"][i * 8 : (i + 1) * 8],
+                rtol=1e-5, atol=1e-7,
+            )
+            np.testing.assert_array_equal(
+                results[i]["labels"], ref["labels"][i * 8 : (i + 1) * 8]
+            )
+        assert stats["requests"] == 8
+        assert stats["windows"] == 64
+        # with a 250 ms window, the 8 near-simultaneous requests cannot
+        # plausibly each run alone
+        assert stats["device_batches"] < 8
+        assert stats["coalesced_windows"] == 64
+
+    def test_batch_closes_at_max_rows(self, predictor):
+        """A request filling max_batch dispatches immediately (no wait)."""
+        pred, x = predictor
+        import time
+
+        mb = serve_http.MicroBatcher(pred, max_wait_ms=10_000.0, max_rows=16)
+        try:
+            start = time.monotonic()
+            mb(x[:16])
+            assert time.monotonic() - start < 5.0
+        finally:
+            mb.close()
+
+    def test_empty_request(self, predictor):
+        pred, _ = predictor
+        mb = serve_http.MicroBatcher(pred, max_wait_ms=5.0)
+        try:
+            out = mb(np.zeros((0, 4, 101, 1), np.float32))
+            assert out["q"].shape == (0, 3)
+        finally:
+            mb.close()
+
+    def test_error_propagates_to_caller(self, predictor):
+        pred, x = predictor
+
+        def broken(_):
+            raise RuntimeError("device fell over")
+
+        mb = serve_http.MicroBatcher(broken, max_wait_ms=1.0, max_rows=8)
+        try:
+            with pytest.raises(RuntimeError, match="device fell over"):
+                mb(x[:4])
+        finally:
+            mb.close()
+
+    def test_closed_batcher_rejects(self, predictor):
+        pred, x = predictor
+        mb = serve_http.MicroBatcher(pred, max_wait_ms=1.0)
+        mb.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            mb(x[:4])
+
+
+class TestHTTPServer:
+    def test_predict_roundtrip(self, server, predictor):
+        pred, x = predictor
+        with _post(server, "/predict", x[:10]) as resp:
+            assert resp.status == 200
+            out = np.load(io.BytesIO(resp.read()))
+            ref = pred(x[:10])
+            np.testing.assert_allclose(out["q"], ref["q"], rtol=1e-6)
+            np.testing.assert_array_equal(out["labels"], ref["labels"])
+            np.testing.assert_allclose(out["z"], ref["z"], rtol=1e-6)
+
+    def test_3d_body_gets_channel_axis(self, server, predictor):
+        _, x = predictor
+        with _post(server, "/predict", x[:4, :, :, 0]) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+            assert out["labels"].shape == (4,)
+
+    def test_fields_filter(self, server, predictor):
+        _, x = predictor
+        with _post(server, "/predict?fields=labels", x[:4]) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+            assert set(out.files) == {"labels"}
+
+    def test_unknown_field_400(self, server, predictor):
+        _, x = predictor
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server, "/predict?fields=nope", x[:4])
+        assert exc.value.code == 400
+        assert "unknown fields" in json.loads(exc.value.read())["error"]
+
+    def test_bad_body_400(self, server):
+        host, port = server.server_address[:2]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=b"not npy", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+
+    def test_wrong_geometry_400(self, server):
+        bad = np.zeros((2, 8, 9, 1), np.float32)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server, "/predict", bad)
+        assert exc.value.code == 400
+        assert "input_hw" in json.loads(exc.value.read())["error"]
+
+    def test_oversized_request_413(self, predictor):
+        pred, x = predictor
+        srv = serve_http.make_server(pred, max_wait_ms=1.0,
+                                     max_request_mb=0.001)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _post(srv, "/predict", x[:16])
+            assert exc.value.code == 413
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            t.join(timeout=10)
+
+    def test_healthz_and_stats(self, server, predictor):
+        _, x = predictor
+        meta = _get_json(server, "/healthz")
+        assert meta["status"] == "ok"
+        assert meta["model"] == "DECPredictor"
+        assert meta["n_clusters"] == 3
+        assert meta["input_hw"] == [4, 101]
+        _post(server, "/predict", x[:4]).read()
+        stats = _get_json(server, "/stats")
+        assert stats["requests"] >= 1
+        assert stats["device_batches"] >= 1
+        assert stats["p50_ms"] is not None
+
+    def test_unknown_path_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get_json(server, "/nope")
+        assert exc.value.code == 404
+
+    def test_concurrent_http_clients(self, server, predictor):
+        """Concurrent HTTP posts coalesce under the hood and every client
+        still receives exactly its own rows."""
+        pred, x = predictor
+        ref = pred(x)
+        results = {}
+        errors = []
+
+        def client(i):
+            try:
+                with _post(server, "/predict", x[i * 8 : (i + 1) * 8]) as r:
+                    results[i] = np.load(io.BytesIO(r.read()))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors
+        for i in range(8):
+            np.testing.assert_array_equal(
+                results[i]["labels"], ref["labels"][i * 8 : (i + 1) * 8]
+            )
+
+
+def test_encoder_server_serves_latents(predictor):
+    """AECEncoder (bare-array outputs) serves through the same front end."""
+    pred, x = predictor
+    enc = serve.AECEncoder(
+        {"encoder": pred.params["encoder"], "decoder": pred.params["decoder"]},
+        max_batch=64,
+    )
+    srv = serve_http.make_server(enc, max_wait_ms=5.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        meta = _get_json(srv, "/healthz")
+        assert meta["model"] == "AECEncoder"
+        assert meta["outputs"] == ["z"]
+        with _post(srv, "/predict", x[:6]) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+            np.testing.assert_allclose(out["z"], enc(x[:6]), rtol=1e-6)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
