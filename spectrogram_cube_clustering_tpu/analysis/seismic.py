@@ -6,10 +6,13 @@ buffers, detrend -> hann taper -> zero-phase 0.4 Hz lowpass -> decimate
 x100 -> optional instrument-response removal -> 0.001-0.04 Hz bandpass,
 written as day-long MSEED files.
 
-obspy does not ship in this image; every entry point lazily imports it and
-raises a clear error when absent (the reference additionally shells out to
-an external `evalresp` binary, environment.py:434-441 — here response
-removal uses obspy's built-in evalresp bindings instead of a subprocess).
+obspy does not ship in this image, and is NOT required: `sac2mseed` runs
+on the from-scratch `analysis.sacio` backend (SAC reader, Trace/Stream
+ops, miniSEED writer) when obspy is absent, and response removal is
+native pole-zero spectral division (`remove_response_native`). obspy,
+when installed, is preferred for IO (backend='auto') and remains the
+fallback for non-pole-zero RESP files (the reference additionally shells
+out to an external `evalresp` binary, environment.py:434-441).
 """
 
 from __future__ import annotations
@@ -31,6 +34,30 @@ def _obspy():
         ) from e
 
 
+def _backend(backend: str = "auto"):
+    """IO/trace backend for sac2mseed: obspy when importable (or forced),
+    else the from-scratch `analysis.sacio` (SAC reader, Trace/Stream ops,
+    miniSEED writer) so the pipeline runs in obspy-less environments."""
+    if backend in ("auto", "obspy"):
+        try:
+            import obspy
+
+            return obspy
+        except ImportError:
+            if backend == "obspy":
+                _obspy()  # raise the canonical error
+    elif backend != "native":
+        raise ValueError(f"unknown backend {backend!r}")
+    from . import sacio
+
+    class _Native:
+        read = staticmethod(sacio.read)
+        # the native Trace trims on datetimes directly
+        UTCDateTime = staticmethod(lambda t: t)
+
+    return _Native
+
+
 def file2dt(fname: str) -> datetime:
     """SAC filename 'YYYY.JJJ.HH.MM.SS.*' -> datetime
     (environment.py:149-155)."""
@@ -49,12 +76,15 @@ def sac2mseed(
     lowpass_hz: float = 0.4,
     band: tuple = (0.001, 0.04),
     resp_file: Optional[str] = None,
+    backend: str = "auto",
 ) -> list:
     """Convert daily SAC files to preprocessed MSEED (environment.py:167-250).
 
-    Returns the list of written file paths.
+    `backend='auto'` uses obspy when installed and the native
+    `analysis.sacio` implementation otherwise ('obspy'/'native' force
+    one). Returns the list of written file paths.
     """
-    obspy = _obspy()
+    obspy = _backend(backend)
     import pandas as pd
 
     files = sorted(
