@@ -1,6 +1,7 @@
 """Host-side analysis: figures, label catalogues, environment data."""
 
 from spectrogram_cube_clustering_tpu.analysis import plotting
+from spectrogram_cube_clustering_tpu.analysis import sacio
 from spectrogram_cube_clustering_tpu.analysis import seismic
 from spectrogram_cube_clustering_tpu.analysis.catalogue import (
     EnvironmentCatalogue,
@@ -11,6 +12,6 @@ from spectrogram_cube_clustering_tpu.analysis.catalogue import (
 )
 
 __all__ = [
-    "plotting", "seismic", "LabelCatalogue", "EnvironmentCatalogue",
-    "read_era5", "read_kpdr", "read_meteo",
+    "plotting", "sacio", "seismic", "LabelCatalogue",
+    "EnvironmentCatalogue", "read_era5", "read_kpdr", "read_meteo",
 ]
