@@ -178,7 +178,15 @@ def _rate_factor(fs):
     """miniSEED sample-rate (factor, multiplier): positive factor =
     samples/s, negative = s/sample; negative multiplier = divide."""
     if fs >= 1.0 and abs(fs - round(fs)) < 1e-9:
-        return int(round(fs)), 1
+        r = int(round(fs))
+        if r <= 32767:
+            return r, 1
+        # factor is an int16: encode large rates as factor * multiplier
+        for d in (2, 4, 5, 8, 10, 16, 20, 25, 32, 50, 64, 100, 125, 128,
+                  200, 250, 256, 500, 512, 1000):
+            if r % d == 0 and r // d <= 32767 and d <= 32767:
+                return r // d, d
+        raise ValueError(f"cannot encode sampling rate {fs} in miniSEED")
     period = 1.0 / fs
     if abs(period - round(period)) < 1e-9 and round(period) <= 32767:
         return -int(round(period)), 1
@@ -206,7 +214,10 @@ def write_mseed(path, trace):
     factor, mult = _rate_factor(st.sampling_rate)
     delta = 1.0 / st.sampling_rate
     with open(path, "wb") as fh:
-        for ri, start in enumerate(range(0, len(data), _MSEED_SAMPLES)):
+        # max(..., 1): an empty trace still writes ONE record (nsamp=0)
+        # so read_mseed round-trips it instead of choking on a 0-byte file
+        for ri, start in enumerate(range(0, max(len(data), 1),
+                                         _MSEED_SAMPLES)):
             chunk = data[start:start + _MSEED_SAMPLES]
             t = st.starttime + timedelta(seconds=start * delta)
             hdr = struct.pack(
@@ -266,6 +277,8 @@ def read_mseed(path) -> "Trace":
                 starttime=t0, sampling_rate=_rate_from_factor(factor, mult),
             )
         pos += reclen
+    if stats is None:
+        raise ValueError(f"{path}: no miniSEED records found")
     data = np.concatenate(chunks).astype(np.float64)
     stats.npts = len(data)
     return Trace(data, stats)

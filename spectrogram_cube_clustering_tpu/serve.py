@@ -155,6 +155,7 @@ class DECPredictor:
     def from_checkpoint(
         cls, path: str, n_clusters: int, max_batch: int = 1024,
         transform: Optional[str] = "sample_norm_cent",
+        buckets=None,
         arch: str = "AEC",
         input_hw=(4, 101),
         transfer_dtype: Optional[str] = None,
@@ -172,7 +173,8 @@ class DECPredictor:
         )["params"]
         return cls(
             restore(path, template), n_clusters, max_batch, transform,
-            arch=arch, input_hw=(h, w), transfer_dtype=transfer_dtype,
+            buckets=buckets, arch=arch, input_hw=(h, w),
+            transfer_dtype=transfer_dtype,
         )
 
     def warmup(self) -> None:
@@ -231,6 +233,7 @@ class AECEncoder:
     def from_checkpoint(
         cls, path: str, max_batch: int = 1024,
         transform: Optional[str] = "sample_norm_cent",
+        buckets=None,
         input_hw=(4, 101),
         transfer_dtype: Optional[str] = None,
     ) -> "AECEncoder":
@@ -241,7 +244,16 @@ class AECEncoder:
             jax.random.key(0), jnp.zeros((1, h, w, 1))
         )["params"]
         return cls(restore(path, template), max_batch, transform,
-                   input_hw=(h, w), transfer_dtype=transfer_dtype)
+                   buckets=buckets, input_hw=(h, w),
+                   transfer_dtype=transfer_dtype)
+
+    def warmup(self) -> None:
+        """Pay every bucket's compile before serving traffic."""
+        for size in self.sizes:
+            x = np.zeros(
+                (size, *self.input_hw, 1), self._wire_dtype or np.float32
+            )
+            self._fn(self.params, jnp.asarray(x)).block_until_ready()
 
     def __call__(self, windows: np.ndarray) -> np.ndarray:
         x = np.asarray(windows, self._wire_dtype or np.float32)

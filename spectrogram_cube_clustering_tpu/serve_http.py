@@ -116,11 +116,15 @@ class MicroBatcher:
                 item.error = e
             item.event.set()
             return item
-        if self._closed:
-            item.error = RuntimeError("MicroBatcher is closed")
-            item.event.set()
-            return item
-        self._queue.put(item)
+        # The closed-check and enqueue must be atomic against close():
+        # otherwise an item enqueued after _STOP is never drained and its
+        # caller blocks forever in wait().
+        with self._lock:
+            if self._closed:
+                item.error = RuntimeError("MicroBatcher is closed")
+                item.event.set()
+                return item
+            self._queue.put(item)
         return item
 
     def stats(self) -> Dict[str, float]:
@@ -131,10 +135,12 @@ class MicroBatcher:
         return s
 
     def close(self) -> None:
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(_STOP)
-            self._thread.join(timeout=10)
+        self._thread.join(timeout=10)
 
     # -- worker ------------------------------------------------------
 
@@ -169,8 +175,13 @@ class MicroBatcher:
             if len(batch) == 1:
                 x = batch[0].x
             else:
+                # Promote to the common numpy type (e.g. f16+f32 -> f32)
+                # so no co-traveler is narrowed by whoever happened to
+                # arrive first; the predictor casts to its own compute/
+                # wire dtype afterwards either way.
+                dtype = np.result_type(*[it.x.dtype for it in batch])
                 x = np.concatenate(
-                    [np.asarray(it.x, batch[0].x.dtype) for it in batch]
+                    [np.asarray(it.x, dtype) for it in batch]
                 )
             out = _as_output_dict(self._pred(x))
             with self._lock:
@@ -288,6 +299,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802 — http.server API
         url = urlparse(self.path)
         if url.path != "/predict":
+            self.close_connection = True  # body left unread
             self._send_json(404, {"error": f"unknown path {url.path!r}"})
             return
         try:
@@ -295,9 +307,15 @@ class _Handler(BaseHTTPRequestHandler):
         except ValueError:
             length = -1
         if length <= 0:
+            # body length unknown/unread: the keep-alive connection would
+            # misparse the leftover bytes as the next request line
+            self.close_connection = True
             self._send_json(400, {"error": "missing/invalid Content-Length"})
             return
         if length > self.server.max_request_bytes:
+            # replying without draining `length` bytes corrupts the
+            # persistent connection — close it instead of reading them
+            self.close_connection = True
             self._send_json(413, {
                 "error": f"request of {length} bytes exceeds the "
                 f"{self.server.max_request_bytes}-byte limit; chunk the "
@@ -309,6 +327,14 @@ class _Handler(BaseHTTPRequestHandler):
             x = np.load(io.BytesIO(body), allow_pickle=False)
         except Exception as e:  # noqa: BLE001 — malformed wire data
             self._send_json(400, {"error": f"body is not .npy bytes: {e}"})
+            return
+        if not isinstance(x, np.ndarray):
+            # e.g. a .npz body (the RESPONSE format) loads as NpzFile
+            self._send_json(400, {
+                "error": "body must be a single .npy array "
+                f"(got {type(x).__name__}; note the response is .npz, "
+                "the request is .npy)",
+            })
             return
         err = self._shape_error(x)
         if err:
@@ -345,6 +371,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _shape_error(self, x: np.ndarray) -> Optional[str]:
         hw = tuple(getattr(self.server.predictor, "input_hw", ()))
+        if not np.issubdtype(x.dtype, np.number) or np.issubdtype(
+                x.dtype, np.complexfloating):
+            return f"windows must be real-numeric; got dtype {x.dtype}"
         if x.ndim not in (3, 4) or (x.ndim == 4 and x.shape[-1] != 1):
             return (
                 f"windows must have shape (n, H, W) or (n, H, W, 1); "
@@ -412,20 +441,15 @@ def main(argv=None) -> int:
         predictor = _serve.DECPredictor.from_checkpoint(
             args.checkpoint, n_clusters=args.n_clusters,
             max_batch=args.max_batch, transform=args.transform,
-            arch=args.arch, input_hw=tuple(args.input_hw),
+            buckets=args.buckets or None, arch=args.arch,
+            input_hw=tuple(args.input_hw),
             transfer_dtype=args.transfer_dtype,
         )
-        if args.buckets:
-            predictor = _serve.DECPredictor(
-                predictor.params, n_clusters=args.n_clusters,
-                max_batch=args.max_batch, transform=args.transform,
-                buckets=True, arch=args.arch, input_hw=tuple(args.input_hw),
-                transfer_dtype=args.transfer_dtype,
-            )
     else:
         predictor = _serve.AECEncoder.from_checkpoint(
             args.checkpoint, max_batch=args.max_batch,
-            transform=args.transform, input_hw=tuple(args.input_hw),
+            transform=args.transform, buckets=args.buckets or None,
+            input_hw=tuple(args.input_hw),
             transfer_dtype=args.transfer_dtype,
         )
     if hasattr(predictor, "warmup"):

@@ -104,6 +104,39 @@ class TestMseedRoundtrip:
         assert len(st) == 1
         np.testing.assert_allclose(st[0].data, tr.data, rtol=1e-6)
 
+    def test_high_rate_uses_multiplier(self, tmp_path):
+        # int16 factor field caps at 32767: 40 kHz must encode as
+        # factor x multiplier, not crash in struct.pack
+        tr = _trace(n=64, fs=40_000.0)
+        p = tmp_path / "x.mseed"
+        sacio.write_mseed(str(p), tr)
+        rd = sacio.read_mseed(str(p))
+        assert rd.stats.sampling_rate == pytest.approx(40_000.0)
+        np.testing.assert_allclose(rd.data, tr.data, rtol=1e-6)
+
+    def test_unencodable_rate_raises(self):
+        # a prime above 32767 has no int16 factor x multiplier split
+        with pytest.raises(ValueError, match="cannot encode"):
+            sacio._rate_factor(32771.0)
+
+    def test_empty_trace_roundtrip(self, tmp_path):
+        # a trace trimmed to zero samples still writes one record so the
+        # reader round-trips it instead of choking on a 0-byte file
+        tr = _trace(n=0, fs=100.0, station="KPDR")
+        p = tmp_path / "empty.mseed"
+        sacio.write_mseed(str(p), tr)
+        assert p.stat().st_size == 4096
+        rd = sacio.read_mseed(str(p))
+        assert len(rd.data) == 0
+        assert rd.stats.station == "KPDR"
+        assert rd.stats.sampling_rate == pytest.approx(100.0)
+
+    def test_zero_byte_file_raises(self, tmp_path):
+        p = tmp_path / "nothing.mseed"
+        p.write_bytes(b"")
+        with pytest.raises(ValueError, match="no miniSEED records"):
+            sacio.read_mseed(str(p))
+
 
 class TestTraceOps:
     def test_trim_nearest_sample(self):

@@ -86,6 +86,21 @@ class TestDECPredictor:
         ref = pred(x)
         np.testing.assert_allclose(out["z"], ref["z"][:3], rtol=1e-5, atol=1e-7)
 
+    def test_buckets_through_from_checkpoint(self, trained):
+        """from_checkpoint threads `buckets` (the scc-serve --buckets
+        path) instead of requiring a second manual construction."""
+        path, aec_path, x, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=64, buckets=True
+        )
+        assert pred.sizes == (1, 2, 4, 8, 16, 32, 64)
+        enc = serve.AECEncoder.from_checkpoint(
+            aec_path, max_batch=64, buckets=True
+        )
+        assert enc.sizes == (1, 2, 4, 8, 16, 32, 64)
+        enc.warmup()  # AECEncoder has the same warmup contract
+        assert enc(x[:3]).shape == (3, 9)
+
 
 class TestAECEncoder:
     def test_latents(self, trained):

@@ -158,6 +158,40 @@ class TestMicroBatcher:
         with pytest.raises(RuntimeError, match="closed"):
             mb(x[:4])
 
+    def test_mixed_dtype_coalescing_promotes(self, predictor):
+        """Coalesced requests promote to the common dtype: a float32
+        request is NOT narrowed because a float16 request arrived first
+        (results must not depend on batching timing)."""
+        pred, x = predictor
+        ref = pred(x[8:16].astype(np.float32))
+        mb = serve_http.MicroBatcher(pred, max_wait_ms=250.0)
+        results = {}
+
+        def worker(i, arr):
+            results[i] = mb(arr)
+
+        threads = [
+            threading.Thread(
+                target=worker, args=(0, x[:8].astype(np.float16))
+            ),
+            threading.Thread(
+                target=worker, args=(1, x[8:16].astype(np.float32))
+            ),
+        ]
+        try:
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+            stats = mb.stats()
+        finally:
+            mb.close()
+        assert stats["device_batches"] == 1  # they really coalesced
+        np.testing.assert_allclose(
+            results[1]["z"], ref["z"], rtol=1e-6, atol=1e-8
+        )
+        np.testing.assert_array_equal(results[1]["labels"], ref["labels"])
+
 
 class TestHTTPServer:
     def test_predict_roundtrip(self, server, predictor):
@@ -237,6 +271,74 @@ class TestHTTPServer:
         with pytest.raises(urllib.error.HTTPError) as exc:
             _get_json(server, "/nope")
         assert exc.value.code == 404
+
+    def test_npz_body_400_not_connection_reset(self, server):
+        """A .npz body (the RESPONSE format, a plausible client mistake)
+        gets a clear 400, not an AttributeError-driven connection reset."""
+        buf = io.BytesIO()
+        np.savez(buf, x=np.zeros((2, 4, 101, 1), np.float32))
+        host, port = server.server_address[:2]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=buf.getvalue(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+        assert "npz" in json.loads(exc.value.read())["error"]
+
+    def test_non_numeric_dtype_400(self, server):
+        bad = np.full((2, 4, 101, 1), "ab", dtype="U2")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server, "/predict", bad)
+        assert exc.value.code == 400
+        assert "numeric" in json.loads(exc.value.read())["error"]
+
+    def test_keepalive_reuse_and_413_close(self, predictor):
+        """Happy path: two posts on one persistent connection both work.
+        Error path: a 413 (body never drained) must CLOSE the connection
+        instead of misparsing the unread npy bytes as the next request."""
+        import http.client
+
+        pred, x = predictor
+        srv = serve_http.make_server(pred, max_wait_ms=1.0,
+                                     max_request_mb=0.01)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        host, port = srv.server_address[:2]
+        try:
+            def npy(arr):
+                b = io.BytesIO()
+                np.save(b, arr)
+                return b.getvalue()
+
+            conn = http.client.HTTPConnection(host, port, timeout=30)
+            for _ in range(2):  # keep-alive: same socket, two requests
+                conn.request("POST", "/predict", body=npy(x[:2]))
+                resp = conn.getresponse()
+                assert resp.status == 200
+                resp.read()
+            conn.close()
+
+            conn = http.client.HTTPConnection(host, port, timeout=30)
+            conn.request("POST", "/predict", body=npy(x[:64]))  # > 0.01 MB
+            resp = conn.getresponse()
+            assert resp.status == 413
+            resp.read()
+            # server must have torn the connection down; a follow-up on
+            # the same socket fails cleanly rather than returning a
+            # misparsed 400 for a VALID request
+            with pytest.raises(
+                (http.client.HTTPException, ConnectionError, OSError)
+            ):
+                conn.request("POST", "/predict", body=npy(x[:2]))
+                resp = conn.getresponse()
+                assert resp.status == 200  # unreachable if properly closed
+            conn.close()
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            t.join(timeout=10)
 
     def test_concurrent_http_clients(self, server, predictor):
         """Concurrent HTTP posts coalesce under the hood and every client
