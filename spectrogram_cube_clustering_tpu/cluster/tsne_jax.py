@@ -262,6 +262,11 @@ def tsne_jax_landmark(
     every remaining point at the inverse-square-distance weighted mean of
     its k nearest landmarks' embeddings (chunked matmul + top_k, also on
     device). O(M * n_landmarks) instead of O(M^2)."""
+    if "max_samples" in tsne_kwargs:
+        raise TypeError(
+            "tsne_jax_landmark controls the exact-path sample cap via "
+            "n_landmarks; pass n_landmarks instead of max_samples"
+        )
     data = np.asarray(data, np.float32)
     m = len(data)
     if m <= n_landmarks:

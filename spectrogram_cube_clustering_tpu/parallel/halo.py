@@ -97,8 +97,14 @@ def sharded_spectrogram(
             f"(need T >= mesh * (nperseg - hop))"
         )
 
+    # Key the kernel choice on the MESH's device platform, not the
+    # process default backend: a CPU mesh in a TPU-default process must
+    # not get a compiled Mosaic kernel (and vice versa).
+    mesh_platform = next(iter(mesh.devices.flat)).platform
     if use_pallas is None:
-        use_pallas = log and pallas_eligible(nperseg, hop)
+        use_pallas = log and pallas_eligible(
+            nperseg, hop, platform=mesh_platform
+        )
     if use_pallas:
         if nperseg % hop != 0 or hop > 128:
             raise ValueError(
@@ -108,7 +114,7 @@ def sharded_spectrogram(
             raise ValueError("pallas STFT always returns log power")
     # Off-TPU the Mosaic kernel can't compile; interpret mode keeps the
     # exact kernel semantics on the virtual CPU mesh (tests + dryrun).
-    interpret = jax.default_backend() != "tpu"
+    interpret = mesh_platform != "tpu"
 
     win = hann_window(nperseg)
     batch_dims = x.ndim - 1

@@ -80,13 +80,16 @@ def dft_matrices(nperseg: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndar
     )
 
 
-def pallas_eligible(nperseg: int, hop: int) -> bool:
-    """True when the current backend + STFT geometry can use the fused
-    Pallas kernel: its hop-chunk layout needs nperseg % hop == 0 and
-    hop <= 128 lanes (ops/pallas_stft.py preconditions) — other configs
-    fall back to the XLA path, which handles them fine."""
+def pallas_eligible(nperseg: int, hop: int, platform: str = None) -> bool:
+    """True when the backend + STFT geometry can use the fused Pallas
+    kernel: its hop-chunk layout needs nperseg % hop == 0 and hop <= 128
+    lanes (ops/pallas_stft.py preconditions) — other configs fall back to
+    the XLA path, which handles them fine. `platform` overrides the
+    process default backend (pass the target mesh's device platform when
+    the devices differ from the default, e.g. a CPU mesh in a
+    TPU-default process)."""
     return (
-        jax.default_backend() == "tpu"
+        (platform or jax.default_backend()) == "tpu"
         and nperseg % hop == 0
         and hop <= 128
     )

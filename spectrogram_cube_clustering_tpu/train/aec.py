@@ -41,8 +41,11 @@ def _masked_mse_per_sample(x_rec, x):
     return jnp.mean(d * d, axis=tuple(range(1, x.ndim)))  # (B,)
 
 
-def make_epoch_fns(model):
-    """Build (train_epoch, eval_epoch), each one jitted scan over batches."""
+def _make_epoch_bodies(model):
+    """Un-jitted (train_epoch, eval_epoch) scan bodies — the single
+    source of the masked-MSE epoch accounting, shared by the per-epoch
+    jitted fns and the fused `sync_every` while_loop (which must stay
+    bitwise identical to each other)."""
 
     def loss_sum(params, x, mask):
         out = model.apply({"params": params}, x)
@@ -52,7 +55,6 @@ def make_epoch_fns(model):
         batch_loss = jnp.sum(per * mask) / nvalid
         return batch_loss, nvalid
 
-    @jax.jit
     def train_epoch(state, xb, maskb):
         def step(state, batch):
             x, mask = batch
@@ -70,7 +72,6 @@ def make_epoch_fns(model):
         state, sums = lax.scan(step, state, (xb, maskb))
         return state, jnp.sum(sums) / jnp.maximum(jnp.sum(maskb), 1.0)
 
-    @jax.jit
     def eval_epoch(params, xb, maskb):
         def step(_, batch):
             x, mask = batch
@@ -81,6 +82,12 @@ def make_epoch_fns(model):
         return jnp.sum(sums) / jnp.maximum(jnp.sum(maskb), 1.0)
 
     return train_epoch, eval_epoch
+
+
+def make_epoch_fns(model):
+    """Build (train_epoch, eval_epoch), each one jitted scan over batches."""
+    train_epoch, eval_epoch = _make_epoch_bodies(model)
+    return jax.jit(train_epoch), jax.jit(eval_epoch)
 
 
 def make_fused_epochs_fn(model, n_epochs: int, patience: int,
@@ -102,36 +109,7 @@ def make_fused_epochs_fn(model, n_epochs: int, patience: int,
     bitwise identical to the per-epoch Python loop.
     """
 
-    def loss_sum(params, x, mask):
-        out = model.apply({"params": params}, x)
-        per = _masked_mse_per_sample(out[0], x)
-        nvalid = jnp.maximum(jnp.sum(mask), 1.0)
-        return jnp.sum(per * mask) / nvalid, nvalid
-
-    def train_epoch_body(state, xb, maskb):
-        def step(state, batch):
-            x, mask = batch
-
-            def lf(params):
-                return loss_sum(params, x, mask)
-
-            (batch_loss, nvalid), grads = jax.value_and_grad(
-                lf, has_aux=True
-            )(state.params)
-            state = state.apply_gradients(grads=grads)
-            return state, batch_loss * nvalid
-
-        state, sums = lax.scan(step, state, (xb, maskb))
-        return state, jnp.sum(sums) / jnp.maximum(jnp.sum(maskb), 1.0)
-
-    def eval_epoch_body(params, xb, maskb):
-        def step(_, batch):
-            x, mask = batch
-            batch_loss, nvalid = loss_sum(params, x, mask)
-            return None, batch_loss * nvalid
-
-        _, sums = lax.scan(step, None, (xb, maskb))
-        return jnp.sum(sums) / jnp.maximum(jnp.sum(maskb), 1.0)
+    train_epoch_body, eval_epoch_body = _make_epoch_bodies(model)
 
     @jax.jit
     def run(state, tra_x, tra_mask, val_x, val_mask, loop, epoch_end):
@@ -503,8 +481,12 @@ def _train_aec_fused(
                     prev_best = best_val
             elif new_epoch > epoch:
                 save_checkpoint(f"AEC_Params_{new_epoch:03d}", state.params)
+        # snapshot when a snapshot_every boundary was CROSSED since the
+        # last sync (sync points rarely land exactly on a multiple), at
+        # the final epoch, or on early stop
+        snap = max(int(snapshot_every), 1)
         if snapshot_path is not None and (
-            new_epoch % max(int(snapshot_every), 1) == 0 or new_epoch == n_epochs
+            new_epoch // snap > epoch // snap or new_epoch == n_epochs
             or done
         ):
             have_best = bool(loop["have_best"])

@@ -23,12 +23,24 @@ def add_to_history(
     return history
 
 
+def _is_coordinator() -> bool:
+    """True on the single process that owns file artifacts (multi-process
+    runtimes hold identical fetched arrays on every host; concurrent CSV
+    writes would tear or duplicate). Import-light: jax is only consulted
+    when already initialized."""
+    import sys
+
+    jax = sys.modules.get("jax")
+    return jax is None or jax.process_index() == 0
+
+
 def save_history(history: Dict[str, Sequence], path: str) -> pd.DataFrame:
     """Write a history dict to CSV, first key as index
-    (reference utils.py:1158-1179)."""
+    (reference utils.py:1158-1179). No-op file-wise off process 0."""
     df = pd.DataFrame.from_dict(dict(history))
     df = df.set_index(list(history.keys())[0])
-    df.to_csv(path)
+    if _is_coordinator():
+        df.to_csv(path)
     return df
 
 
@@ -36,10 +48,13 @@ def save_labels(
     label_rows: List[Dict], savepath: str, serial: str | None = None
 ) -> str:
     """Append label rows to Labels[serial].csv, header once
-    (reference utils.py:1182-1209)."""
+    (reference utils.py:1182-1209). No-op off process 0: the append mode
+    would otherwise interleave one copy of every row per host."""
     fname = os.path.join(
         savepath, f"Labels{serial}.csv" if serial else "Labels.csv"
     )
+    if not _is_coordinator():
+        return fname
     keys = label_rows[0].keys()
     write_header = not os.path.exists(fname)
     with open(fname, "a", newline="") as f:

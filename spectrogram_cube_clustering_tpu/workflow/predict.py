@@ -88,6 +88,29 @@ def _gallery_traces(config):
     return read_trace
 
 
+# canonical predict-figure filenames (identical for ram and stream paths)
+_FIGURE_FILES = {
+    "T-SNE": "t-SNE.png",
+    "Gallery": "gallery.png",
+    "LatentSpace": "latent.png",
+    "CDF": "cdf.png",
+    "PDF": "pdf.png",
+}
+
+
+def _save_predict_figures(figs: Dict, savepath: str) -> None:
+    """Write an analyze_dec figure dict into the reference's Prediction
+    directory layout with ONE set of filenames, whichever loadmode
+    produced it (models.py:663-701)."""
+    for name, fig in figs.items():
+        d = os.path.join(savepath, name)
+        os.makedirs(d, exist_ok=True)
+        fig.savefig(
+            os.path.join(d, _FIGURE_FILES.get(name, f"{name}.png")),
+            dpi=300, facecolor="w",
+        )
+
+
 def _gmm_figure_context(config, n_clusters: int, z_dec, labels_dec,
                         centroids_dec):
     """(z_a, labels_a, centroids_a) for the comparative GMM-vs-DEC figures.
@@ -201,7 +224,14 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
             per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
             return per, xr, z
 
-    firsts, xrs, zs = [], [], []
+    proc0 = jax.process_index() == 0
+    xr_name = "Xr_DEC.npy" if config.model == "DEC" else "Xr_AEC.npy"
+    firsts, zs = [], []
+    # Reconstructions are as large as the full dataset X — the reason the
+    # stream path exists. They go straight into an on-disk .npy memmap
+    # (process 0 only) so the host-RAM peak stays at one batch.
+    xr_mm = None
+    xr_off = 0
     seen = 0
     # lag buffer: fetch batch i-k to host while i..i-1 are still in
     # flight, so the device never idles on the fetch round trip (the
@@ -214,11 +244,20 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
     def materialize(item):
         # fetch_global: on a multi-process mesh the outputs are sharded
         # across hosts and a bare np.asarray would raise
+        nonlocal xr_mm, xr_off
         (a, xr, z), take = item
         a, xr, z = _train.fetch_global((a, xr, z))
         firsts.append(np.asarray(a[:take]))
-        xrs.append(_to_nchw_np(xr[:take]))
         zs.append(np.asarray(z[:take], np.float32))
+        if proc0:
+            block = _to_nchw_np(xr[:take])
+            if xr_mm is None:
+                xr_mm = np.lib.format.open_memmap(
+                    os.path.join(savepath, xr_name), mode="w+",
+                    dtype=np.float32, shape=(m, *block.shape[1:]),
+                )
+            xr_mm[xr_off : xr_off + take] = block
+            xr_off += take
 
     for x, n_valid in make_loader():
         out = step(x)
@@ -230,21 +269,26 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
     while inflight:
         materialize(inflight.popleft())
     z_np = np.concatenate(zs, axis=0)
-    xr_np = np.concatenate(xrs, axis=0)
+    if xr_mm is not None:
+        xr_mm.flush()
 
     if config.model == "DEC":
         q_np = np.concatenate(firsts, axis=0).astype(np.float32)
         labels_np = q_np.argmax(axis=1)
         centroids_np = np.asarray(params["centroids"], np.float32)
-        _utils.save_labels(
-            [{"idx": i, "label": int(labels_np[i])} for i in range(m)],
-            savepath,
-        )
-        np.save(os.path.join(savepath, "q_DEC"), q_np)
-        np.save(os.path.join(savepath, "Z_DEC"), z_np)
-        np.save(os.path.join(savepath, "Xr_DEC"), xr_np)
-        np.save(os.path.join(savepath, "labels_DEC"), labels_np)
-        np.save(os.path.join(savepath, "centroids_DEC"), centroids_np)
+        if proc0:
+            # artifact writes gate on process 0 (same contract as
+            # checkpoint.save_snapshot): on a multi-process mesh every
+            # host holds the full fetched arrays and an ungated
+            # append-mode Labels.csv would interleave duplicate rows
+            _utils.save_labels(
+                [{"idx": i, "label": int(labels_np[i])} for i in range(m)],
+                savepath,
+            )
+            np.save(os.path.join(savepath, "q_DEC"), q_np)
+            np.save(os.path.join(savepath, "Z_DEC"), z_np)
+            np.save(os.path.join(savepath, "labels_DEC"), labels_np)
+            np.save(os.path.join(savepath, "centroids_DEC"), centroids_np)
 
         cap = int(getattr(config, "silh_max_samples", None) or 20000)
         sel = np.sort(
@@ -265,9 +309,9 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
         x_sub = np.concatenate(rows, axis=0)  # sel is sorted -> aligned
         metrics = _cluster.cluster_metrics(
             savepath, labels_np[sel],
-            _to_nchw_np(x_sub), z_np[sel], save=True,
+            _to_nchw_np(x_sub), z_np[sel], save=proc0,
         )
-        if figures:
+        if figures and proc0:
             # figure families on the same metrics subsample
             from spectrogram_cube_clustering_tpu.workflow.fit import _tsne
 
@@ -275,11 +319,23 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
             z_a, labels_a, cents_a = _gmm_figure_context(
                 config, k, z_np, labels_np, centroids_np
             )
+            # centroid decodes + H5 waveform rows: same gallery content
+            # as the ram path (traces re-index the metrics subsample back
+            # to dataset indices)
+            dec_out = model.bind({"params": params}).decoder(
+                jnp.asarray(centroids_np)
+            )
+            read_trace = _gallery_traces(config)
+            traces = (
+                (lambda i: read_trace(sel[int(i)]))
+                if read_trace is not None else None
+            )
             figs = plotting.analyze_dec(
                 x_sub, z_a[sel], z_np[sel], labels_a[sel], labels_np[sel],
                 cents_a, centroids_np, _tsne(config, z_np[sel]),
+                centroid_decodes=np.asarray(dec_out), traces=traces,
             )
-            plotting.save_figures(figs, savepath)
+            _save_predict_figures(figs, savepath)
             for scores, name in (
                 (metrics["silh_scores_Z"], "silh_score_Z"),
                 (metrics["silh_scores_X"], "silh_score_X"),
@@ -299,12 +355,14 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
     per = np.concatenate(firsts, axis=0)
     total_loss = float(per.mean())
     print(f"Dataset MSE = {total_loss:.4e}")
-    with open(os.path.join(savepath, "MSE.txt"), "w") as f:
-        f.write(f"MSE = {total_loss:.4e}")
-    np.save(os.path.join(savepath, "Loss_AEC"), total_loss)
-    np.save(os.path.join(savepath, "Z_AEC"), z_np)
-    np.save(os.path.join(savepath, "Xr_AEC"), xr_np)
-    return {"z": z_np, "x_rec": xr_np, "loss": total_loss}
+    if proc0:
+        with open(os.path.join(savepath, "MSE.txt"), "w") as f:
+            f.write(f"MSE = {total_loss:.4e}")
+        np.save(os.path.join(savepath, "Loss_AEC"), total_loss)
+        np.save(os.path.join(savepath, "Z_AEC"), z_np)
+    # x_rec is the on-disk memmap (None off process 0) — loading it fully
+    # would defeat the streaming tier's RAM budget
+    return {"z": z_np, "x_rec": xr_mm, "loss": total_loss}
 
 
 def predict(config, mesh=None, figures: bool = True) -> Dict:
@@ -328,6 +386,7 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
     model = make_model(config)
     params = load_aec_params(config, model)
 
+    proc0 = jax.process_index() == 0
     if config.model == "DEC":
         q, labels, z, xr = _train.full_eval(model, params, data, with_xr=True)
         # fetch_global: sharded outputs span hosts on a multi-process mesh
@@ -337,23 +396,27 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
         labels_np = np.asarray(labels)
         centroids_np = np.asarray(params["centroids"], np.float32)
 
-        _utils.save_labels(
-            [{"idx": i, "label": int(labels_np[i])} for i in range(m)],
-            savepath,
-        )
-        np.save(os.path.join(savepath, "q_DEC"), q_np)
-        np.save(os.path.join(savepath, "Z_DEC"), z_np)
-        np.save(os.path.join(savepath, "Xr_DEC"), _to_nchw_np(xr))
-        np.save(os.path.join(savepath, "labels_DEC"), labels_np)
-        np.save(os.path.join(savepath, "centroids_DEC"), centroids_np)
+        if proc0:
+            # writes gate on process 0: every host holds the full fetched
+            # arrays, and the append-mode Labels.csv (plus np.save/figure
+            # races) would otherwise interleave duplicates
+            _utils.save_labels(
+                [{"idx": i, "label": int(labels_np[i])} for i in range(m)],
+                savepath,
+            )
+            np.save(os.path.join(savepath, "q_DEC"), q_np)
+            np.save(os.path.join(savepath, "Z_DEC"), z_np)
+            np.save(os.path.join(savepath, "Xr_DEC"), _to_nchw_np(xr))
+            np.save(os.path.join(savepath, "labels_DEC"), labels_np)
+            np.save(os.path.join(savepath, "centroids_DEC"), centroids_np)
 
         silh_cap = getattr(config, "silh_max_samples", None)
         metrics = _cluster.cluster_metrics(
             savepath, labels_np, _to_nchw_np(x_np), z_np,
-            save=True,
+            save=proc0,
             silh_max_samples=int(silh_cap) if silh_cap else None,
         )
-        if figures:
+        if figures and proc0:
             k = int(config.n_clusters)
             for scores, name in (
                 (metrics["silh_scores_Z"], "silh_score_Z"),
@@ -371,51 +434,25 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
                     os.path.join(savepath, f"{name}.png"), dpi=300,
                     facecolor="w",
                 )
-            for name in ("T-SNE", "Gallery", "LatentSpace", "CDF", "PDF"):
-                os.makedirs(os.path.join(savepath, name), exist_ok=True)
             from spectrogram_cube_clustering_tpu.workflow.fit import _tsne
 
-            tsne_results = _tsne(config, z_np)
-            plotting.view_tsne(tsne_results, labels_np, "DEC").savefig(
-                os.path.join(savepath, "T-SNE", "t-SNE.png"), dpi=300,
-                facecolor="w",
-            )
-            # centroid decodes through the trained model's own decoder
-            # submodule (works for any arch/geometry: AEC, packed, H5)
-            dec_out = model.bind({"params": params}).decoder(
-                jnp.asarray(centroids_np)
-            )
-            plotting.cluster_gallery(
-                x_np, z_np, labels_np, centroids_np,
-                centroid_decodes=np.asarray(dec_out),
-                traces=_gallery_traces(config),
-            ).savefig(
-                os.path.join(savepath, "Gallery", "gallery.png"), dpi=300,
-                facecolor="w",
-            )
             # comparative GMM-vs-DEC figures when the GMM artifacts +
-            # Z_AEC are findable (reference models.py:659-695)
+            # Z_AEC are findable (reference models.py:659-695); centroid
+            # decodes through the trained model's own decoder submodule
+            # (works for any arch/geometry: AEC, packed, H5)
             z_a, labels_a, cents_a = _gmm_figure_context(
                 config, k, z_np, labels_np, centroids_np
             )
-            plotting.view_latent_space(
-                z_a, labels_a, z_np, labels_np, cents_a, centroids_np
-            ).savefig(
-                os.path.join(savepath, "LatentSpace", "latent.png"), dpi=300,
-                facecolor="w",
+            dec_out = model.bind({"params": params}).decoder(
+                jnp.asarray(centroids_np)
             )
-            plotting.view_class_cdf(
-                z_a, labels_a, z_np, labels_np, cents_a, centroids_np
-            ).savefig(
-                os.path.join(savepath, "CDF", "cdf.png"), dpi=300,
-                facecolor="w",
+            figs = plotting.analyze_dec(
+                x_np, z_a, z_np, labels_a, labels_np,
+                cents_a, centroids_np, _tsne(config, z_np),
+                centroid_decodes=np.asarray(dec_out),
+                traces=_gallery_traces(config),
             )
-            plotting.view_class_pdf_paper(
-                z_a, z_np, labels_a, labels_np, cents_a, centroids_np, k
-            ).savefig(
-                os.path.join(savepath, "PDF", "pdf.png"), dpi=300,
-                facecolor="w",
-            )
+            _save_predict_figures(figs, savepath)
         return {
             "q": q_np, "z": z_np, "labels": labels_np,
             "centroids": centroids_np, "metrics": metrics,
@@ -428,9 +465,10 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
     xr_np = _to_nchw_np(xr[:m])
     total_loss = float(total_loss)
     print(f"Dataset MSE = {total_loss:.4e}")
-    with open(os.path.join(savepath, "MSE.txt"), "w") as f:
-        f.write(f"MSE = {total_loss:.4e}")
-    np.save(os.path.join(savepath, "Loss_AEC"), total_loss)
-    np.save(os.path.join(savepath, "Z_AEC"), z_np)
-    np.save(os.path.join(savepath, "Xr_AEC"), xr_np)
+    if proc0:
+        with open(os.path.join(savepath, "MSE.txt"), "w") as f:
+            f.write(f"MSE = {total_loss:.4e}")
+        np.save(os.path.join(savepath, "Loss_AEC"), total_loss)
+        np.save(os.path.join(savepath, "Z_AEC"), z_np)
+        np.save(os.path.join(savepath, "Xr_AEC"), xr_np)
     return {"z": z_np, "x_rec": xr_np, "loss": total_loss}

@@ -273,3 +273,12 @@ class TestTSNEJax:
         a = tsne_jax_landmark(x, n_landmarks=200, n_iter=250)
         b = tsne_jax(x, n_iter=250)
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_landmark_rejects_max_samples_kwarg(self, rng):
+        """max_samples would collide with the internal landmark caps; the
+        clean TypeError beats the old 'multiple values for keyword'."""
+        from spectrogram_cube_clustering_tpu.cluster import tsne_jax_landmark
+
+        x = rng.normal(size=(64, 5)).astype(np.float32)
+        with pytest.raises(TypeError, match="n_landmarks"):
+            tsne_jax_landmark(x, max_samples=32)

@@ -122,13 +122,29 @@ dsout = scc.train.train_dec_stream(
     128, dcfg,
 )
 assert dsout["labels"].shape == (128,)
+# artifact-write gating: EVERY host calls the CSV writers (as the
+# predict workflow does), but only process 0 may touch the files —
+# ungated append-mode Labels.csv used to interleave one copy of every
+# row per host
+from jax.experimental import multihost_utils
+scc.utils.save_labels(
+    [{"idx": i, "label": 0} for i in range(8)], sys.argv[3]
+)
+scc.utils.save_history(
+    {"Epoch": [1, 2], "Training MSE": out["history"]["train"]},
+    os.path.join(sys.argv[3], "hist.csv"),
+)
+multihost_utils.sync_global_devices("labels_written")
 if rank == 0:
+    with open(os.path.join(sys.argv[3], "Labels.csv")) as fh:
+        label_lines = len(fh.read().strip().splitlines())
     print("RESULT " + json.dumps(
         {"scan": out["history"]["train"], "stream": sout["history"]["train"],
          "stream_local": lout["history"]["train"],
          "dec": dout["history"]["total"],
          "dec_labels": np.asarray(dout["labels"]).tolist(),
-         "dec_stream": dsout["history"]["total"]}
+         "dec_stream": dsout["history"]["total"],
+         "label_lines": label_lines}
     ), flush=True)
 """
 
@@ -222,6 +238,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         result["dec_stream"], dref["history"]["total"], rtol=1e-4
     )
+    # header + 8 rows exactly: process 1's save_labels call wrote nothing
+    assert result["label_lines"] == 9
 
 
 class TestProcessBlockMath:

@@ -101,6 +101,20 @@ class TestSTFT:
 
 
 class TestShardedSpectrogram:
+    def test_pallas_eligible_platform_override(self):
+        """Kernel selection keys on the TARGET devices' platform, not the
+        process default backend (review r3: a CPU mesh in a TPU-default
+        process used to get a compiled Mosaic kernel)."""
+        from spectrogram_cube_clustering_tpu.signal.stft import (
+            pallas_eligible,
+        )
+
+        # conftest pins the default backend to cpu
+        assert not pallas_eligible(200, 100)
+        assert pallas_eligible(200, 100, platform="tpu")
+        assert not pallas_eligible(200, 100, platform="cpu")
+        assert not pallas_eligible(200, 33, platform="tpu")  # geometry
+
     def test_matches_single_device(self, rng):
         mesh = make_data_mesh()
         n_dev = mesh.devices.size

@@ -166,6 +166,39 @@ class TestAEC:
             res["history"]["train"], full["history"]["train"], rtol=1e-5
         )
 
+    def test_fused_snapshot_fires_on_boundary_crossing(
+        self, windows, aec_model, tmp_path, monkeypatch
+    ):
+        """sync points rarely land exactly on a snapshot_every multiple;
+        the fused path must snapshot whenever a boundary was CROSSED
+        since the last sync, not only on exact divisibility (review r3:
+        sync_every=8 + snapshot_every=10 used to skip everything until
+        epoch 40)."""
+        from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
+
+        x, _ = windows
+        tra = train.make_batched_data(x[:72], batch_size=36)
+        snap_epochs = []
+        real = ckpt.save_snapshot
+
+        def spy(path, state, meta, **kw):
+            snap_epochs.append(meta["epoch"])
+            return real(path, state, meta, **kw)
+
+        monkeypatch.setattr(ckpt, "save_snapshot", spy)
+        state = train.create_train_state(
+            aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=3e-3
+        )
+        train.train_aec(
+            aec_model, state, tra, None,
+            train.AECConfig(n_epochs=18, early_stopping=False),
+            snapshot_path=str(tmp_path / "SNAP"),
+            snapshot_every=10, sync_every=8,
+        )
+        # syncs at 8, 16, 18: epoch 16 crosses the 10-boundary, 18 is
+        # final; 8 crosses nothing
+        assert snap_epochs == [16, 18]
+
     def test_epoch_loss_matches_direct_mse(self, windows, aec_model):
         x, _ = windows
         tra = train.make_batched_data(x[:70], batch_size=32)  # padded case

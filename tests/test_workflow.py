@@ -639,8 +639,17 @@ def test_stream_dec_predict_with_figures(cube):
     for f in ("q_DEC.npy", "labels_DEC.npy", "cluster_performance.csv",
               "silh_score_Z.png"):
         assert os.path.exists(os.path.join(pred, f)), f
-    assert os.path.isdir(os.path.join(pred, "T-SNE"))
     assert res["labels"].shape[0] == 384
+    # figure filenames are IDENTICAL to the ram path's (review r3: stream
+    # used to write Gallery/Gallery.png etc. via save_figures defaults)
+    for d, f in (("T-SNE", "t-SNE.png"), ("Gallery", "gallery.png"),
+                 ("LatentSpace", "latent.png"), ("CDF", "cdf.png"),
+                 ("PDF", "pdf.png")):
+        assert os.path.exists(os.path.join(pred, d, f)), f"{d}/{f}"
+    # Xr is streamed into an on-disk .npy, not accumulated in host RAM
+    xr = np.load(os.path.join(pred, "Xr_DEC.npy"), mmap_mode="r")
+    assert xr.shape == (384, 1, 4, 101)
+    assert np.isfinite(np.asarray(xr[:4])).all()
 
 
 # ---- H5 event-catalog workflow (datafiletype='h5') ------------------------
