@@ -241,8 +241,11 @@ def measure_stream_throughput(
 
     x, _ = scc.data.synthetic_windows(n_samples, n_classes=5, seed=0)
     x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
-    item = 512  # windows per loader item (one zarr-chunk-ish read)
+    item = min(512, n_samples)  # windows per loader item (zarr-chunk-ish)
     n_items = n_samples // item
+    # the loader streams whole items; rate accounting uses what actually
+    # streamed, not the requested n_samples (which may not divide evenly)
+    streamed = n_items * item
 
     def make_loader():
         return scc.data.PrefetchLoader(
@@ -269,7 +272,7 @@ def measure_stream_throughput(
         t0 = time.perf_counter()
         for _ in range(epochs):
             state, loss = one_epoch(state)
-        rates.append(n_samples * epochs / (time.perf_counter() - t0))
+        rates.append(streamed * epochs / (time.perf_counter() - t0))
     med, spread = _rep_stats(rates)
     return med, float(loss), spread
 

@@ -329,12 +329,16 @@ def tsne_jax(
     if learning_rate is None:
         learning_rate = max(m / 12.0, 1.0)
 
-    p = _joint_p(jnp.asarray(data), jnp.float32(perplexity))
+    # row-block size for the O(M^2) passes: capped near m (rounded up to
+    # a 256-row tile) so figure-scale calls (m ~ 1e3) don't pad to 4096
+    # rows and drag the pad rows through all n_iter gradient iterations
+    chunk = min(4096, max(256, -(-m // 256) * 256))
+    p = _joint_p(jnp.asarray(data), jnp.float32(perplexity), chunk=chunk)
     y0 = 1e-4 * jax.random.normal(
         jax.random.key(seed), (m, 2), dtype=jnp.float32
     )
     y, _ = _optimize(
         p, y0, jnp.float32(learning_rate), jnp.float32(early_exaggeration),
-        n_iter,
+        n_iter, chunk=chunk,
     )
     return np.asarray(y)

@@ -234,7 +234,10 @@ def train_aec_stream(
         strikes = meta["strikes"]
         if meta.get("have_best"):
             best_params = extra
+    finished = False
+    last_epoch = start_epoch
     for epoch in range(start_epoch, config.n_epochs):
+        last_epoch = epoch + 1
         # losses stay on device until epoch end: a float() per batch would
         # serialize every step on the dispatch round trip (disastrous on
         # remote-attached devices — benchmarks/RESULTS.md streaming notes)
@@ -267,6 +270,7 @@ def train_aec_stream(
             else:
                 strikes += 1
             if epoch > config.patience and strikes > config.patience:
+                finished = True
                 break
         if snapshot_path is not None and (epoch + 1) % snapshot_every == 0:
             ckpt.save_snapshot(
@@ -280,6 +284,10 @@ def train_aec_stream(
     return {
         "state": state, "final_params": final, "best_val": best_val,
         "history": history,
+        # same result contract as train_aec (the workflow's shared
+        # artifact writer keys on last_epoch)
+        "stopped_early": finished,
+        "last_epoch": last_epoch,
     }
 
 

@@ -77,13 +77,20 @@ def _h5_windows(config) -> np.ndarray:
     """
     ftype = getattr(config, "h5_ftype", None) or "h5"
     if ftype == "np":
-        from spectrogram_cube_clustering_tpu.data.h5 import SeismicDataset
-
-        ds = SeismicDataset(
-            config.fname_dataset, "np",
-            transform=None,  # workflow applies config.transform afterwards
-        )
-        x = np.moveaxis(ds.load_all(), 1, -1).astype(np.float32)  # NHWC
+        # convert_h5_to_np output: (M, 1, H, W) NCHW, already cropped (and
+        # default-normalized at conversion time, data/h5.py) — load
+        # directly rather than through SeismicDataset's crop pipeline,
+        # which would crop a second time (the reference's np path has the
+        # same latent double-crop hazard, utils.py:272-278 with the
+        # default transform)
+        x = np.load(config.fname_dataset)
+        if x.ndim != 4 or x.shape[1] != 1:
+            raise ValueError(
+                "h5_ftype='np' expects a (M, 1, H, W) catalog dump "
+                f"(convert_h5_to_np output); got shape {x.shape} in "
+                f"{config.fname_dataset}"
+            )
+        x = np.moveaxis(x, 1, -1).astype(np.float32)  # NHWC
     else:
         # contiguous block reads (one H5 slice per 4096 events) instead of
         # SeismicDataset's one-open-one-read per event — orders of
@@ -118,10 +125,17 @@ def load_windows(
     datafiletype 'zarr' (default) reads the chunked cube; 'waveform' runs
     the on-device STFT over a raw .npy waveform first; 'h5' reads the
     event-catalog spectrograms (one window per catalog event).
+
+    Every branch records the produced window geometry in
+    `config.input_hw` so make_model builds the matching model — without
+    this, nperseg/window_rows overrides or a non-(4, 101) cube would feed
+    windows into the default-geometry model and fail with a shape error
+    inside the first jitted step.
     """
     ftype = getattr(config, "datafiletype", None)
     if ftype == "waveform":
         x = _waveform_windows(config)
+        config.input_hw = (int(x.shape[1]), int(x.shape[2]))
         if not split:
             return x, None
         idx_tra, idx_val = train_val_split(len(x))
@@ -136,6 +150,7 @@ def load_windows(
         config.index_val = np.asarray(idx_val)
         return x[idx_tra], x[idx_val]
     ds = ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
+    config.input_hw = tuple(int(v) for v in ds.window_shape[:2])
     if not split:
         return ds.load_all_windows(), None
     idx_tra, idx_val = train_val_split(len(ds))

@@ -93,7 +93,10 @@ def make_model(config, n_clusters: Optional[int] = None):
 
 
 def _tb_writer(config, logdir):
-    if not getattr(config, "tb", False):
+    # process 0 only: on a multi-host run every process reaches this, but
+    # competing event writers in one shared logdir corrupt the TB stream
+    # (same gating as checkpoint saves and history CSVs)
+    if not getattr(config, "tb", False) or jax.process_index() != 0:
         return None, None
     from torch.utils.tensorboard import SummaryWriter
 
@@ -107,6 +110,49 @@ def _tb_writer(config, logdir):
 
 def sample_input(x: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(x[: min(2, len(x))])
+
+
+def _save_aec_artifacts(config, model, out, sample_x, writer=None):
+    """AEC run artifacts shared by the ram and stream paths: history CSV,
+    final params, reconstruction panel, TB figure + weights breadcrumb.
+
+    History/checkpoint writers gate on process 0 internally; the figure
+    and TB writes are gated here — on a multi-host run every process
+    executes the training loop, but concurrent writers into one shared
+    run dir tear the PNG/event files.
+    """
+    _utils.save_history(
+        {"Epoch": out["history"]["epoch"],
+         "Training MSE": out["history"]["train"],
+         "Validation MSE": out["history"]["validation"]},
+        os.path.join(config.savepath_run, "AEC_history.csv"),
+    )
+    final_path = os.path.join(config.savepath_run, "AEC_Params_Final")
+    save(final_path, out["final_params"])
+    if jax.process_index() != 0:
+        return final_path
+    # final reconstruction panel (the reference's TB figure hook is
+    # commented out, models.py:810-841; here it lands in the run dir)
+    from spectrogram_cube_clustering_tpu.analysis import plotting
+
+    n_show = min(4, len(sample_x))
+    xr, _ = model.apply(
+        {"params": out["final_params"]}, jnp.asarray(sample_x[:n_show])
+    )
+    fig = plotting.view_specgram_training(
+        sample_x[:n_show], np.asarray(xr), n_samples=n_show,
+        figtitle=f"AEC reconstructions (epoch {out['last_epoch']})",
+    )
+    fig.savefig(
+        os.path.join(config.savepath_run, "AEC_reconstructions.png"),
+        dpi=200, facecolor="w",
+    )
+    if writer is not None:
+        writer.add_figure("Reconstructions", fig)
+        # breadcrumb (reference models.py:924)
+        writer.add_text("Path to Saved Weights", final_path)
+        writer.close()
+    return final_path
 
 
 def _normalize(config, x: Optional[np.ndarray]) -> Optional[np.ndarray]:
@@ -184,8 +230,9 @@ def load_aec_params(config, model) -> dict:
                 "or 'packed' (the reference's UNet-pretrain/AEC-refine "
                 "mismatch transfers no weights, SURVEY.md §2.3 defect 2)"
             )
-        aec_params = restore(config.saved_weights, _init_template(src, hw))
-        _check_restored_shapes(aec_params, _init_template(src, hw), "AEC")
+        src_template = _init_template(src, hw)
+        aec_params = restore(config.saved_weights, src_template)
+        _check_restored_shapes(aec_params, src_template, "AEC")
         from spectrogram_cube_clustering_tpu.models.dec import (
             load_encoder_decoder_from_aec,
         )
@@ -305,8 +352,9 @@ def _stream_sharding(config, mesh, batch_size: int):
 def _stream_dataset(config):
     """The streaming item source for loadmode='stream': the Zarr cube by
     default, or the H5 event catalog (`datafiletype='h5'`,
-    data.h5.H5StreamDataset block reader). Sets `config.input_hw` for H5
-    so make_model builds the matching geometry."""
+    data.h5.H5StreamDataset block reader). Sets `config.input_hw` so
+    make_model builds the matching geometry (same contract as
+    workflow.data.load_windows)."""
     from spectrogram_cube_clustering_tpu.data import ZarrCubeDataset
     from spectrogram_cube_clustering_tpu.workflow.data import _cube_spec
 
@@ -317,9 +365,10 @@ def _stream_dataset(config):
             config.fname_dataset,
             block=int(getattr(config, "h5_stream_block", None) or 256),
         )
-        config.input_hw = tuple(int(v) for v in ds.window_shape[:2])
-        return ds
-    return ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
+    else:
+        ds = ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))
+    config.input_hw = tuple(int(v) for v in ds.window_shape[:2])
+    return ds
 
 
 def _replicate_state(state, mesh):
@@ -393,18 +442,8 @@ def _train_stream(config, mesh=None):
                 snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
                 resume=bool(getattr(config, "resume", False)),
             )
-            _utils.save_history(
-                {"Epoch": out["history"]["epoch"],
-                 "Training MSE": out["history"]["train"],
-                 "Validation MSE": out["history"]["validation"]},
-                os.path.join(config.savepath_run, "AEC_history.csv"),
-            )
-            save(
-                os.path.join(config.savepath_run, "AEC_Params_Final"),
-                out["final_params"],
-            )
-            # same artifacts as the ram path: TB scalars + final
-            # reconstruction panel on a sample batch
+            # same artifacts as the ram path; TB scalars replayed from the
+            # history (the stream loop has no live log_scalar hook)
             writer, log_scalar = _tb_writer(config, config.savepath_run)
             if log_scalar is not None:
                 for e, tr, va in zip(out["history"]["epoch"],
@@ -412,25 +451,15 @@ def _train_stream(config, mesh=None):
                                      out["history"]["validation"]):
                     log_scalar("Training MSE", tr, e)
                     log_scalar("Validation MSE", va, e)
-            from spectrogram_cube_clustering_tpu.analysis import plotting
-
-            x_show = item_fn(0)[:4]
-            xr, _ = model.apply(
-                {"params": out["final_params"]}, jnp.asarray(x_show)
+            _save_aec_artifacts(
+                config, model, out, item_fn(0)[:4], writer=writer
             )
-            fig = plotting.view_specgram_training(
-                x_show, np.asarray(xr), n_samples=len(x_show),
-                figtitle="AEC reconstructions (stream)",
-            )
-            fig.savefig(
-                os.path.join(config.savepath_run, "AEC_reconstructions.png"),
-                dpi=200, facecolor="w",
-            )
-            if writer is not None:
-                writer.add_figure("Reconstructions", fig)
-                writer.close()
         elif config.model == "DEC":
-            n_clusters = int(hp.get("n_clusters", 5))
+            # same fallback chain as the ram path (_train_dec_run):
+            # hp sweep value, else config-level n_clusters, else 5
+            n_clusters = int(
+                hp.get("n_clusters", getattr(config, "n_clusters", 5))
+            )
             model = make_model(config, n_clusters=n_clusters)
             state = _train.create_train_state(
                 model, jax.random.key(getattr(config, "seed", 0) or 0),
@@ -561,36 +590,7 @@ def _train_aec_run(config, hp, tra_x, val_x, mesh):
         # device and amortizes host round trips (train_aec docstring)
         sync_every=int(getattr(config, "sync_every", None) or 1),
     )
-    _utils.save_history(
-        {"Epoch": out["history"]["epoch"],
-         "Training MSE": out["history"]["train"],
-         "Validation MSE": out["history"]["validation"]},
-        os.path.join(config.savepath_run, "AEC_history.csv"),
-    )
-    final_path = os.path.join(config.savepath_run, "AEC_Params_Final")
-    save(final_path, out["final_params"])
-
-    # final reconstruction panel (the reference's TB figure hook is
-    # commented out, models.py:810-841; here it lands in the run dir)
-    from spectrogram_cube_clustering_tpu.analysis import plotting
-
-    n_show = min(4, len(tra_x))
-    xr, _ = model.apply(
-        {"params": out["final_params"]}, jnp.asarray(tra_x[:n_show])
-    )
-    fig = plotting.view_specgram_training(
-        tra_x[:n_show], np.asarray(xr), n_samples=n_show,
-        figtitle=f"AEC reconstructions (epoch {out['last_epoch']})",
-    )
-    fig.savefig(
-        os.path.join(config.savepath_run, "AEC_reconstructions.png"),
-        dpi=200, facecolor="w",
-    )
-    if writer is not None:
-        writer.add_figure("Reconstructions", fig)
-        # breadcrumb (reference models.py:924)
-        writer.add_text("Path to Saved Weights", final_path)
-        writer.close()
+    _save_aec_artifacts(config, model, out, tra_x, writer=writer)
     out["savepath_run"] = config.savepath_run
     return out
 
@@ -630,7 +630,13 @@ def _train_dec_run(config, hp, tra_x, mesh):
         def snapshot_cb(epoch, labels, z, centroids):
             # t-SNE + figure families on the training snapshot, persisted
             # off-thread (reference models.py:1166-1192); honors
-            # `tsne_backend=jax` the same as fit/predict do
+            # `tsne_backend=jax` the same as fit/predict do. The callback
+            # stays non-None on every process (its presence gates the
+            # snapshot eval inside train_dec, which all processes must
+            # issue), but the host-side t-SNE + figure writes run on
+            # process 0 only.
+            if jax.process_index() != 0:
+                return
             from spectrogram_cube_clustering_tpu.workflow.fit import _tsne
 
             figs = plotting.analyze_dec(

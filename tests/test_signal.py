@@ -224,6 +224,34 @@ class TestWaveformWorkflow:
         n_windows = n_frames // 4
         assert tra.shape[0] + val.shape[0] == n_windows
         assert tra.shape[1:] == (4, 101, 1)
+        assert tuple(config.input_hw) == (4, 101)
+
+    def test_nperseg_override_sets_input_hw(self, rng, tmp_path):
+        """nperseg/hop/window_rows overrides flow into config.input_hw so
+        make_model builds the matching geometry (round-3 review: the
+        waveform path never set it, so non-default nperseg windows hit the
+        fixed (4, 101) model and failed inside the first jitted step)."""
+        import types
+
+        import jax
+
+        from spectrogram_cube_clustering_tpu.workflow.data import load_data
+        from spectrogram_cube_clustering_tpu.workflow.train import make_model
+
+        wave = rng.normal(size=(20_000,)).astype(np.float32)
+        path = str(tmp_path / "wave.npy")
+        np.save(path, wave)
+        config = types.SimpleNamespace(
+            model="AEC", mode="train", fname_dataset=path,
+            datafiletype="waveform", nperseg=128, hop=64, window_rows=8,
+        )
+        tra, _ = load_data(config)
+        assert tra.shape[1:] == (8, 65, 1)
+        assert tuple(config.input_hw) == (8, 65)
+        model = make_model(config)
+        params = model.init(jax.random.key(0), jnp.asarray(tra[:2]))
+        xr, z = model.apply(params, jnp.asarray(tra[:2]))
+        assert xr.shape == (2, 8, 65, 1)
 
 
 class TestShardedGMM:

@@ -585,7 +585,10 @@ def test_unet_arch_workflow(cube):
 
 def test_stream_dec_train_artifacts(cube):
     """Streaming DEC training writes the same artifact set as the ram
-    path — including DEC_Params_Initial (review r3)."""
+    path — including DEC_Params_Initial (review r3). n_clusters sits at
+    the PARAMETERS (config) level, not in the hp sweep: the stream path
+    must honor the same fallback chain as the ram path (review r3 —
+    it previously hardcoded 5)."""
     root, cube_path, _ = cube
     config = _make_config(
         root, cube_path, "AEC", "train",
@@ -597,15 +600,16 @@ def test_stream_dec_train_artifacts(cube):
     config = _make_config(
         root, cube_path, "DEC", "train",
         {"n_epochs": 1, "saved_weights": weights, "init": "kmeans",
-         "km_n_init": 2, "loadmode": "stream", "workers": "2"},
-        {"batch_size": "64", "lr": "0.001", "n_clusters": "3",
-         "gamma": "0.001", "tol": "0.0"},
+         "km_n_init": 2, "loadmode": "stream", "workers": "2",
+         "n_clusters": 3},
+        {"batch_size": "64", "lr": "0.001", "gamma": "0.001", "tol": "0.0"},
     )
     [dec] = workflow.train(config)
     run = dec["savepath_run"]
     for name in ("DEC_Params_Initial", "DEC_Params_Final"):
         assert os.path.isdir(os.path.join(run, name)), name
     assert os.path.exists(os.path.join(run, "DEC_history.csv"))
+    assert dec["state"].params["centroids"].shape[0] == 3
 
 
 def test_stream_dec_predict_with_figures(cube):
@@ -780,6 +784,34 @@ def test_h5_catalog_workflow(h5_catalog, monkeypatch):
     # the trace reader was handed to the gallery and reads /4.0/Trace
     assert seen["traces"] is not None
     assert seen["traces"](0).shape == (200,)
+
+
+def test_h5_np_catalog_load(h5_catalog, tmp_path):
+    """h5_ftype='np' loads convert_h5_to_np dumps (M, 1, 87, 100) directly
+    — no second crop pass (round-3 review: the np path re-ran the crop
+    pipeline, yielding 5-D windows and input_hw=(1, 86))."""
+    import types
+
+    from spectrogram_cube_clustering_tpu.data.h5 import convert_h5_to_np
+    from spectrogram_cube_clustering_tpu.workflow.data import load_windows
+
+    _, h5_path, _ = h5_catalog
+    dest = str(tmp_path / "cat.npy")
+    convert_h5_to_np(h5_path, dest)
+    config = types.SimpleNamespace(
+        fname_dataset=dest, datafiletype="h5", h5_ftype="np"
+    )
+    tra, val = load_windows(config, split=True)
+    assert tra.shape[1:] == (87, 100, 1)
+    assert len(tra) + len(val) == H5_M
+    assert tuple(config.input_hw) == (87, 100)
+
+    # anything not shaped like a catalog dump is rejected loudly
+    bad = str(tmp_path / "bad.npy")
+    np.save(bad, np.zeros((4, 87, 100), np.float32))
+    config.fname_dataset = bad
+    with pytest.raises(ValueError, match="h5_ftype='np'"):
+        load_windows(config, split=False)
 
 
 def test_packed_arch_workflow(cube):
