@@ -95,23 +95,26 @@ def _gmm_fit_jit(z, weights0, means0, max_iter, tol, reg_covar):
     covs0 = _init_covariances(z, means0, reg_covar)
 
     def cond(state):
-        _, _, _, prev_lb, lb, it = state
+        _, _, _, _, prev_lb, lb, it = state
         return jnp.logical_and(it < max_iter, jnp.abs(lb - prev_lb) >= tol)
 
     def body(state):
-        weights, means, covs, _, lb, it = state
-        _, log_resp = _e_step(z, weights, means, covs)
+        # the carried log_resp is the E-step of the current params, so
+        # each iteration pays exactly one E-step (M then E) — the lb of
+        # the new params doubles as the next iteration's responsibilities
+        _, _, _, log_resp, _, lb, it = state
         weights, means, covs = _m_step(z, log_resp, reg_covar)
-        new_lb, _ = _e_step(z, weights, means, covs)
-        return weights, means, covs, lb, new_lb, it + 1
+        new_lb, new_log_resp = _e_step(z, weights, means, covs)
+        return weights, means, covs, new_log_resp, lb, new_lb, it + 1
 
     lb0, log_resp0 = _e_step(z, weights0, means0, covs0)
     w, mu, cov = _m_step(z, log_resp0, reg_covar)
-    lb1, _ = _e_step(z, w, mu, cov)
-    state = (w, mu, cov, lb0, lb1, jnp.array(1))
-    weights, means, covs, prev_lb, lb, n_iter = lax.while_loop(cond, body, state)
+    lb1, log_resp1 = _e_step(z, w, mu, cov)
+    state = (w, mu, cov, log_resp1, lb0, lb1, jnp.array(1))
+    weights, means, covs, log_resp, prev_lb, lb, n_iter = lax.while_loop(
+        cond, body, state
+    )
 
-    _, log_resp = _e_step(z, weights, means, covs)
     labels = jnp.argmax(log_resp, axis=1)
     converged = jnp.abs(lb - prev_lb) < tol
     return labels, GMMState(weights, means, covs, lb, n_iter, converged)

@@ -348,11 +348,16 @@ def train_aec(
         strikes = meta["strikes"]
         if meta.get("have_best"):
             best_params = extra
+        # a fused-path snapshot written at the early stop carries done=True;
+        # honor it instead of training past the stopping point
+        finished = bool(meta.get("done", False))
         if config.verbose:
             print(f"Resumed from {snapshot_path} at epoch {start_epoch}")
 
     epoch = start_epoch - 1
-    for epoch in range(start_epoch, config.n_epochs):
+    for epoch in (
+        () if finished else range(start_epoch, config.n_epochs)
+    ):
         state, tra_loss = train_epoch(state, tra.x, tra.mask)
         tra_loss = float(tra_loss)
         val_loss = (
@@ -446,6 +451,7 @@ def _train_aec_fused(
         loop["best_val"] = jnp.float32(meta["best_val"])
         loop["strikes"] = jnp.int32(meta["strikes"])
         loop["have_best"] = jnp.bool_(bool(meta.get("have_best")))
+        loop["done"] = jnp.bool_(bool(meta.get("done", False)))
         if meta.get("have_best"):
             loop["best_params"] = extra
         for e, t, v in zip(history["epoch"], history["train"],
@@ -458,7 +464,7 @@ def _train_aec_fused(
     epoch = int(loop["epoch"])
     prev_best = float(loop["best_val"])
     val_x, val_mask = (val.x, val.mask) if val is not None else (None, None)
-    while epoch < n_epochs:
+    while epoch < n_epochs and not bool(loop["done"]):
         epoch_end = min(epoch + int(sync_every), n_epochs)
         state, loop = run(
             state, tra.x, tra.mask, val_x, val_mask, loop,
@@ -502,7 +508,10 @@ def _train_aec_fused(
                 snapshot_path, state,
                 {"epoch": new_epoch, "history": history,
                  "best_val": float(loop["best_val"]),
-                 "strikes": int(loop["strikes"]), "have_best": have_best},
+                 "strikes": int(loop["strikes"]), "have_best": have_best,
+                 # early-stop flag: without it, resuming from a snapshot
+                 # written AT the stop would train past the stopping point
+                 "done": done},
                 extra=loop["best_params"] if have_best else state.params,
             )
         epoch = new_epoch

@@ -88,6 +88,24 @@ def _pad_p(p: jnp.ndarray, n_batches: int, batch: int) -> jnp.ndarray:
     return flat.reshape(n_batches, batch, k)
 
 
+def _dec_loss(model, gamma: float, params, x, mask, p):
+    """Masked DEC loss: per-sample MSE over valid rows + gamma * KL(p‖q)
+    normalized by the valid count (reference models.py:1121-1128).
+
+    The single loss body shared by the segment-scan and streaming step
+    builders — their documented parity ("semantics match train_dec")
+    depends on this staying one definition."""
+    q, x_rec, _ = model.apply({"params": params}, x)
+    d = x_rec - x
+    per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
+    nvalid = jnp.maximum(jnp.sum(mask), 1.0)
+    rec = jnp.sum(per * mask) / nvalid
+    log_q = jnp.log(jnp.maximum(q, jnp.finfo(q.dtype).tiny))
+    row_kld = jnp.sum(xlogy(p, p) - p * log_q, axis=-1)
+    clust = gamma * jnp.sum(row_kld * mask) / nvalid
+    return rec + clust, (rec, clust, nvalid)
+
+
 def _dec_batch_step(model, gamma: float):
     """Single DEC train step (shared by the segment scans): returns
     (state, (loss*nv, rec*nv, clust*nv, nv)) for one (x, mask, p) batch."""
@@ -96,15 +114,7 @@ def _dec_batch_step(model, gamma: float):
         x, mask, p = batch
 
         def lf(params):
-            q, x_rec, _ = model.apply({"params": params}, x)
-            d = x_rec - x
-            per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
-            nvalid = jnp.maximum(jnp.sum(mask), 1.0)
-            rec = jnp.sum(per * mask) / nvalid
-            log_q = jnp.log(jnp.maximum(q, jnp.finfo(q.dtype).tiny))
-            row_kld = jnp.sum(xlogy(p, p) - p * log_q, axis=-1)
-            clust = gamma * jnp.sum(row_kld * mask) / nvalid
-            return rec + clust, (rec, clust, nvalid)
+            return _dec_loss(model, gamma, params, x, mask, p)
 
         (loss, (rec, clust, nvalid)), grads = jax.value_and_grad(
             lf, has_aux=True
@@ -254,15 +264,8 @@ def make_stream_fns(model, gamma: float):
         mask = (jnp.arange(x.shape[0]) < n_valid).astype(x.dtype)
 
         def lf(params):
-            q, x_rec, _ = model.apply({"params": params}, x)
-            d = x_rec - x
-            per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
-            nv = jnp.maximum(n_valid, 1.0)
-            rec = jnp.sum(per * mask) / nv
-            log_q = jnp.log(jnp.maximum(q, jnp.finfo(q.dtype).tiny))
-            row_kld = jnp.sum(xlogy(p, p) - p * log_q, axis=-1)
-            clust = gamma * jnp.sum(row_kld * mask) / nv
-            return rec + clust, (rec, clust)
+            loss, (rec, clust, _) = _dec_loss(model, gamma, params, x, mask, p)
+            return loss, (rec, clust)
 
         (loss, (rec, clust)), grads = jax.value_and_grad(lf, has_aux=True)(
             state.params
@@ -356,7 +359,14 @@ def train_dec_stream(
         labels_prev, centroids = (
             np.asarray(initial[0]), np.asarray(initial[1]),
         )
-    else:
+    elif config.init == "rand":
+        # same semantics as initialize_clusters' 'rand' (scan path)
+        rng = np.random.default_rng(config.seed)
+        labels_prev = rng.integers(0, config.n_clusters, size=m_total)
+        centroids = rng.uniform(
+            size=(config.n_clusters, model.latent_dim)
+        ).astype(np.float32)
+    elif config.init in ("kmeans", "gmm"):
         from spectrogram_cube_clustering_tpu import cluster as _cluster
 
         _, _, z = full_eval_stream(eval_step, state.params, make_loader, m_total)
@@ -370,6 +380,8 @@ def train_dec_stream(
         labels_prev, centroids = fn(z, config.n_clusters, seed=config.seed, **kw)
         labels_prev = np.asarray(labels_prev)
         centroids = np.asarray(centroids)
+    else:
+        raise ValueError(f"unknown init {config.init!r}")
 
     state = state.replace(
         params=replace_centroids(state.params, jnp.asarray(centroids))
@@ -442,9 +454,9 @@ def _train_dec_stream_loop(
                 bsz = x.shape[0]
                 update_interval = max(int(np.ceil(m_total / (bsz * 2))), 1)
             else:
-                update_interval = max(
-                    int(np.ceil(m_total / (x.shape[0] * config.update_interval))), 1
-                )
+                # batches between refreshes (reference models.py:1093),
+                # same as the scan path
+                update_interval = max(int(config.update_interval), 1)
             if batch_num % update_interval == 0 and not (
                 batch_num == 0 and epoch == 0
             ):
@@ -538,9 +550,13 @@ def train_dec(
     nb = data.n_batches
     bsz = data.batch_size
     if config.update_interval == -1:
+        # -1 => 2 refreshes/epoch (reference models.py:986-989)
         update_interval = int(np.ceil(m / (bsz * 2)))
     else:
-        update_interval = int(np.ceil(m / (bsz * config.update_interval)))
+        # explicit values are BATCHES between refreshes, gated directly —
+        # reference models.py:1093 (batch_num % update_interval), not a
+        # refreshes-per-epoch count
+        update_interval = int(config.update_interval)
     update_interval = max(update_interval, 1)
 
     start_epoch = 0

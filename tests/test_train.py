@@ -134,6 +134,38 @@ class TestAEC:
         ref, fused = run(1), run(7)
         assert fused["stopped_early"] and fused["last_epoch"] == ref["last_epoch"] == 4
 
+    def test_fused_resume_after_early_stop_stays_stopped(
+        self, windows, aec_model, tmp_path
+    ):
+        """A fused-path snapshot written AT the early stop carries
+        done=True; resuming from it must not train past the stopping
+        point (round-3 review: the flag wasn't persisted, so a resume
+        after preemption-at-stop appended extra epochs)."""
+        x, _ = windows
+        tra = train.make_batched_data(x[:72], batch_size=36)
+        cfg = train.AECConfig(n_epochs=20, early_stopping=True, patience=2)
+        snap = str(tmp_path / "SNAP")
+        state = train.create_train_state(
+            aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=0.0
+        )
+        stopped = train.train_aec(
+            aec_model, state, tra, tra, cfg,
+            snapshot_path=snap, sync_every=7,
+        )
+        assert stopped["stopped_early"]
+        for sync_every in (1, 7):  # per-epoch and fused resume paths
+            res = train.train_aec(
+                aec_model,
+                train.create_train_state(
+                    aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=0.0
+                ),
+                tra, tra, cfg,
+                snapshot_path=snap, resume=True, sync_every=sync_every,
+            )
+            assert res["stopped_early"]
+            assert res["last_epoch"] == stopped["last_epoch"]
+            assert res["history"]["epoch"] == stopped["history"]["epoch"]
+
     def test_fused_snapshot_resume_interop(self, windows, aec_model, tmp_path):
         """A snapshot written by the fused path resumes in the per-epoch
         path (and the result matches an uninterrupted run)."""
@@ -294,6 +326,86 @@ class TestDEC:
         np.testing.assert_allclose(
             h_scan["reconstruction"], h_stream["reconstruction"], rtol=1e-4
         )
+
+    def test_update_interval_counts_batches(self, windows):
+        """An explicit update_interval is BATCHES between target refreshes
+        (reference models.py:1093 gates batch_num % update_interval), not
+        a refreshes-per-epoch count (round-3 review). nb=6, interval=2,
+        2 epochs -> refreshes at batch 0/2/4 each epoch minus the skipped
+        first batch of epoch 0 = 5, in BOTH the scan and stream paths."""
+        x, _ = windows
+        nb, bsz, n_epochs = 6, 40, 2
+        dec_model = models.DEC(n_clusters=3)
+        cfg = train.DECConfig(
+            n_clusters=3, n_epochs=n_epochs, tol=0.0, init="load",
+            update_interval=2,
+        )
+        init = (
+            np.zeros(len(x), np.int64),
+            np.full((3, 9), 0.5, np.float32),
+        )
+        data = train.make_batched_data(x, batch_size=bsz)
+        state = train.create_train_state(
+            dec_model, jax.random.key(3), jnp.asarray(x[:4]), lr=1e-3
+        )
+        out_scan = train.train_dec(dec_model, state, data, cfg, initial=init)
+        assert len(out_scan["deltas"]["iteration"]) == 5
+
+        from spectrogram_cube_clustering_tpu.data import PrefetchLoader
+
+        items = [x[i : i + bsz] for i in range(0, len(x), bsz)]
+        state2 = train.create_train_state(
+            dec_model, jax.random.key(3), jnp.asarray(x[:4]), lr=1e-3
+        )
+        out_stream = train.train_dec_stream(
+            dec_model, state2,
+            lambda: PrefetchLoader(
+                lambda i: items[i], len(items), bsz, num_workers=2
+            ),
+            len(x), cfg, initial=init,
+        )
+        assert len(out_stream["deltas"]["iteration"]) == 5
+
+    def test_stream_init_rand_and_unknown(self, windows):
+        """The stream path supports init='rand' like initialize_clusters
+        and rejects unknown init names instead of silently running a GMM
+        (round-3 review)."""
+        from spectrogram_cube_clustering_tpu.data import PrefetchLoader
+
+        x, _ = windows
+        bsz = 40
+        items = [x[i : i + bsz] for i in range(0, len(x), bsz)]
+        dec_model = models.DEC(n_clusters=3)
+
+        def mk_loader():
+            return PrefetchLoader(
+                lambda i: items[i], len(items), bsz, num_workers=2
+            )
+
+        def mk_state():
+            return train.create_train_state(
+                dec_model, jax.random.key(3), jnp.asarray(x[:4]), lr=1e-3
+            )
+
+        cfg = train.DECConfig(
+            n_clusters=3, n_epochs=1, tol=0.0, init="rand", seed=7,
+        )
+        out = train.train_dec_stream(
+            dec_model, mk_state(), mk_loader, len(x), cfg
+        )
+        rng = np.random.default_rng(7)
+        want_labels = rng.integers(0, 3, size=len(x))
+        want_centroids = rng.uniform(size=(3, 9)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(out["initial_params"]["centroids"]), want_centroids
+        )
+        del want_labels  # labels only seed the delta criterion
+
+        with pytest.raises(ValueError, match="unknown init"):
+            train.train_dec_stream(
+                dec_model, mk_state(), mk_loader, len(x),
+                train.DECConfig(n_clusters=3, n_epochs=1, init="gm"),
+            )
 
     def test_losses_accumulate_and_improve(self, windows):
         x, _ = windows
