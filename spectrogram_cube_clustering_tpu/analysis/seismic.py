@@ -9,10 +9,13 @@ written as day-long MSEED files.
 obspy does not ship in this image, and is NOT required: `sac2mseed` runs
 on the from-scratch `analysis.sacio` backend (SAC reader, Trace/Stream
 ops, miniSEED writer) when obspy is absent, and response removal is
-native pole-zero spectral division (`remove_response_native`). obspy,
-when installed, is preferred for IO (backend='auto') and remains the
-fallback for non-pole-zero RESP files (the reference additionally shells
-out to an external `evalresp` binary, environment.py:434-441).
+native spectral division over the RESP's full stage chain — analog
+pole-zero (B053) AND digital FIR/IIR coefficient stages (B054/B061 with
+B057 decimation rates) — via `remove_response_native`. obspy, when
+installed, is preferred for IO (backend='auto') and remains the fallback
+only for polynomial (B062) responses, which spectral division cannot
+invert (the reference additionally shells out to an external `evalresp`
+binary, environment.py:434-441).
 """
 
 from __future__ import annotations
@@ -157,9 +160,10 @@ def remove_response(
 
     The reference invokes an external `evalresp` executable and hand-rolls
     the deconvolution (environment.py:262-521, after Zhao Chen); here the
-    RESP's pole-zero stages are evaluated and divided out natively
-    (`remove_response_native`), with obspy `simulate(seedresp=...)` as the
-    fallback for RESP files without pole-zero stages.
+    RESP's stage chain (analog pole-zero + digital FIR/IIR) is evaluated
+    and divided out natively (`remove_response_native`), with obspy
+    `simulate(seedresp=...)` as the fallback for responses the native
+    path cannot invert (polynomial B062, malformed files).
     """
     try:
         trace.data = remove_response_native(
@@ -306,7 +310,8 @@ def compute_response(resp_path: str, f_min: float, f_max: float, n_f: int):
 # The reference's pipeline is: evalresp computes the response curve, then
 # taper + spectral division with regularization (environment.py:385-521,
 # after Zhao Chen). Here the response is evaluated directly from the RESP
-# file's pole-zero stages and divided out with obspy-convention water-level
+# file's stage chain (analog pole-zero + digital FIR/IIR coefficient
+# stages) and divided out with obspy-convention water-level
 # regularization, entirely in numpy.
 
 _UNIT_DERIVS = {"M": 0, "M/S": 1, "M/S**2": 2}
@@ -319,18 +324,65 @@ def parse_resp_paz(resp_path: str) -> dict:
     "sensitivity": float, "input_units": str}. Each B053 blockette opens a
     stage: transfer type A (Laplace, rad/s) or B (Hz), A0 normalization,
     complex zeros (B053F10-13) and poles (B053F15-18). The overall
-    sensitivity is the stage-0 B058F04 Sensitivity line (digital FIR
-    stages contribute their gain through it; their passband shape is
-    ~unity at the frequencies this pipeline uses). Raises ValueError when
-    the file carries no pole-zero stage (e.g. polynomial responses) —
-    callers fall back to obspy.
+    sensitivity is the stage-0 B058F04 Sensitivity line. Raises ValueError
+    when the file carries no pole-zero stage — use `parse_resp_stages` for
+    the full analog + digital stage chain.
     """
-    import numpy as np  # noqa: F401  (kept for symmetry with siblings)
+    full = parse_resp_stages(resp_path)
+    if not full["paz_stages"]:
+        raise ValueError(f"no pole-zero (B053) stages in {resp_path}")
+    return {"stages": full["paz_stages"],
+            "sensitivity": full["sensitivity"],
+            "input_units": full["input_units"]}
 
-    stages = []
-    current = None
-    seen_seq = set()
+
+def parse_resp_stages(resp_path: str) -> dict:
+    """Parse the full response-stage chain of a SEED RESP text file.
+
+    Covers analog pole-zero stages (blockette 053), digital coefficient
+    stages (054: FIR numerators + optional IIR denominators), FIR stages
+    (061, with SEED symmetry codes A/B/C), and per-stage decimation info
+    (057: input sample rate + applied delay correction) — everything the
+    reference delegates to the external `evalresp` binary
+    (environment.py:413-455). Polynomial responses (blockette 062) are
+    not invertible by spectral division and raise ValueError (callers
+    fall back to obspy).
+
+    Returns ``{"paz_stages": [...], "digital_stages": [...],
+    "sensitivity": float, "input_units": str}`` where each digital stage
+    carries its numerator/denominator coefficients, symmetry code,
+    stage input sample rate, and applied delay correction.
+    """
+    paz_stages = []
+    digital_stages = []
+    current = None      # open B053 stage dict
+    dcurrent = None     # open B054/B061 stage dict
+    dstage_by_seq = {}
+    seen_seq = set()    # (blockette-family, stage-sequence) pairs
     sensitivity = None
+
+    def _epoch_guard(family, seq):
+        # The same (blockette, stage) appearing twice means the RESP
+        # carries MULTIPLE epochs (rdseed appends one response block per
+        # epoch); merging them would multiply every epoch's transfer
+        # function together and silently deconvolve a wildly wrong
+        # response — require a pre-split single-epoch file (obspy/
+        # evalresp select by trace time; callers fall back to obspy here)
+        if (family, seq) in seen_seq:
+            raise ValueError(
+                f"{resp_path} contains multiple response epochs "
+                f"(stage sequence {seq} repeats); split the RESP "
+                "to a single epoch for the native path"
+            )
+        seen_seq.add((family, seq))
+
+    def _units_from(line, raw):
+        # "Response in units lookup: M/S - Velocity ..." -> token after
+        # the colon
+        try:
+            return raw.split(":", 1)[1].split()[0].upper()
+        except IndexError:
+            return None
 
     with open(resp_path) as fh:
         for raw in fh.read().split("\n"):
@@ -344,29 +396,11 @@ def parse_resp_paz(resp_path: str) -> dict:
                     "a0": 1.0, "zeros": [], "poles": [],
                     "input_units": None,
                 }
-                stages.append(current)
+                paz_stages.append(current)
             elif tag == "B053F04" and current is not None:
-                # Stage sequence number: the same stage appearing twice
-                # means the RESP carries MULTIPLE epochs (rdseed appends
-                # one response block per epoch); merging them would
-                # multiply every epoch's transfer function together and
-                # silently deconvolve a wildly wrong response — require
-                # a pre-split single-epoch file (obspy/evalresp select
-                # by trace time; callers fall back to obspy here)
-                seq = line[-1]
-                if seq in seen_seq:
-                    raise ValueError(
-                        f"{resp_path} contains multiple response epochs "
-                        f"(stage sequence {seq} repeats); split the RESP "
-                        "to a single epoch for the native path"
-                    )
-                seen_seq.add(seq)
+                _epoch_guard("B053", line[-1])
             elif tag == "B053F05" and current is not None:
-                # "Response in units lookup: M/S - Velocity ..."
-                try:
-                    current["input_units"] = line[5].upper()
-                except IndexError:
-                    pass
+                current["input_units"] = _units_from(line, raw)
             elif tag == "B053F07" and current is not None:
                 current["a0"] = float(line[-1])
             elif tag == "B053F10-13" and current is not None:
@@ -377,33 +411,124 @@ def parse_resp_paz(resp_path: str) -> dict:
                 current["poles"].append(
                     complex(float(line[2]), float(line[3]))
                 )
+            elif tag in ("B054F04", "B061F03"):
+                seq = line[-1]
+                _epoch_guard("B054/B061", seq)
+                dcurrent = {
+                    "seq": seq, "numerator": [], "denominator": [],
+                    "symmetry": "A", "input_rate": None,
+                    "correction": None, "input_units": None,
+                }
+                digital_stages.append(dcurrent)
+                dstage_by_seq[seq] = dcurrent
+            elif tag in ("B054F05", "B061F06") and dcurrent is not None:
+                dcurrent["input_units"] = _units_from(line, raw)
+            elif tag == "B061F05" and dcurrent is not None:
+                dcurrent["symmetry"] = line[-1].upper()
+            elif tag in ("B054F08-09", "B061F09") and dcurrent is not None:
+                dcurrent["numerator"].append(float(line[2]))
+            elif tag == "B054F11-12" and dcurrent is not None:
+                dcurrent["denominator"].append(float(line[2]))
+            elif tag == "B057F03":
+                seq = line[-1]
+                _epoch_guard("B057", seq)
+                # attach the following rate/correction lines to the
+                # matching digital stage; an analog stage's B057 (no
+                # coefficient blockette) must not leak onto an earlier
+                # digital stage
+                dcurrent = dstage_by_seq.get(seq)
+            elif tag == "B057F04" and dcurrent is not None:
+                dcurrent["input_rate"] = float(line[-1])
+            elif tag == "B057F08" and dcurrent is not None:
+                dcurrent["correction"] = float(line[-1])
             elif tag == "B058F04" and "sensitivity:" in raw.lower():
                 sensitivity = float(line[-1])
-    if not stages:
-        raise ValueError(f"no pole-zero (B053) stages in {resp_path}")
+            elif tag.startswith("B062"):
+                raise ValueError(
+                    f"{resp_path} carries a polynomial (B062) response, "
+                    "which spectral division cannot invert"
+                )
+    # stages that never accumulated coefficients (a lone B057 opening a
+    # synthetic entry) are decimation-only: drop them
+    digital_stages = [d for d in digital_stages if d["numerator"]]
+    if not paz_stages and not digital_stages:
+        raise ValueError(
+            f"no invertible (B053/B054/B061) stages in {resp_path}"
+        )
     if sensitivity is None:
         raise ValueError(f"no overall sensitivity (B058F04) in {resp_path}")
     units = next(
-        (s["input_units"] for s in stages if s["input_units"]), None
+        (s["input_units"] for s in paz_stages + digital_stages
+         if s["input_units"]),
+        None,
     )
-    return {"stages": stages, "sensitivity": sensitivity,
-            "input_units": units}
+    return {"paz_stages": paz_stages, "digital_stages": digital_stages,
+            "sensitivity": sensitivity, "input_units": units}
+
+
+def _evaluate_digital_stage(stage: dict, freqs):
+    """Unit-DC-gain transfer function of one digital (B054/B061) stage.
+
+    FIR/IIR shape H(f) = num(e^{-jw/fs}) / den(e^{-jw/fs}) at the stage's
+    input sample rate, following evalresp's conventions: symmetric FIR
+    stages (SEED symmetry B/C) evaluate zero-phase (the listed half is
+    expanded and the (N-1)/2-sample linear phase removed); asymmetric
+    stages keep their phase minus the datalogger's applied delay
+    correction (B057F08); FIR gain is normalized to 1 at f=0 (the stage
+    gain lives in the overall B058 sensitivity, exactly like A0 for
+    analog stages — evalresp warns-and-normalizes the same way)."""
+    import numpy as np
+
+    fs = stage["input_rate"]
+    if not fs or fs <= 0:
+        raise ValueError(
+            "digital stage without a B057 input sample rate; cannot "
+            "evaluate its transfer function"
+        )
+    b = np.asarray(stage["numerator"], np.float64)
+    sym = stage.get("symmetry", "A")
+    if sym == "B":      # odd total length: center listed last, once
+        b = np.concatenate([b, b[-2::-1]])
+    elif sym == "C":    # even total length: listed half mirrors fully
+        b = np.concatenate([b, b[::-1]])
+    w = 2.0 * np.pi * np.asarray(freqs, np.float64) / fs
+    zk = np.exp(-1j * np.outer(w, np.arange(b.shape[0])))
+    h = zk @ b.astype(np.complex128)
+    a = np.asarray(stage["denominator"], np.float64)
+    if a.size:
+        zk = np.exp(-1j * np.outer(w, np.arange(a.shape[0])))
+        den = zk @ a.astype(np.complex128)
+        h = h / np.where(den == 0, np.inf, den)
+    if sym in ("B", "C"):
+        # remove the symmetric filter's (N-1)/2-sample linear phase:
+        # zero-phase by construction (evalresp fir_sym_1/fir_sym_2)
+        h = h * np.exp(1j * w * (b.shape[0] - 1) / 2.0)
+    elif stage.get("correction"):
+        h = h * np.exp(1j * 2.0 * np.pi * np.asarray(freqs, np.float64)
+                       * stage["correction"])
+    dc = b.sum() / (a.sum() if a.size else 1.0)
+    if not a.size and abs(dc) > 0:
+        h = h / dc
+    return h
 
 
 def evaluate_response(resp_path: str, freqs, units: str = "DISP"):
     """Complex instrument response H(f) in counts per `units` unit.
 
-    H = sensitivity * prod_stages[A0 * prod(s - z)/prod(s - p)] with
-    s = j*2*pi*f for transfer type A (rad/s) or s = j*f for type B (Hz);
-    then scaled by (j*omega)^k to convert the RESP's native input units
-    to the requested DISP/VEL/ACC (reference units handling:
-    environment.py:458-490's seedresp units)."""
+    H = sensitivity * prod_analog[A0 * prod(s - z)/prod(s - p)]
+    * prod_digital[FIR/IIR shape] with s = j*2*pi*f for transfer type A
+    (rad/s) or s = j*f for type B (Hz) and digital stages per
+    `_evaluate_digital_stage`; then scaled by (j*omega)^k to convert the
+    RESP's native input units to the requested DISP/VEL/ACC (reference
+    units handling: environment.py:458-490's seedresp units; the stage
+    chain itself replaces the reference's external evalresp binary,
+    environment.py:413-455)."""
     import numpy as np
 
-    paz = parse_resp_paz(resp_path)
+    paz = parse_resp_stages(resp_path)
     freqs = np.asarray(freqs, np.float64)
     h = np.full(freqs.shape, paz["sensitivity"], np.complex128)
-    for stage in paz["stages"]:
+    for stage in paz["paz_stages"]:
         s = (
             2j * np.pi * freqs
             if stage["type"].upper() == "A"
@@ -419,6 +544,8 @@ def evaluate_response(resp_path: str, freqs, units: str = "DISP"):
         # legitimately infinite there — keep it finite, the water level
         # caps the inversion anyway
         h *= stage["a0"] * num / np.where(den == 0, np.inf, den)
+    for stage in paz["digital_stages"]:
+        h *= _evaluate_digital_stage(stage, freqs)
     native = (paz["input_units"] or "M/S").upper()
     req = {"DIS": "M", "VEL": "M/S", "ACC": "M/S**2"}.get(
         units[:3].upper()
@@ -490,7 +617,8 @@ def remove_response_native(
 
     demean -> cosine taper -> rfft (zero-padded to 2x) -> optional
     pre_filt cosine bandpass -> water-level regularized division by the
-    RESP's pole-zero response -> irfft, trimmed to the input length.
+    RESP's full stage-chain response (analog pole-zero + digital FIR/IIR)
+    -> irfft, trimmed to the input length.
     Mirrors the evalresp + spectral-division pipeline of the reference
     (environment.py:385-521) and obspy simulate's conventions, without
     either dependency. Returns float64 ground motion in `units`.
@@ -523,10 +651,11 @@ def remove_trace(
 ) -> None:
     """Deconvolve one trace's instrument response in place (reference
     remove_trace, environment.py:458-490): optional taper sized as
-    2*half_width / trace duration. Prefers the native pole-zero spectral
-    division (`remove_response_native` — no obspy/evalresp needed); RESP
-    files without pole-zero stages fall back to obspy simulate with the
-    RESP seedresp."""
+    2*half_width / trace duration. Prefers the native full-stage-chain
+    spectral division (`remove_response_native` — no obspy/evalresp
+    needed); responses the native path cannot invert (polynomial B062,
+    malformed files) fall back to obspy simulate with the RESP
+    seedresp."""
     if taper_half_width:
         duration = tr.stats.endtime - tr.stats.starttime
         kwargs["taper_fraction"] = 2 * taper_half_width / duration
@@ -541,8 +670,9 @@ def remove_trace(
             )
             return
         except (ValueError, AttributeError):
-            # no PAZ stages in the RESP, or a trace object without
-            # data/stats arrays -> obspy's evalresp bindings
+            # uninvertible RESP (polynomial B062, no stages, multiple
+            # epochs) or a trace object without data/stats arrays ->
+            # obspy's evalresp bindings
             pass
     seedresp = {"filename": resp_path, "units": units[0:3].upper()}
     tr.simulate(seedresp=seedresp, **kwargs)

@@ -356,10 +356,16 @@ class TestNativeDeconvolution:
         np.testing.assert_allclose(stage["poles"], POLES)
 
     def test_parse_requires_paz(self, tmp_path):
+        # a RESP with no stages at all raises the stage-chain error; one
+        # with only digital stages raises parse_resp_paz's own
         p = tmp_path / "RESP.nopaz"
         p.write_text(RESP_TEXT)
-        with pytest.raises(ValueError, match="pole-zero"):
+        with pytest.raises(ValueError, match="no invertible"):
             seismic.parse_resp_paz(str(p))
+        p2 = tmp_path / "RESP.dig"
+        p2.write_text(B061_TEXT)
+        with pytest.raises(ValueError, match="pole-zero"):
+            seismic.parse_resp_paz(str(p2))
 
     def test_evaluate_matches_analytic(self, resp_paz):
         freqs = np.asarray([0.01, 0.05, 0.2, 1.0, 4.0])
@@ -539,3 +545,221 @@ class TestNativeDeconvolution:
         p.write_text(RESP_PAZ_TEXT + stage)
         with pytest.raises(ValueError, match="multiple response epochs"):
             seismic.parse_resp_paz(str(p))
+
+
+# ---------------------------------------------------------------------------
+# digital (FIR/IIR coefficient) stages: blockettes 054/061/057. The
+# reference covers these via the external evalresp binary
+# (environment.py:413-455); here they evaluate natively.
+
+FIR_STAGE2_TEXT = """\
+B054F03     Transfer function type:                D
+B054F04     Stage sequence number:                 2
+B054F05     Response in units lookup:              V - Volts
+B054F06     Response out units lookup:             COUNTS - Digital Counts
+B054F07     Number of numerators:                  3
+B054F10     Number of denominators:                0
+B054F08-09     0  +2.50000E-01  +0.00000E+00
+B054F08-09     1  +5.00000E-01  +0.00000E+00
+B054F08-09     2  +2.50000E-01  +0.00000E+00
+B057F03     Stage sequence number:                 2
+B057F04     Input sample rate (HZ):                200.0
+B057F05     Decimation factor:                     1
+B057F06     Decimation offset:                     0
+B057F07     Estimated delay (seconds):             +5.00000E-03
+B057F08     Correction applied (seconds):          +5.00000E-03
+"""
+
+RESP_PAZ_FIR_TEXT = RESP_PAZ_TEXT + FIR_STAGE2_TEXT
+
+B061_TEXT = RESP_TEXT + """\
+B061F03     Stage sequence number:                 1
+B061F04     Response Name:                         FIR_TEST
+B061F05     Symmetry Code:                         C
+B061F06     Signal In Units:                       M/S - Velocity
+B061F07     Signal Out Units:                      COUNTS - Digital Counts
+B061F08     Number of Coefficients:                2
+B061F09     0  +2.50000E-01
+B061F09     1  +2.50000E-01
+B057F03     Stage sequence number:                 1
+B057F04     Input sample rate (HZ):                200.0
+B057F05     Decimation factor:                     1
+"""
+
+
+def _fir_raised_cosine(freqs, fs=200.0):
+    """Oracle for FIR_STAGE2_TEXT: [.25, .5, .25] at fs with the applied
+    1-sample delay correction undone = zero-phase raised cosine."""
+    return 0.5 + 0.5 * np.cos(2 * np.pi * np.asarray(freqs) / fs)
+
+
+class TestDigitalStages:
+    @pytest.fixture
+    def resp_paz_fir(self, tmp_path):
+        p = tmp_path / "RESP.KP.KPDR..HDH"
+        p.write_text(RESP_PAZ_FIR_TEXT)
+        return str(p)
+
+    def test_parse_digital_stages(self, resp_paz_fir):
+        full = seismic.parse_resp_stages(resp_paz_fir)
+        assert len(full["paz_stages"]) == 1
+        [d] = full["digital_stages"]
+        assert d["numerator"] == [0.25, 0.5, 0.25]
+        assert d["denominator"] == []
+        assert d["symmetry"] == "A"
+        assert d["input_rate"] == pytest.approx(200.0)
+        assert d["correction"] == pytest.approx(5.0e-3)
+        assert full["sensitivity"] == pytest.approx(SENS)
+        assert full["input_units"] == "M/S"
+
+    def test_fir_stage_matches_analytic(self, resp_paz_fir):
+        """PAZ x FIR chain == analytic PAZ x zero-phase raised cosine
+        (the B057 correction undoes the FIR's linear phase)."""
+        freqs = np.asarray([0.01, 0.05, 0.2, 1.0, 4.0])
+        h = seismic.evaluate_response(resp_paz_fir, freqs, units="VEL")
+        want = _analytic_response(freqs) * _fir_raised_cosine(freqs)
+        np.testing.assert_allclose(h, want, rtol=1e-12)
+
+    def test_b061_symmetric_zero_phase(self, tmp_path):
+        """A symmetric (code C) B061 FIR evaluates zero-phase: listed
+        half [.25, .25] expands to [.25 x4], linear phase removed ->
+        0.5*(cos(1.5w) + cos(0.5w)), purely real."""
+        p = tmp_path / "RESP.sym"
+        p.write_text(B061_TEXT)
+        freqs = np.asarray([0.0, 1.0, 10.0, 40.0])
+        h = seismic.evaluate_response(str(p), freqs, units="VEL")
+        w = 2 * np.pi * freqs / 200.0
+        want = SENS * 0.5 * (np.cos(1.5 * w) + np.cos(0.5 * w))
+        np.testing.assert_allclose(h.imag, 0.0, atol=abs(SENS) * 1e-12)
+        np.testing.assert_allclose(h.real, want, rtol=1e-12)
+
+    def test_symmetry_b_expansion(self, tmp_path):
+        """Symmetry B (odd total, center listed last): [.2, .6] ->
+        [.2, .6, .2] -> zero-phase .6 + .4*cos(w)."""
+        txt = B061_TEXT.replace(
+            "Symmetry Code:                         C",
+            "Symmetry Code:                         B",
+        ).replace("+2.50000E-01\nB061F09     1  +2.50000E-01",
+                  "+2.00000E-01\nB061F09     1  +6.00000E-01")
+        p = tmp_path / "RESP.symb"
+        p.write_text(txt)
+        freqs = np.asarray([0.0, 5.0, 25.0])
+        h = seismic.evaluate_response(str(p), freqs, units="VEL")
+        w = 2 * np.pi * freqs / 200.0
+        np.testing.assert_allclose(
+            h.real, SENS * (0.6 + 0.4 * np.cos(w)), rtol=1e-12
+        )
+
+    def test_fir_normalized_to_unit_dc(self, tmp_path):
+        """FIR coefficients not summing to 1 are normalized to unit DC
+        gain (evalresp convention: stage gain lives in the B058
+        sensitivity)."""
+        txt = RESP_PAZ_FIR_TEXT.replace("+5.00000E-01", "+1.50000E+00")
+        p = tmp_path / "RESP.unnorm"
+        p.write_text(txt)
+        h0 = seismic.evaluate_response(str(p), np.asarray([1e-6]),
+                                       units="VEL")
+        ref = seismic.evaluate_response(p_write(p, RESP_PAZ_TEXT),
+                                        np.asarray([1e-6]), units="VEL")
+        # at ~DC the normalized FIR contributes exactly 1
+        np.testing.assert_allclose(h0, ref, rtol=1e-9)
+
+    def test_digital_only_resp_is_native(self, tmp_path):
+        """A coefficient-only RESP (no B053) now deconvolves natively —
+        remove_trace must NOT fall back to obspy simulate."""
+        p = tmp_path / "RESP.dig"
+        p.write_text(B061_TEXT)
+        fs, n = 10.0, 512
+        data = np.sin(2 * np.pi * 0.2 * np.arange(n) / fs)
+
+        class Tr:
+            def __init__(self):
+                self.data = data.copy()
+                self.stats = FakeStats(sampling_rate=fs)
+                self.simulated = []
+
+            def simulate(self, **kw):
+                self.simulated.append(kw)
+
+        tr = Tr()
+        seismic.remove_trace(tr, str(p), units="VEL")
+        assert not tr.simulated
+        assert not np.allclose(tr.data, data)
+
+    def test_roundtrip_through_fir_chain(self, resp_paz_fir):
+        """Synthetic velocity -> counts through PAZ x FIR ->
+        remove_response_native recovers the input in band."""
+        fs, n = 10.0, 4096
+        t = np.arange(n) / fs
+        x = (
+            np.sin(2 * np.pi * 0.05 * t)
+            + 0.5 * np.sin(2 * np.pi * 0.3 * t + 1.0)
+            + 0.2 * np.sin(2 * np.pi * 1.5 * t + 2.0)
+        ) * TestNativeDeconvolution._tukey(n)
+        nfft = 1 << int(np.ceil(np.log2(2 * n)))
+        freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
+        counts = np.fft.irfft(
+            np.fft.rfft(x, nfft)
+            * _analytic_response(freqs) * _fir_raised_cosine(freqs),
+            nfft,
+        )[:n]
+        band = (0.02, 0.04, 2.0, 4.0)
+        rec = seismic.remove_response_native(
+            counts, fs, resp_paz_fir, units="VEL", water_level=120.0,
+            taper_fraction=0.0, pre_filt=band,
+        )
+        want = np.fft.irfft(
+            np.fft.rfft(x, nfft) * seismic.cosine_sac_taper(freqs, band),
+            nfft,
+        )[:n]
+        core = slice(n // 8, n - n // 8)
+        err = np.abs(rec[core] - want[core]).max()
+        assert err < 5e-3, f"roundtrip error {err:.2e}"
+
+    def test_polynomial_resp_rejected(self, tmp_path):
+        p = tmp_path / "RESP.poly"
+        p.write_text(
+            RESP_TEXT
+            + "B062F03     Polynomial approximation type:         M\n"
+        )
+        with pytest.raises(ValueError, match="polynomial"):
+            seismic.parse_resp_stages(str(p))
+
+    def test_digital_stage_requires_rate(self, tmp_path):
+        """A coefficient stage without a B057 input sample rate cannot be
+        evaluated (frequency axis undefined) -> loud ValueError (which
+        remove_trace turns into the obspy fallback)."""
+        txt = RESP_PAZ_TEXT + FIR_STAGE2_TEXT.split("B057F03")[0]
+        p = tmp_path / "RESP.norate"
+        p.write_text(txt)
+        with pytest.raises(ValueError, match="sample rate"):
+            seismic.evaluate_response(str(p), np.asarray([1.0]))
+
+    def test_multi_epoch_digital_rejected(self, tmp_path):
+        p = tmp_path / "RESP.twofir"
+        p.write_text(RESP_PAZ_FIR_TEXT + FIR_STAGE2_TEXT)
+        with pytest.raises(ValueError, match="multiple response epochs"):
+            seismic.parse_resp_stages(str(p))
+
+    def test_analog_b057_does_not_leak(self, tmp_path):
+        """A B057 for a stage WITHOUT a coefficient blockette (analog
+        stages carry decimation info too in real files) must not attach
+        its rate/correction to an earlier digital stage."""
+        txt = (
+            RESP_PAZ_FIR_TEXT
+            + "B057F03     Stage sequence number:                 1\n"
+            + "B057F04     Input sample rate (HZ):                999.0\n"
+        )
+        p = tmp_path / "RESP.leak"
+        p.write_text(txt)
+        [d] = seismic.parse_resp_stages(str(p))["digital_stages"]
+        assert d["input_rate"] == pytest.approx(200.0)
+
+
+def p_write(path, text):
+    """Write text next to `path` and return the new file's path (helper
+    for comparing against a PAZ-only variant of the same RESP)."""
+    q = str(path) + ".ref"
+    with open(q, "w") as fh:
+        fh.write(text)
+    return q
