@@ -283,26 +283,63 @@ def read_response_function(path: str):
     return np.asarray(freqs), np.asarray(values)
 
 
-def compute_response(resp_path: str, f_min: float, f_max: float, n_f: int):
-    """Run evalresp over [f_min, f_max] with n_f log-spaced samples and
-    return (metadata, amp_file, phase_file) (reference compute,
-    environment.py:413-455). Requires the `evalresp` binary on PATH."""
+def compute_response(
+    resp_path: str, f_min: float, f_max: float, n_f: int,
+    backend: str = "auto",
+):
+    """Response curve over [f_min, f_max] with n_f log-spaced samples;
+    returns (metadata, amp_file, phase_file) like the reference's
+    evalresp invocation (reference compute, environment.py:413-455).
+
+    `backend='auto'` shells out to the `evalresp` binary when it is on
+    PATH (byte-level reference parity) and otherwise evaluates the RESP
+    natively (`evaluate_response`), writing the same `AMP.<id>` /
+    `PHASE.<id>` two-column text files (amplitude in counts/input-unit,
+    phase in degrees) that `read_response_function` consumes.
+    'evalresp'/'native' force one backend."""
+    import numpy as np
     from subprocess import run
 
+    if backend not in ("auto", "evalresp", "native"):
+        raise ValueError(f"unknown backend {backend!r}")
     info = read_resp_metadata(resp_path)
-    run([
-        "evalresp", info["station"], info["channel"],
-        str(info["t_start"].year),
-        info["t_start"].strftime("%j"),
-        str(f_min), str(f_max), str(n_f),
-        "-f", resp_path,
-        "-t", info["t_start"].strftime("%H:%M:%S"),
-        "-s", "log",
-    ])
     suffix = ".".join(
         [info["network"], info["station"], info["location"], info["channel"]]
     )
-    return info, f"AMP.{suffix}", f"PHASE.{suffix}"
+    amp_file, phase_file = f"AMP.{suffix}", f"PHASE.{suffix}"
+    if backend in ("auto", "evalresp"):
+        try:
+            run([
+                "evalresp", info["station"], info["channel"],
+                str(info["t_start"].year),
+                info["t_start"].strftime("%j"),
+                str(f_min), str(f_max), str(n_f),
+                "-f", resp_path,
+                "-t", info["t_start"].strftime("%H:%M:%S"),
+                "-s", "log",
+            ])
+            return info, amp_file, phase_file
+        except FileNotFoundError:
+            if backend == "evalresp":
+                raise
+    freqs = np.logspace(np.log10(f_min), np.log10(f_max), int(n_f))
+    # evalresp's default units: the RESP's own input units ("def"), i.e.
+    # no (j*omega)^k conversion — pass the native units through
+    native_units = (
+        parse_resp_stages(resp_path)["input_units"] or "M/S"
+    ).upper()
+    units = {"M": "DISP", "M/S": "VEL", "M/S**2": "ACC"}.get(
+        native_units, "VEL"
+    )
+    h = evaluate_response(resp_path, freqs, units=units)
+    for path, vals in (
+        (amp_file, np.abs(h)),
+        (phase_file, np.degrees(np.angle(h))),
+    ):
+        with open(path, "w") as fh:
+            for f, v in zip(freqs, vals):
+                fh.write(f"{f:.6E} {v:.6E}\n")
+    return info, amp_file, phase_file
 
 
 # ---------------------------------------------------------------------------

@@ -741,6 +741,39 @@ class TestDigitalStages:
         with pytest.raises(ValueError, match="multiple response epochs"):
             seismic.parse_resp_stages(str(p))
 
+    def test_compute_response_native_backend(self, tmp_path, monkeypatch):
+        """Without the evalresp binary (this image), compute_response
+        writes the same AMP./PHASE. two-column files natively, readable
+        by read_response_function and matching the analytic oracle."""
+        monkeypatch.chdir(tmp_path)
+        p = tmp_path / "RESP.KP.KPDR..HDH"
+        p.write_text(RESP_PAZ_FIR_TEXT)
+        # auto == native here: no evalresp on PATH
+        info, amp_file, phase_file = seismic.compute_response(
+            str(p), 0.01, 1.0, 40
+        )
+        assert info["station"] == "KPDR"
+        assert amp_file == "AMP.KP.KPDR..HDH"
+        f, amp = seismic.read_response_function(amp_file)
+        assert len(f) == 40
+        assert f[0] == pytest.approx(0.01, rel=1e-5)
+        assert f[-1] == pytest.approx(1.0, rel=1e-5)
+        want = np.abs(
+            _analytic_response(f) * _fir_raised_cosine(f)
+        )
+        np.testing.assert_allclose(amp, want, rtol=1e-5)
+        fp, ph = seismic.read_response_function(phase_file)
+        np.testing.assert_allclose(
+            np.radians(ph),
+            np.angle(_analytic_response(f) * _fir_raised_cosine(f)),
+            atol=1e-5,
+        )
+        with pytest.raises(FileNotFoundError):
+            seismic.compute_response(str(p), 0.01, 1.0, 4,
+                                     backend="evalresp")
+        with pytest.raises(ValueError, match="unknown backend"):
+            seismic.compute_response(str(p), 0.01, 1.0, 4, backend="x")
+
     def test_analog_b057_does_not_leak(self, tmp_path):
         """A B057 for a stage WITHOUT a coefficient blockette (analog
         stages carry decimation info too in real files) must not attach
