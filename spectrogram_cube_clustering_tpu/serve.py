@@ -8,11 +8,16 @@ requests pad to the smallest bucket (`buckets=True` compiles a
 power-of-two ladder), oversized requests chunk through max_batch — so no
 shape ever recompiles at request time and tail latency stays stable. All
 three outputs (soft assignments, labels, latents) come from one device
-pass per chunk.
+pass per chunk. Passing a `jax.sharding.Mesh` (`mesh=`) serves each
+request data-parallel across the mesh's chips: params replicate, the
+batch axis shards, and bucket sizes round up so every chip gets an equal
+slice.
 
     predictor = serve.DECPredictor.from_checkpoint(path, n_clusters=5)
     out = predictor(windows)            # dict with q, labels, z
     z = serve.AECEncoder.from_checkpoint(path)(windows)
+    big = serve.DECPredictor.from_checkpoint(
+        path, n_clusters=5, mesh=core.make_data_mesh())   # all chips
 """
 
 from __future__ import annotations
@@ -63,19 +68,29 @@ def _pad_to(x: np.ndarray, batch: int) -> tuple:
     return x, n
 
 
-def _bucket_ladder(max_batch: int, buckets) -> tuple:
+def _bucket_ladder(max_batch: int, buckets, multiple: int = 1) -> tuple:
     """Sorted compiled sizes. `buckets=True` -> powers of two up to
     max_batch (small requests run a small compiled shape instead of
-    padding to the full batch); a sequence -> explicit sizes."""
+    padding to the full batch); a sequence -> explicit sizes. With
+    `multiple` > 1 (mesh serving) every size is rounded up to a multiple
+    so the batch axis divides evenly over the mesh."""
+    if max_batch % multiple:
+        raise ValueError(
+            f"max_batch {max_batch} must be a multiple of the mesh "
+            f"device count {multiple}"
+        )
     if buckets is True:
-        sizes, b = [], 1
+        sizes, b = [], multiple
         while b < max_batch:
             sizes.append(b)
             b *= 2
         sizes.append(max_batch)
         return tuple(sizes)
     if buckets:
-        sizes = sorted(set(int(b) for b in buckets) | {max_batch})
+        sizes = sorted(
+            set(-(-int(b) // multiple) * multiple for b in buckets)
+            | {max_batch}
+        )
         if sizes[-1] > max_batch:
             # max_batch is the compiled-shape/HBM contract the operator
             # sized for — a larger bucket would silently violate it
@@ -86,7 +101,20 @@ def _bucket_ladder(max_batch: int, buckets) -> tuple:
     return (max_batch,)
 
 
-def _run_chunked(fn, params, x: np.ndarray, sizes: tuple):
+def _make_put(mesh):
+    """Host array -> device array: plain `jnp.asarray` single-device, or a
+    batch-axis-sharded `device_put` over a mesh (each chip runs its slice
+    of the request; XLA SPMD splits the compiled program — serving-side
+    data parallelism the reference's single-GPU inference path has no
+    analog of, production.py:65-106)."""
+    if mesh is None:
+        return jnp.asarray
+    from spectrogram_cube_clustering_tpu.core.mesh import batch_sharding
+
+    return lambda xb: jax.device_put(xb, batch_sharding(mesh, xb.ndim))
+
+
+def _run_chunked(fn, params, x: np.ndarray, sizes: tuple, put=jnp.asarray):
     """Run a fixed-shape jitted fn over a request of ANY length: chunks of
     the largest compiled size, the tail through the smallest bucket that
     fits. Returns the list of (outputs, n_valid) per chunk."""
@@ -95,14 +123,14 @@ def _run_chunked(fn, params, x: np.ndarray, sizes: tuple):
         # empty request: one all-pad pass through the smallest bucket so
         # callers still get correctly-shaped zero-row outputs
         xb, _ = _pad_to(x, sizes[0])
-        return [(fn(params, jnp.asarray(xb)), 0)]
+        return [(fn(params, put(xb)), 0)]
     outs = []
     i = 0
     while i < len(x):
         n = min(full, len(x) - i)
         size = next(s for s in sizes if s >= n)
         xb, _ = _pad_to(x[i : i + n], size)
-        outs.append((fn(params, jnp.asarray(xb)), n))
+        outs.append((fn(params, put(xb)), n))
         i += n
     return outs
 
@@ -125,9 +153,12 @@ class DECPredictor:
         arch: str = "AEC",
         input_hw=(4, 101),
         transfer_dtype: Optional[str] = None,
+        mesh=None,
     ):
         self.input_hw = (int(input_hw[0]), int(input_hw[1]))
         self._wire_dtype = _host_transfer_dtype(transfer_dtype)
+        self.mesh = mesh
+        self._put = _make_put(mesh)
         if arch == "packed":
             if self.input_hw != (4, 101):
                 raise ValueError(
@@ -138,9 +169,18 @@ class DECPredictor:
             self.model = _models.DEC(
                 n_clusters=n_clusters, input_hw=self.input_hw
             )
+        if mesh is not None:
+            from spectrogram_cube_clustering_tpu.core.mesh import (
+                replicated_sharding,
+            )
+
+            params = jax.device_put(params, replicated_sharding(mesh))
         self.params = params
         self.max_batch = max_batch
-        self.sizes = _bucket_ladder(max_batch, buckets)
+        self.sizes = _bucket_ladder(
+            max_batch, buckets,
+            multiple=mesh.size if mesh is not None else 1,
+        )
         normalize = make_normalizer(transform)
 
         @jax.jit
@@ -159,6 +199,7 @@ class DECPredictor:
         arch: str = "AEC",
         input_hw=(4, 101),
         transfer_dtype: Optional[str] = None,
+        mesh=None,
     ) -> "DECPredictor":
         from spectrogram_cube_clustering_tpu.train.checkpoint import restore
 
@@ -174,7 +215,7 @@ class DECPredictor:
         return cls(
             restore(path, template), n_clusters, max_batch, transform,
             buckets=buckets, arch=arch, input_hw=(h, w),
-            transfer_dtype=transfer_dtype,
+            transfer_dtype=transfer_dtype, mesh=mesh,
         )
 
     def warmup(self) -> None:
@@ -183,14 +224,16 @@ class DECPredictor:
             x = np.zeros(
                 (size, *self.input_hw, 1), self._wire_dtype or np.float32
             )
-            q, _, _ = self._fn(self.params, jnp.asarray(x))
+            q, _, _ = self._fn(self.params, self._put(x))
             q.block_until_ready()
 
     def __call__(self, windows: np.ndarray) -> Dict[str, np.ndarray]:
         """Requests of ANY size: chunks of max_batch, tail through the
         smallest compiled bucket that fits — never a recompile."""
         x = np.asarray(windows, self._wire_dtype or np.float32)
-        chunks = _run_chunked(self._fn, self.params, x, self.sizes)
+        chunks = _run_chunked(
+            self._fn, self.params, x, self.sizes, put=self._put
+        )
         return {
             "q": np.concatenate([np.asarray(q[:n]) for (q, _, _), n in chunks]),
             "labels": np.concatenate(
@@ -211,13 +254,25 @@ class AECEncoder:
         buckets=None,
         input_hw=(4, 101),
         transfer_dtype: Optional[str] = None,
+        mesh=None,
     ):
         self.input_hw = (int(input_hw[0]), int(input_hw[1]))
         self._wire_dtype = _host_transfer_dtype(transfer_dtype)
+        self.mesh = mesh
+        self._put = _make_put(mesh)
         self.model = _models.AEC(input_hw=self.input_hw)
+        if mesh is not None:
+            from spectrogram_cube_clustering_tpu.core.mesh import (
+                replicated_sharding,
+            )
+
+            params = jax.device_put(params, replicated_sharding(mesh))
         self.params = params
         self.max_batch = max_batch
-        self.sizes = _bucket_ladder(max_batch, buckets)
+        self.sizes = _bucket_ladder(
+            max_batch, buckets,
+            multiple=mesh.size if mesh is not None else 1,
+        )
         normalize = make_normalizer(transform)
 
         @jax.jit
@@ -236,6 +291,7 @@ class AECEncoder:
         buckets=None,
         input_hw=(4, 101),
         transfer_dtype: Optional[str] = None,
+        mesh=None,
     ) -> "AECEncoder":
         from spectrogram_cube_clustering_tpu.train.checkpoint import restore
 
@@ -245,7 +301,7 @@ class AECEncoder:
         )["params"]
         return cls(restore(path, template), max_batch, transform,
                    buckets=buckets, input_hw=(h, w),
-                   transfer_dtype=transfer_dtype)
+                   transfer_dtype=transfer_dtype, mesh=mesh)
 
     def warmup(self) -> None:
         """Pay every bucket's compile before serving traffic."""
@@ -253,9 +309,11 @@ class AECEncoder:
             x = np.zeros(
                 (size, *self.input_hw, 1), self._wire_dtype or np.float32
             )
-            self._fn(self.params, jnp.asarray(x)).block_until_ready()
+            self._fn(self.params, self._put(x)).block_until_ready()
 
     def __call__(self, windows: np.ndarray) -> np.ndarray:
         x = np.asarray(windows, self._wire_dtype or np.float32)
-        chunks = _run_chunked(self._fn, self.params, x, self.sizes)
+        chunks = _run_chunked(
+            self._fn, self.params, x, self.sizes, put=self._put
+        )
         return np.concatenate([np.asarray(z[:n]) for z, n in chunks])

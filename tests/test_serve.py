@@ -102,6 +102,69 @@ class TestDECPredictor:
         assert enc(x[:3]).shape == (3, 9)
 
 
+class TestMeshServing:
+    """Data-parallel serving over a device mesh (the virtual 8-CPU mesh
+    here): params replicate, the request batch shards, outputs match the
+    single-device predictor exactly."""
+
+    def test_mesh_predictor_matches_single_device(self, trained):
+        path, _, x, _, _ = trained
+        mesh = scc.core.make_data_mesh()
+        assert mesh.size == 8
+        pred_m = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=128, mesh=mesh
+        )
+        pred_m.warmup()
+        pred_1 = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=128
+        )
+        for n in (64, 8, 5, 1):  # incl. sizes that pad across the mesh
+            out_m, out_1 = pred_m(x[:n]), pred_1(x[:n])
+            np.testing.assert_allclose(
+                out_m["z"], out_1["z"], rtol=1e-5, atol=1e-7
+            )
+            np.testing.assert_array_equal(out_m["labels"], out_1["labels"])
+        # outputs really were computed sharded: the request lands on all
+        # 8 devices
+        xb = serve._pad_to(x[:64].astype(np.float32), 64)[0]
+        arr = pred_m._put(xb)
+        assert len(arr.sharding.device_set) == 8
+
+    def test_mesh_bucket_ladder_is_divisible(self, trained):
+        path, _, x, _, _ = trained
+        mesh = scc.core.make_data_mesh()
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=64, buckets=True, mesh=mesh
+        )
+        assert pred.sizes == (8, 16, 32, 64)
+        assert all(s % mesh.size == 0 for s in pred.sizes)
+        # explicit buckets round up to mesh multiples
+        pred2 = serve.DECPredictor(
+            pred.params, n_clusters=3, max_batch=64, buckets=[3, 20],
+            mesh=mesh,
+        )
+        assert pred2.sizes == (8, 24, 64)
+        with pytest.raises(ValueError, match="multiple of the mesh"):
+            serve.DECPredictor(
+                pred.params, n_clusters=3, max_batch=12, mesh=mesh
+            )
+
+    def test_mesh_encoder_and_empty_request(self, trained):
+        _, aec_path, x, xn, params = trained
+        mesh = scc.core.make_data_mesh()
+        enc = serve.AECEncoder.from_checkpoint(
+            aec_path, max_batch=64, mesh=mesh
+        )
+        z = enc(x[:10])
+        model = scc.models.AEC()
+        want = model.apply(
+            {"params": params}, jnp.asarray(xn[:10]), method="encode"
+        )
+        np.testing.assert_allclose(z, np.asarray(want), rtol=2e-4, atol=1e-6)
+        out = enc(np.zeros((0, 4, 101, 1), np.float32))
+        assert out.shape == (0, 9)
+
+
 class TestAECEncoder:
     def test_latents(self, trained):
         _, aec_path, x, xn, params = trained
