@@ -429,11 +429,20 @@ def main(argv=None) -> int:
                     choices=["bfloat16", "float16"])
     ap.add_argument("--max-wait-ms", type=float, default=2.0,
                     help="micro-batching window (0 disables coalescing)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="serve data-parallel over ALL local devices "
+                    "(params replicate, request batches shard)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8477)
     args = ap.parse_args(argv)
 
     from spectrogram_cube_clustering_tpu import serve as _serve
+
+    mesh = None
+    if args.mesh:
+        from spectrogram_cube_clustering_tpu.core.mesh import make_data_mesh
+
+        mesh = make_data_mesh()
 
     if args.model == "DEC":
         if args.n_clusters is None:
@@ -443,14 +452,14 @@ def main(argv=None) -> int:
             max_batch=args.max_batch, transform=args.transform,
             buckets=args.buckets or None, arch=args.arch,
             input_hw=tuple(args.input_hw),
-            transfer_dtype=args.transfer_dtype,
+            transfer_dtype=args.transfer_dtype, mesh=mesh,
         )
     else:
         predictor = _serve.AECEncoder.from_checkpoint(
             args.checkpoint, max_batch=args.max_batch,
             transform=args.transform, buckets=args.buckets or None,
             input_hw=tuple(args.input_hw),
-            transfer_dtype=args.transfer_dtype,
+            transfer_dtype=args.transfer_dtype, mesh=mesh,
         )
     if hasattr(predictor, "warmup"):
         predictor.warmup()  # pay every bucket's compile before traffic
@@ -460,8 +469,10 @@ def main(argv=None) -> int:
         max_wait_ms=args.max_wait_ms,
     )
     host, port = server.server_address[:2]
+    mesh_note = f", mesh x{mesh.size}" if mesh is not None else ""
     print(f"scc-serve: {args.model} on http://{host}:{port} "
-          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
+          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms"
+          f"{mesh_note})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

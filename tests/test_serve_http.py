@@ -204,6 +204,31 @@ class TestHTTPServer:
             np.testing.assert_array_equal(out["labels"], ref["labels"])
             np.testing.assert_allclose(out["z"], ref["z"], rtol=1e-6)
 
+    def test_mesh_predictor_over_http(self, predictor):
+        """A mesh-sharded predictor behind the HTTP server returns the
+        same results as the single-device one (the scc-serve --mesh
+        path)."""
+        pred, x = predictor
+        mesh_pred = serve.DECPredictor(
+            pred.params, n_clusters=3, max_batch=64,
+            mesh=scc.core.make_data_mesh(),
+        )
+        srv = serve_http.make_server(mesh_pred, max_wait_ms=1.0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            with _post(srv, "/predict", x[:10]) as resp:
+                out = np.load(io.BytesIO(resp.read()))
+                ref = pred(x[:10])
+                np.testing.assert_allclose(
+                    out["z"], ref["z"], rtol=1e-5, atol=1e-7
+                )
+                np.testing.assert_array_equal(out["labels"], ref["labels"])
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            t.join(timeout=10)
+
     def test_3d_body_gets_channel_axis(self, server, predictor):
         _, x = predictor
         with _post(server, "/predict", x[:4, :, :, 0]) as resp:
