@@ -308,7 +308,12 @@ def compute_response(
     )
     amp_file, phase_file = f"AMP.{suffix}", f"PHASE.{suffix}"
     if backend in ("auto", "evalresp"):
+        from subprocess import CalledProcessError
+
         try:
+            # check=True: an evalresp that runs but exits non-zero left
+            # no (or stale) AMP./PHASE. files — treating it as success
+            # would hand the caller a previous run's curves
             run([
                 "evalresp", info["station"], info["channel"],
                 str(info["t_start"].year),
@@ -317,21 +322,20 @@ def compute_response(
                 "-f", resp_path,
                 "-t", info["t_start"].strftime("%H:%M:%S"),
                 "-s", "log",
-            ])
+            ], check=True)
             return info, amp_file, phase_file
-        except FileNotFoundError:
+        except (FileNotFoundError, CalledProcessError):
             if backend == "evalresp":
                 raise
     freqs = np.logspace(np.log10(f_min), np.log10(f_max), int(n_f))
+    parsed = parse_resp_stages(resp_path)
     # evalresp's default units: the RESP's own input units ("def"), i.e.
     # no (j*omega)^k conversion — pass the native units through
-    native_units = (
-        parse_resp_stages(resp_path)["input_units"] or "M/S"
-    ).upper()
+    native_units = (parsed["input_units"] or "M/S").upper()
     units = {"M": "DISP", "M/S": "VEL", "M/S**2": "ACC"}.get(
         native_units, "VEL"
     )
-    h = evaluate_response(resp_path, freqs, units=units)
+    h = evaluate_response(parsed, freqs, units=units)
     for path, vals in (
         (amp_file, np.abs(h)),
         (phase_file, np.degrees(np.angle(h))),
@@ -413,7 +417,7 @@ def parse_resp_stages(resp_path: str) -> dict:
             )
         seen_seq.add((family, seq))
 
-    def _units_from(line, raw):
+    def _units_from(raw):
         # "Response in units lookup: M/S - Velocity ..." -> token after
         # the colon
         try:
@@ -437,7 +441,7 @@ def parse_resp_stages(resp_path: str) -> dict:
             elif tag == "B053F04" and current is not None:
                 _epoch_guard("B053", line[-1])
             elif tag == "B053F05" and current is not None:
-                current["input_units"] = _units_from(line, raw)
+                current["input_units"] = _units_from(raw)
             elif tag == "B053F07" and current is not None:
                 current["a0"] = float(line[-1])
             elif tag == "B053F10-13" and current is not None:
@@ -448,18 +452,36 @@ def parse_resp_stages(resp_path: str) -> dict:
                 current["poles"].append(
                     complex(float(line[2]), float(line[3]))
                 )
-            elif tag in ("B054F04", "B061F03"):
+            elif tag == "B054F03":
+                # transfer type precedes the stage sequence in the
+                # blockette: open the stage here, register its seq on F04
+                dcurrent = {
+                    "seq": None, "ttype":
+                    line[-1] if len(line[-1]) == 1 else line[4],
+                    "numerator": [], "denominator": [],
+                    "symmetry": "A", "input_rate": None,
+                    "correction": None, "input_units": None,
+                }
+                digital_stages.append(dcurrent)
+            elif (tag == "B054F04" and dcurrent is not None
+                  and dcurrent["seq"] is None):
+                seq = line[-1]
+                _epoch_guard("B054/B061", seq)
+                dcurrent["seq"] = seq
+                dstage_by_seq[seq] = dcurrent
+            elif tag == "B061F03":
                 seq = line[-1]
                 _epoch_guard("B054/B061", seq)
                 dcurrent = {
-                    "seq": seq, "numerator": [], "denominator": [],
+                    "seq": seq, "ttype": "D",  # B061 is always digital FIR
+                    "numerator": [], "denominator": [],
                     "symmetry": "A", "input_rate": None,
                     "correction": None, "input_units": None,
                 }
                 digital_stages.append(dcurrent)
                 dstage_by_seq[seq] = dcurrent
             elif tag in ("B054F05", "B061F06") and dcurrent is not None:
-                dcurrent["input_units"] = _units_from(line, raw)
+                dcurrent["input_units"] = _units_from(raw)
             elif tag == "B061F05" and dcurrent is not None:
                 dcurrent["symmetry"] = line[-1].upper()
             elif tag in ("B054F08-09", "B061F09") and dcurrent is not None:
@@ -509,13 +531,23 @@ def _evaluate_digital_stage(stage: dict, freqs):
     FIR/IIR shape H(f) = num(e^{-jw/fs}) / den(e^{-jw/fs}) at the stage's
     input sample rate, following evalresp's conventions: symmetric FIR
     stages (SEED symmetry B/C) evaluate zero-phase (the listed half is
-    expanded and the (N-1)/2-sample linear phase removed); asymmetric
+    expanded and the (N-1)/2-sample linear phase removed); asymmetric FIR
     stages keep their phase minus the datalogger's applied delay
-    correction (B057F08); FIR gain is normalized to 1 at f=0 (the stage
-    gain lives in the overall B058 sensitivity, exactly like A0 for
-    analog stages — evalresp warns-and-normalizes the same way)."""
+    correction (B057F08 — evalresp applies it to asymmetric FIR only,
+    never IIR); FIR gain is normalized to 1 at f=0 (the stage gain lives
+    in the overall B058 sensitivity, exactly like A0 for analog stages —
+    evalresp warns-and-normalizes the same way). Polynomial evaluation is
+    Horner over the frequency vector, O(n_freqs) memory regardless of tap
+    count (day-long traces x hundreds of FIR taps must not materialize an
+    outer product)."""
     import numpy as np
 
+    if stage.get("ttype", "D") not in ("D", None):
+        raise ValueError(
+            "analog-coefficient (B054 transfer type "
+            f"{stage['ttype']!r}) stage; the native path evaluates "
+            "digital (D) coefficient stages only"
+        )
     fs = stage["input_rate"]
     if not fs or fs <= 0:
         raise ValueError(
@@ -529,40 +561,52 @@ def _evaluate_digital_stage(stage: dict, freqs):
     elif sym == "C":    # even total length: listed half mirrors fully
         b = np.concatenate([b, b[::-1]])
     w = 2.0 * np.pi * np.asarray(freqs, np.float64) / fs
-    zk = np.exp(-1j * np.outer(w, np.arange(b.shape[0])))
-    h = zk @ b.astype(np.complex128)
+    z = np.exp(-1j * w)
+
+    def _poly(coeffs):
+        # Horner: sum_k c_k z^k evaluated highest-order-first
+        acc = np.zeros_like(z)
+        for c in coeffs[::-1]:
+            acc = acc * z + c
+        return acc
+
+    h = _poly(b)
     a = np.asarray(stage["denominator"], np.float64)
     if a.size:
-        zk = np.exp(-1j * np.outer(w, np.arange(a.shape[0])))
-        den = zk @ a.astype(np.complex128)
+        den = _poly(a)
         h = h / np.where(den == 0, np.inf, den)
     if sym in ("B", "C"):
         # remove the symmetric filter's (N-1)/2-sample linear phase:
         # zero-phase by construction (evalresp fir_sym_1/fir_sym_2)
         h = h * np.exp(1j * w * (b.shape[0] - 1) / 2.0)
-    elif stage.get("correction"):
+    elif not a.size and stage.get("correction"):
         h = h * np.exp(1j * 2.0 * np.pi * np.asarray(freqs, np.float64)
                        * stage["correction"])
-    dc = b.sum() / (a.sum() if a.size else 1.0)
+    dc = b.sum()
     if not a.size and abs(dc) > 0:
         h = h / dc
     return h
 
 
-def evaluate_response(resp_path: str, freqs, units: str = "DISP"):
+def evaluate_response(resp_path, freqs, units: str = "DISP"):
     """Complex instrument response H(f) in counts per `units` unit.
 
-    H = sensitivity * prod_analog[A0 * prod(s - z)/prod(s - p)]
-    * prod_digital[FIR/IIR shape] with s = j*2*pi*f for transfer type A
-    (rad/s) or s = j*f for type B (Hz) and digital stages per
-    `_evaluate_digital_stage`; then scaled by (j*omega)^k to convert the
-    RESP's native input units to the requested DISP/VEL/ACC (reference
-    units handling: environment.py:458-490's seedresp units; the stage
-    chain itself replaces the reference's external evalresp binary,
-    environment.py:413-455)."""
+    `resp_path` is a RESP file path or an already-parsed
+    `parse_resp_stages` dict (saves re-reading the file when the caller
+    parsed it for metadata). H = sensitivity * prod_analog[A0 *
+    prod(s - z)/prod(s - p)] * prod_digital[FIR/IIR shape] with
+    s = j*2*pi*f for transfer type A (rad/s) or s = j*f for type B (Hz)
+    and digital stages per `_evaluate_digital_stage`; then scaled by
+    (j*omega)^k to convert the RESP's native input units to the requested
+    DISP/VEL/ACC (reference units handling: environment.py:458-490's
+    seedresp units; the stage chain itself replaces the reference's
+    external evalresp binary, environment.py:413-455)."""
     import numpy as np
 
-    paz = parse_resp_stages(resp_path)
+    paz = (
+        resp_path if isinstance(resp_path, dict)
+        else parse_resp_stages(resp_path)
+    )
     freqs = np.asarray(freqs, np.float64)
     h = np.full(freqs.shape, paz["sensitivity"], np.complex128)
     for stage in paz["paz_stages"]:

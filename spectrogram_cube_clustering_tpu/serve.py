@@ -87,8 +87,12 @@ def _bucket_ladder(max_batch: int, buckets, multiple: int = 1) -> tuple:
         sizes.append(max_batch)
         return tuple(sizes)
     if buckets:
+        from spectrogram_cube_clustering_tpu.core.mesh import (
+            pad_to_multiple,
+        )
+
         sizes = sorted(
-            set(-(-int(b) // multiple) * multiple for b in buckets)
+            set(pad_to_multiple(int(b), multiple) for b in buckets)
             | {max_batch}
         )
         if sizes[-1] > max_batch:
@@ -99,6 +103,22 @@ def _bucket_ladder(max_batch: int, buckets, multiple: int = 1) -> tuple:
             )
         return tuple(sizes)
     return (max_batch,)
+
+
+def _mesh_setup(params, mesh, max_batch: int, buckets) -> tuple:
+    """Shared mesh plumbing for both predictors: replicate params over
+    the mesh (no-op without one) and build the bucket ladder with sizes
+    divisible by the mesh device count. Returns (params, sizes)."""
+    if mesh is not None:
+        from spectrogram_cube_clustering_tpu.core.mesh import (
+            replicated_sharding,
+        )
+
+        params = jax.device_put(params, replicated_sharding(mesh))
+    sizes = _bucket_ladder(
+        max_batch, buckets, multiple=mesh.size if mesh is not None else 1
+    )
+    return params, sizes
 
 
 def _make_put(mesh):
@@ -169,18 +189,10 @@ class DECPredictor:
             self.model = _models.DEC(
                 n_clusters=n_clusters, input_hw=self.input_hw
             )
-        if mesh is not None:
-            from spectrogram_cube_clustering_tpu.core.mesh import (
-                replicated_sharding,
-            )
-
-            params = jax.device_put(params, replicated_sharding(mesh))
-        self.params = params
-        self.max_batch = max_batch
-        self.sizes = _bucket_ladder(
-            max_batch, buckets,
-            multiple=mesh.size if mesh is not None else 1,
+        self.params, self.sizes = _mesh_setup(
+            params, mesh, max_batch, buckets
         )
+        self.max_batch = max_batch
         normalize = make_normalizer(transform)
 
         @jax.jit
@@ -261,18 +273,10 @@ class AECEncoder:
         self.mesh = mesh
         self._put = _make_put(mesh)
         self.model = _models.AEC(input_hw=self.input_hw)
-        if mesh is not None:
-            from spectrogram_cube_clustering_tpu.core.mesh import (
-                replicated_sharding,
-            )
-
-            params = jax.device_put(params, replicated_sharding(mesh))
-        self.params = params
-        self.max_batch = max_batch
-        self.sizes = _bucket_ladder(
-            max_batch, buckets,
-            multiple=mesh.size if mesh is not None else 1,
+        self.params, self.sizes = _mesh_setup(
+            params, mesh, max_batch, buckets
         )
+        self.max_batch = max_batch
         normalize = make_normalizer(transform)
 
         @jax.jit

@@ -440,9 +440,18 @@ def main(argv=None) -> int:
 
     mesh = None
     if args.mesh:
-        from spectrogram_cube_clustering_tpu.core.mesh import make_data_mesh
+        from spectrogram_cube_clustering_tpu.core.mesh import (
+            make_data_mesh, pad_to_multiple,
+        )
 
         mesh = make_data_mesh()
+        rounded = pad_to_multiple(args.max_batch, mesh.size)
+        if rounded != args.max_batch:
+            # compiled batch shapes must divide over the mesh; round up
+            # rather than crash at predictor construction
+            print(f"scc-serve: --max-batch {args.max_batch} rounded up "
+                  f"to {rounded} ({mesh.size} mesh devices)")
+            args.max_batch = rounded
 
     if args.model == "DEC":
         if args.n_clusters is None:

@@ -735,6 +735,54 @@ class TestDigitalStages:
         with pytest.raises(ValueError, match="sample rate"):
             seismic.evaluate_response(str(p), np.asarray([1.0]))
 
+    def test_analog_coefficient_b054_falls_back(self, tmp_path):
+        """B054 stages with analog transfer types (A/B, evalresp's
+        analog_trans) are NOT digital filters; evaluating them as
+        z-transforms would be silently wrong — the native path refuses
+        and remove_trace falls back to obspy (review r3)."""
+        txt = RESP_PAZ_FIR_TEXT.replace(
+            "B054F03     Transfer function type:                D",
+            "B054F03     Transfer function type:                A",
+        )
+        p = tmp_path / "RESP.analogco"
+        p.write_text(txt)
+        with pytest.raises(ValueError, match="analog-coefficient"):
+            seismic.evaluate_response(str(p), np.asarray([1.0]))
+
+        class Tr:
+            data = np.ones(64)
+            stats = FakeStats(sampling_rate=10.0)
+
+            def __init__(self):
+                self.simulated = []
+
+            def simulate(self, **kw):
+                self.simulated.append(kw)
+
+        tr = Tr()
+        seismic.remove_trace(tr, str(p), units="VEL")
+        assert len(tr.simulated) == 1
+
+    def test_iir_stage_no_delay_correction(self, tmp_path):
+        """IIR (denominator-bearing) stages take no B057F08 delay
+        correction — evalresp applies it to asymmetric FIR only
+        (review r3). Oracle: H = num(z)/den(z) exactly, un-normalized."""
+        txt = RESP_PAZ_FIR_TEXT.replace(
+            "B054F10     Number of denominators:                0",
+            "B054F10     Number of denominators:                2\n"
+            "B054F11-12     0  +1.00000E+00  +0.00000E+00\n"
+            "B054F11-12     1  -5.00000E-01  +0.00000E+00",
+        )
+        p = tmp_path / "RESP.iir"
+        p.write_text(txt)
+        freqs = np.asarray([0.5, 2.0, 10.0])
+        h = seismic.evaluate_response(str(p), freqs, units="VEL")
+        z = np.exp(-1j * 2 * np.pi * freqs / 200.0)
+        num = 0.25 + 0.5 * z + 0.25 * z * z
+        den = 1.0 - 0.5 * z
+        want = _analytic_response(freqs) * num / den  # no exp(+jwc) term
+        np.testing.assert_allclose(h, want, rtol=1e-12)
+
     def test_multi_epoch_digital_rejected(self, tmp_path):
         p = tmp_path / "RESP.twofir"
         p.write_text(RESP_PAZ_FIR_TEXT + FIR_STAGE2_TEXT)
