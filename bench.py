@@ -343,8 +343,13 @@ def _measure_set(args):
         ),
         "stream": (
             "stream_train_samples_per_sec",
+            # streaming reps dispatch per batch through the tunnel; short
+            # (~2.5 s) reps let a single multi-second tunnel stall tank
+            # one rep (observed 103% spread in r3) — longer quick reps
+            # amortize stalls into the rate they actually cost
             lambda: measure_stream_throughput(
-                args.samples, args.batch, reps=args.reps
+                args.samples, args.batch,
+                epochs=8 if args.quick else 3, reps=args.reps,
             ),
         ),
     }

@@ -77,10 +77,27 @@ class ZarrCubeDataset:
     ):
         try:
             group = zarrlite.open_group(zarr_path)
-            name = array_name or group.keys()[0]
-            self.array = group[name]
         except FileNotFoundError:
+            # not a group: a bare array store
             self.array = zarrlite.open_array(zarr_path)
+        else:
+            names = group.keys()
+            if array_name is not None:
+                if array_name not in names:
+                    # falling through to open_array(<group root>) here
+                    # would report a misleading '<group>/.zarray not
+                    # found' for what is a wrong array name
+                    raise FileNotFoundError(
+                        f"array {array_name!r} not found in group "
+                        f"{zarr_path} (has: {names or 'no arrays'})"
+                    )
+                self.array = group[array_name]
+            elif names:
+                self.array = group[names[0]]
+            else:
+                raise FileNotFoundError(
+                    f"zarr group {zarr_path} contains no arrays"
+                )
         if self.array.ndim != 3:
             raise ValueError(
                 f"expected a 3-D (time, channel, freq) cube, got {self.array.shape}"

@@ -170,8 +170,24 @@ class SeismicDataset:
         return idx, x[None, ...]  # add channel axis (utils.py:239-243)
 
     def load_batch(self, indices: Sequence[int]) -> np.ndarray:
-        """(len(indices), 1, H, W) float32 stack."""
-        return np.stack([self[i][1] for i in indices], axis=0)
+        """(len(indices), 1, H, W) float32 stack.
+
+        The H5 path reads through ONE file handle in index-sorted order
+        (h5py's fancy-index requirement), then unsorts — per-event
+        open/read/close cycles made load_all O(catalog) file opens."""
+        indices = np.asarray(list(indices), np.int64)
+        if self.ftype != "h5":
+            return np.stack([self[i][1] for i in indices], axis=0)
+        # h5py fancy indexing wants strictly increasing unique indices
+        uniq, inv = np.unique(indices, return_inverse=True)
+        with _h5py().File(self.fname, "r") as f:
+            rows = np.asarray(f[SPECTROGRAM_PATH][uniq], np.float32)[inv]
+        out = []
+        for x in rows:
+            if self.crop:
+                x = crop_specgram(x)
+            out.append(normalize_specgram(x, self.transform)[None, ...])
+        return np.stack(out, axis=0)
 
     def load_all(self) -> np.ndarray:
         """Materialize the whole catalog (reference dataset_to_RAM,
@@ -330,7 +346,14 @@ def extract_h5_dataset(
         raise ValueError("must specify stations to include or exclude")
 
     def _names(vals):
-        return [get_station(v) if isinstance(v, int) else v for v in vals]
+        # numpy integer indices are as valid as Python ints (get_station
+        # accepts both); leaving them unconverted would build a set of
+        # np.int64 that matches no catalog Station string — a silent
+        # empty extraction
+        return [
+            get_station(v) if isinstance(v, (int, np.integer)) else v
+            for v in vals
+        ]
 
     if include is not None:
         stations = _names(include)
@@ -377,7 +400,9 @@ def extract_h5_dataset(
     if workers is None:
         workers = min(os.cpu_count() or 1, 14)
     with h5py.File(source, "r") as fs:
-        m = len(fs[TRACE_PATH])
+        # bound the scan by the dataset actually read — Trace may be
+        # absent (the copy loop below tolerates that) or differ in length
+        m = len(fs[CATALOGUE_PATH])
     chunk = max(1024, -(-m // max(workers * 4, 1)))
     spans = [(lo, min(lo + chunk, m)) for lo in range(1, m, chunk)]
     keep = []

@@ -134,8 +134,14 @@ class PrefetchLoader:
             wins = [int(self.item_windows[i]) for i in self.indices]
         cum = np.concatenate([[0], np.cumsum(wins)])
         total = int(cum[-1])
+        if total == 0:
+            # zero batches, matching the single-host path (a phantom
+            # all-pad batch with n_valid=0 would NaN mean-by-n_valid
+            # consumers; the shape probe below would also crash on an
+            # empty index list)
+            return
         bsz = self.batch_size
-        n_batches = max(-(-total // bsz), 1)
+        n_batches = -(-total // bsz)
 
         # window shape/dtype probe: read item 0 ONCE per loader lifetime
         # (cached) — DEC re-iterates the loader per refresh and the probe
@@ -240,12 +246,20 @@ class PrefetchLoader:
                     ) from item.error
                 buf.append(item)
                 have += len(item)
-                while have >= self.batch_size:
-                    flat = np.concatenate(buf, axis=0)
-                    yield flat[: self.batch_size], self.batch_size
-                    rest = flat[self.batch_size :]
-                    buf = [rest] if len(rest) else []
-                    have = len(rest)
+                if have < self.batch_size:
+                    continue
+                # one concatenate per refill, then yield view windows at a
+                # moving offset — re-concatenating the shrinking remainder
+                # per batch would memcpy each item's tail O(item/batch)
+                # times on this hot feed path
+                flat = buf[0] if len(buf) == 1 else np.concatenate(buf)
+                off = 0
+                while have - off >= self.batch_size:
+                    yield flat[off : off + self.batch_size], self.batch_size
+                    off += self.batch_size
+                rest = flat[off:]
+                buf = [rest] if len(rest) else []
+                have = len(rest)
             if have:
                 flat = np.concatenate(buf, axis=0)
                 pad = self.batch_size - len(flat)

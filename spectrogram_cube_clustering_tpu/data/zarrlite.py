@@ -105,7 +105,12 @@ class ZarrArray:
             with open(p, "rb") as f:
                 raw = f.read()
         except FileNotFoundError:
-            return np.full(self.chunks, self.fill_value, self.dtype)
+            # "fill_value": null means unspecified — materialize as 0,
+            # matching the native batch decoder's zero-fill (np.full with
+            # None would make NaN for floats and raise for int dtypes,
+            # and the value would change with the read path taken)
+            fv = 0 if self.fill_value is None else self.fill_value
+            return np.full(self.chunks, fv, self.dtype)
         if self.compressor_id in ("zlib", "gzip"):
             raw = zlib.decompress(raw, zlib.MAX_WBITS | 32 if self.compressor_id == "gzip" else zlib.MAX_WBITS)
         elif self.compressor_id == "blosc":
@@ -179,6 +184,16 @@ class ZarrArray:
 
         out_shape = tuple(e - s for s, e in zip(starts, stops))
         out = np.empty(out_shape, self.dtype)
+        if 0 in out_shape:
+            # empty slice: nothing to read — the chunk-grid formula below
+            # would otherwise force one chunk per empty extent, which at
+            # the array end decodes a chunk past the grid (fill path)
+            if drop:
+                out = out.reshape(
+                    tuple(n for d, n in enumerate(out_shape)
+                          if d not in drop)
+                )
+            return out
         c0 = [s // c for s, c in zip(starts, self.chunks)]
         c1 = [max(-(-e // c), s // c + 1) for s, e, c in zip(starts, stops, self.chunks)]
 

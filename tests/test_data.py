@@ -88,6 +88,24 @@ class TestZarrlite:
         assert grp.keys() == ["cube"]
         np.testing.assert_array_equal(grp["cube"][:, :], data)
 
+    def test_cube_dataset_bad_array_name(self, tmp_path, rng):
+        """A wrong array_name inside a valid group reports the name, not
+        a misleading '<group>/.zarray not found' from the bare-array
+        fallback; an arrayless group gets a clear error too (review r3)."""
+        data = rng.normal(size=(352, 8, 5)).astype(np.float32)
+        path = str(tmp_path / "gname")
+        zarrlite.write_group(path, {"cube": data}, chunks=(16, 8, 5))
+        with pytest.raises(FileNotFoundError, match="'cubee' not found"):
+            ZarrCubeDataset(path, SPEC, array_name="cubee")
+        import os
+
+        empty = str(tmp_path / "gempty")
+        os.makedirs(empty)
+        with open(os.path.join(empty, ".zgroup"), "w") as f:
+            f.write('{"zarr_format": 2}')
+        with pytest.raises(FileNotFoundError, match="no arrays"):
+            ZarrCubeDataset(empty, SPEC)
+
     def test_missing_chunk_fill_value(self, tmp_path, rng):
         data = rng.normal(size=(8, 4)).astype(np.float32)
         path = str(tmp_path / "m")
@@ -98,6 +116,47 @@ class TestZarrlite:
         arr = zarrlite.open_array(path)
         np.testing.assert_array_equal(arr[0:4, :], data[0:4, :])
         np.testing.assert_array_equal(arr[4:8, :], np.zeros((4, 4), np.float32))
+
+    def test_null_fill_value_reads_as_zero(self, tmp_path, rng):
+        """'fill_value': null stores must read missing chunks as 0 on the
+        single-chunk Python path too — np.full(..., None) made NaN for
+        floats, raised for int dtypes, and disagreed with the native
+        batch decoder's zero-fill (review r3)."""
+        import json
+        import os
+
+        data = rng.integers(0, 100, size=(8, 4)).astype(np.int64)
+        path = str(tmp_path / "nullfill")
+        zarrlite.write_array(path, data, chunks=(4, 4), compressor=None)
+        meta_path = os.path.join(path, ".zarray")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["fill_value"] = None
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        os.remove(os.path.join(path, "1.0"))
+        arr = zarrlite.open_array(path)
+        # single-chunk read (Python decode path)
+        np.testing.assert_array_equal(arr[4:8, :], np.zeros((4, 4), np.int64))
+        # multi-chunk read (native batch path when available)
+        np.testing.assert_array_equal(arr[:, :][4:8], np.zeros((4, 4), np.int64))
+        np.testing.assert_array_equal(arr[:, :][:4], data[:4])
+
+    def test_empty_slice_reads_nothing(self, tmp_path, rng):
+        """A zero-length slice — including one at the array end — returns
+        an empty array without touching any chunk (the old chunk-grid
+        formula forced a read of a nonexistent chunk past the grid,
+        review r3)."""
+        data = rng.normal(size=(8, 4)).astype(np.float32)
+        path = str(tmp_path / "empty")
+        zarrlite.write_array(path, data, chunks=(4, 4), compressor=None)
+        arr = zarrlite.open_array(path)
+        reads = []
+        orig = arr._read_chunks_batch
+        arr._read_chunks_batch = lambda ids: (reads.extend(ids), orig(ids))[1]
+        assert arr[8:8, :].shape == (0, 4)
+        assert arr[3:3, 1:2].shape == (0, 1)
+        assert reads == []
 
 
 # Small geometry so tests stay fast: 2 usable chunks of 16 rows, stride-2

@@ -79,6 +79,16 @@ class TestSeismicDataset:
         assert h5mod.get_channel(2) == "HHZ"
         assert h5mod.get_network(0) == "XH"
 
+    def test_load_batch_single_handle_matches_per_item(self, catalog):
+        """load_batch's one-handle block read (unsorted + duplicate
+        indices) matches the per-event __getitem__ path exactly."""
+        path, _, _ = catalog
+        ds = h5mod.SeismicDataset(path, "h5")
+        idx = [5, 2, 2, 7, 0]
+        got = ds.load_batch(idx)
+        want = np.stack([ds[i][1] for i in idx], axis=0)
+        np.testing.assert_array_equal(got, want)
+
 
 class TestTraValIndex:
     def test_roundtrip(self, catalog, tmp_path):
@@ -126,6 +136,36 @@ class TestExtract:
             path, dest, include=list(set(stations)), after="20150105T000000"
         )
         assert 0 < kept < M - 1
+
+    def test_numpy_integer_station_indices(self, catalog, tmp_path):
+        """include=numpy ints must behave like Python ints — they used to
+        skip get_station and silently match nothing (review r3)."""
+        path, _, stations = catalog
+        dest = str(tmp_path / "subnp.h5")
+        idx = h5mod.get_station(stations[1])
+        kept_np = h5mod.extract_h5_dataset(
+            path, dest, include=list(np.array([idx], np.int64))
+        )
+        dest2 = str(tmp_path / "subpy.h5")
+        kept_py = h5mod.extract_h5_dataset(path, dest2, include=[int(idx)])
+        assert kept_np == kept_py > 0
+
+    def test_extract_without_trace_dataset(self, catalog, tmp_path):
+        """A catalog lacking /4.0/Trace still extracts (the copy loop
+        already tolerated it; the scan-length lookup did not, review
+        r3)."""
+        path, _, stations = catalog
+        src = str(tmp_path / "notrace.h5")
+        with h5py.File(path, "r") as fs, h5py.File(src, "w") as fd:
+            g = fd.require_group("/4.0")
+            for name in ("Catalogue", "Spectrogram"):
+                g.create_dataset(name, data=fs[f"/4.0/{name}"][:])
+        dest = str(tmp_path / "notrace_sub.h5")
+        kept = h5mod.extract_h5_dataset(src, dest, include=[stations[1]])
+        assert kept > 0
+        with h5py.File(dest, "r") as f:
+            assert "/4.0/Trace" not in f
+            assert f["/4.0/Spectrogram"].shape[0] == kept
 
 
 class TestH5StreamDataset:
