@@ -123,20 +123,26 @@ def kmeans(
     tol: float = 1e-4,
     seed: int = 2009,
     restart_chunk: int = 16,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_inertia: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Cluster rows of z_array (M, D) into n_clusters.
 
-    Returns (labels (M,), centroids (K, D)) like models.py:546-574. Defaults
-    mirror the reference call sites (n_init=100, max_iter=1000, seed=2009);
-    `tol` follows sklearn semantics (relative to the mean per-feature
-    variance of the data).
+    Returns (labels (M,), centroids (K, D)) like models.py:546-574 — or
+    (labels, centroids, inertia) with `return_inertia=True`, exposing the
+    winning restart's within-cluster dispersion the fit already computed
+    (gap_statistic consumes it instead of re-deriving inertia with a full
+    (M, K, D) host broadcast). Defaults mirror the reference call sites
+    (n_init=100, max_iter=1000, seed=2009); `tol` follows sklearn
+    semantics (relative to the mean per-feature variance of the data).
     """
     z = jnp.asarray(z_array)
     if z.dtype not in (jnp.float32, jnp.float64):
         z = z.astype(jnp.float32)
     tol_abs = tol * jnp.mean(jnp.var(z, axis=0))
-    labels, centers, _ = _kmeans_jit(
+    labels, centers, inertia = _kmeans_jit(
         z, jax.random.key(seed), n_clusters, n_init, max_iter, tol_abs,
         restart_chunk,
     )
+    if return_inertia:
+        return labels, centers, inertia
     return labels, centers

@@ -27,12 +27,15 @@ def silhouette_samples_X(
     (reference models.py:1271-1299).
 
     x is (M, H, W, C) or (M, C, H, W); the trailing spatial axes are
-    strided by RF before flattening.
+    strided by RF before flattening. Layout detection: the channel axis
+    is the smaller of axes 1 and 3 (C is 1-4, H is the spectrogram's
+    rows) — keying on shape[-1] == 1 alone misrouted multi-channel NHWC
+    to the NCHW branch, striding H as if it were channels.
     """
     if x.ndim == 4:
-        if x.shape[-1] == 1:       # NHWC
+        if x.shape[-1] <= x.shape[1]:  # NHWC
             x_ = x[:, :: int(rf), :: int(rf), 0]
-        else:                      # NCHW
+        else:                          # NCHW
             x_ = x[:, 0, :: int(rf), :: int(rf)]
     else:
         x_ = x[:, :: int(rf), :: int(rf)]
@@ -69,12 +72,13 @@ def gap_statistic(
     mu, sd = z.mean(axis=0), z.std(axis=0) + 1e-12
 
     def _inertia(data, k):
-        _, centers = kmeans(
-            data, int(k), n_init=n_init, max_iter=max_iter, seed=seed
+        # the jitted fit already computed the winning restart's inertia;
+        # re-deriving it on host would broadcast a full (M, K, D)
+        _, _, inertia = kmeans(
+            data, int(k), n_init=n_init, max_iter=max_iter, seed=seed,
+            return_inertia=True,
         )
-        centers = np.asarray(centers)
-        d2 = ((data[:, None, :] - centers[None]) ** 2).sum(-1)
-        return float(d2.min(axis=1).sum())
+        return float(inertia)
 
     k_list = list(k_list)  # materialize ONCE — an iterator would be
     # exhausted by len() and the loop below would fill nothing

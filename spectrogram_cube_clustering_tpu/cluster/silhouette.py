@@ -61,9 +61,22 @@ def _silhouette_jit(x, labels, n_clusters, chunk):
 
 def silhouette_samples(x, labels, n_clusters: int, *, chunk: int = 2048):
     """Per-sample silhouette scores for x (M, D), labels (M,)."""
+    import numpy as np
+
+    labels = jnp.asarray(labels)
+    present = int(np.unique(np.asarray(labels)).size)
+    if not 1 < present <= len(np.asarray(labels)) - 1:
+        # with one populated cluster b = min over OTHER clusters = inf,
+        # which would silently turn every score into NaN downstream
+        # (cluster_performance.csv, cluster_stats.csv); sklearn raises
+        # here too, and a collapsed fit should be loud
+        raise ValueError(
+            f"silhouette requires 2 to n_samples-1 populated clusters, "
+            f"got {present}"
+        )
     x = jnp.asarray(x)
     if x.dtype not in (jnp.float32, jnp.float64):
         x = x.astype(jnp.float32)
     if x.ndim != 2:
         x = x.reshape(x.shape[0], -1)
-    return _silhouette_jit(x, jnp.asarray(labels), n_clusters, chunk)
+    return _silhouette_jit(x, labels, n_clusters, chunk)

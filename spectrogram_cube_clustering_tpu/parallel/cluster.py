@@ -6,10 +6,17 @@ across the data mesh; one Lloyd / EM step then needs only two global
 reductions — per-cluster sums and counts — expressed as `psum` inside
 `shard_map` (SURVEY.md §5 "Distributed communication backend": the same
 pattern carries GMM-EM responsibilities).
+
+Ragged catalogs are handled internally: inputs whose length does not
+divide the mesh are zero-padded and the pad rows masked out of every
+sufficient statistic, so callers (workflow/fit.py's mesh path) never
+need their own padding. The `shard_map`'d step functions are built once
+per mesh (lru_cache) so iteration loops neither retrace nor re-transfer.
 """
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -18,22 +25,101 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from spectrogram_cube_clustering_tpu.core.mesh import DATA_AXIS
 
 
-def _local_stats(z, centers):
+def _sqdist(z, centers):
+    """Squared distances (m, K) via the matmul expansion, conditioned by
+    centering both operands on the centroid mean: d2 is invariant under a
+    common translation, and removing the shared offset is what keeps
+    ||z||^2 - 2 z.c + ||c||^2 from cancelling catastrophically in f32
+    when the latent mean dwarfs the spread (same failure the dense path
+    avoids with ops.student_t.pairwise_sqdist's difference form, which
+    at shard scale would materialize (m, K, D))."""
+    c0 = jnp.mean(centers, axis=0)
+    zc = z - c0
+    cc = centers - c0
+    return (
+        jnp.sum(zc * zc, axis=1, keepdims=True)
+        - 2.0 * jax.lax.dot_general(
+            zc, cc, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + jnp.sum(cc * cc, axis=1)[None, :]
+    )
+
+
+def _local_stats(z, centers, mask):
     """Per-shard assignment + sufficient statistics.
 
-    z (m_local, D), centers (K, D) -> (labels (m_local,), sums (K, D),
-    counts (K,)).
+    z (m_local, D), centers (K, D), mask (m_local,) -> (labels
+    (m_local,), sums (K, D), counts (K,)); masked rows contribute
+    nothing.
     """
-    d2 = (
-        jnp.sum(z * z, axis=1, keepdims=True)
-        - 2.0 * z @ centers.T
-        + jnp.sum(centers * centers, axis=1)[None, :]
-    )
-    labels = jnp.argmin(d2, axis=1)
+    labels = jnp.argmin(_sqdist(z, centers), axis=1)
     onehot = jax.nn.one_hot(labels, centers.shape[0], dtype=z.dtype)
+    onehot = onehot * mask[:, None]
     sums = onehot.T @ z               # (K, D) — MXU matmul
     counts = jnp.sum(onehot, axis=0)  # (K,)
     return labels, sums, counts
+
+
+def _pad_for_mesh(z, mesh: Mesh):
+    """(z_padded, mask, m): zero-pad the row axis to a mesh multiple and
+    return the validity mask (all-ones when already even)."""
+    z = jnp.asarray(z)
+    m = z.shape[0]
+    pad = (-m) % mesh.devices.size
+    mask = jnp.ones(m + pad, z.dtype)
+    if pad:
+        z = jnp.concatenate(
+            [z, jnp.zeros((pad,) + z.shape[1:], z.dtype)], axis=0
+        )
+        mask = mask.at[m:].set(0.0)
+    return z, mask, m
+
+
+def _put(mesh: Mesh, z, mask, *replicated):
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    return (
+        jax.device_put(z, shard),
+        jax.device_put(mask, shard),
+        *(jax.device_put(jnp.asarray(r), rep) for r in replicated),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _kmeans_step_fn(mesh: Mesh):
+    def step(z_local, mask_local, centers_rep):
+        labels, sums, counts = _local_stats(z_local, centers_rep, mask_local)
+        sums = jax.lax.psum(sums, DATA_AXIS)
+        counts = jax.lax.psum(counts, DATA_AXIS)
+        new = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0),
+            centers_rep,
+        )
+        return labels, new
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(DATA_AXIS), P()),
+    )
+
+
+def sharded_kmeans_step(z, centers, mesh: Mesh, mask=None):
+    """One Lloyd iteration over latents sharded on the data mesh.
+
+    Returns (labels (M,) sharded like z, new_centers (K, D) replicated).
+    Empty clusters keep their previous center (sklearn's relocation
+    heuristic is a host-side concern; the reference seeds k-means++ so
+    empties are rare). `mask` (M,) zeroes rows out of the statistics
+    (used for mesh padding); rows must already divide over the mesh.
+    """
+    z = jnp.asarray(z)
+    if mask is None:
+        mask = jnp.ones(z.shape[0], z.dtype)
+    z, mask, centers = _put(mesh, z, mask, centers)
+    return _kmeans_step_fn(mesh)(z, mask, centers)
 
 
 def sharded_kmeans(
@@ -53,7 +139,8 @@ def sharded_kmeans(
     seeded `init_subsample` (vmapped restarts, cheap, replicated), then
     `n_iter` Lloyd iterations run with psum-reduced sufficient statistics
     (`sharded_kmeans_step`) so the (M, K) working set never leaves its
-    shard. Returns (labels sharded like z, centers replicated).
+    shard. Inputs of any length are zero-padded to a mesh multiple with
+    the pad rows masked out. Returns (labels (M,), centers replicated).
 
     Deliberate deviation from the reference: restarts score on the
     subsample, not the full data — at cube scale full-data restarts would
@@ -65,12 +152,7 @@ def sharded_kmeans(
 
     from spectrogram_cube_clustering_tpu.cluster.kmeans import kmeans
 
-    m = z.shape[0]
-    if m % mesh.devices.size != 0:
-        raise ValueError(
-            f"{m} samples do not shard evenly over the "
-            f"{mesh.devices.size}-device mesh; pad or trim first"
-        )
+    zp, mask, m = _pad_for_mesh(z, mesh)
     sub = np.sort(
         np.random.default_rng(seed).choice(
             m, min(init_subsample, m), replace=False
@@ -80,6 +162,11 @@ def sharded_kmeans(
         jnp.asarray(z)[sub], n_clusters, n_init=n_init, max_iter=100,
         seed=seed,
     )
+    # device_put once; the cached step function never retraces across
+    # iterations (each re-dispatch through a fresh shard_map closure paid
+    # a retrace AND a full host->device copy of z per iteration before)
+    zp, mask, centers = _put(mesh, zp, mask, centers)
+    step = _kmeans_step_fn(mesh)
     # Convergence is checked every `check_every` iterations, not every
     # one: each check is a blocking device->host scalar fetch, and on a
     # high-RTT attachment (benchmarks/RESULTS.md host-sync notes) a
@@ -89,7 +176,7 @@ def sharded_kmeans(
     check_every = 8
     for i in range(n_iter):
         prev = centers
-        _, centers = sharded_kmeans_step(z, centers, mesh)
+        _, centers = step(zp, mask, centers)
         if (i % check_every == check_every - 1) and bool(
             jnp.allclose(centers, prev, atol=1e-6)
         ):
@@ -98,103 +185,23 @@ def sharded_kmeans(
     # belong to each iteration's input centers — returning those with the
     # updated centers would be mutually inconsistent, like the dense
     # kmeans' closing assign in cluster/kmeans.py)
-    labels, _ = sharded_kmeans_step(z, centers, mesh)
-    return labels, centers
+    labels, _ = step(zp, mask, centers)
+    return labels[:m], centers
 
 
-def sharded_gmm(
-    z,
-    n_clusters: int,
-    mesh: Mesh,
-    *,
-    max_iter: int = 100,
-    tol: float = 1e-3,
-    n_init: int = 100,
-    seed: int = 2009,
-    reg_covar: float = 1e-6,
-):
-    """Full k-means-initialized GMM over sharded latents (the distributed
-    analog of cluster.gmm / reference models.py:365-413).
-
-    Returns (labels sharded like z, means replicated). Convergence follows
-    sklearn semantics: change in mean log-likelihood < tol.
-    """
-    import numpy as np
-
-    km_labels, centers = sharded_kmeans(
-        z, n_clusters, mesh, n_init=n_init, seed=seed
-    )
-    counts = jnp.bincount(
-        jnp.asarray(km_labels).reshape(-1), length=n_clusters
-    )
-    weights = (counts / counts.sum()).astype(jnp.float32)
-    means = jnp.asarray(centers)
-    d = means.shape[1]
-    covs = jnp.stack([jnp.eye(d, dtype=jnp.float32)] * n_clusters)
-
-    # sampled convergence checks, same rationale as sharded_kmeans: one
-    # blocking scalar fetch per check, and EM is monotone so a few extra
-    # iterations past convergence are harmless
-    check_every = 4
-    prev_lb = -jnp.inf
-    for i in range(max_iter):
-        weights, means, covs, lb = sharded_gmm_em_step(
-            z, weights, means, covs, mesh, reg_covar
-        )
-        if i % check_every == check_every - 1:
-            # average per-iteration lower-bound change < tol
-            if bool(jnp.abs(lb - prev_lb) < tol * check_every):
-                break
-            prev_lb = lb
-
-    # final responsibilities -> labels, per shard
+@functools.lru_cache(maxsize=8)
+def _gmm_em_step_fn(mesh: Mesh, reg_covar: float):
     from spectrogram_cube_clustering_tpu.cluster.gmm import (
         _estimate_log_prob,
     )
 
-    def assign(z_local, w, mu, cov):
-        logp = _estimate_log_prob(z_local, mu, cov) + jnp.log(w)[None, :]
-        return jnp.argmax(logp, axis=1)
-
-    mapped = jax.shard_map(
-        assign,
-        mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(), P(), P()),
-        out_specs=P(DATA_AXIS),
-    )
-    z_sharded = jax.device_put(
-        jnp.asarray(z), NamedSharding(mesh, P(DATA_AXIS))
-    )
-    labels = mapped(z_sharded, weights, means, covs)
-    return labels, means
-
-
-def sharded_gmm_em_step(z, weights, means, covs, mesh: Mesh, reg_covar=1e-6):
-    """One EM iteration over latents sharded on the data mesh.
-
-    E-step responsibilities are computed per shard; the M-step reduces the
-    three sufficient statistics (responsibility mass Nk, first moments,
-    CENTERED second moments) with `psum`, matching the dense update of
-    cluster.gmm._m_step. Second moments are centered on the incoming
-    means: the raw E[zz^T] - mu mu^T form cancels catastrophically in f32
-    when the latent mean dwarfs its spread, corrupting covariances into
-    non-PSD matrices whose Cholesky is NaN. With c = old mean:
-    Cov = E[(z-c)(z-c)^T] - (mu_new-c)(mu_new-c)^T, and (mu_new-c) is one
-    EM step's movement — small, so the subtraction is well conditioned.
-    Returns (weights, means, covs, mean log-likelihood), all replicated.
-    """
-    from spectrogram_cube_clustering_tpu.cluster.gmm import (
-        _estimate_log_prob,
-    )
-
-    k, d = means.shape
-
-    def step(z_local, w, mu, cov):
+    def step(z_local, mask_local, w, mu, cov):
+        d = mu.shape[1]
         logp = _estimate_log_prob(z_local, mu, cov) + jnp.log(w)[None, :]
         norm = jax.scipy.special.logsumexp(logp, axis=1, keepdims=True)
-        resp = jnp.exp(logp - norm)                       # (m_local, K)
+        resp = jnp.exp(logp - norm) * mask_local[:, None]  # (m_local, K)
 
-        m_total = jax.lax.psum(z_local.shape[0], DATA_AXIS)
+        m_total = jax.lax.psum(jnp.sum(mask_local), DATA_AXIS)
         nk = jax.lax.psum(jnp.sum(resp, axis=0), DATA_AXIS)
         nk = nk + 10.0 * jnp.finfo(resp.dtype).eps
         first = jax.lax.psum(resp.T @ z_local, DATA_AXIS)         # (K, D)
@@ -214,47 +221,149 @@ def sharded_gmm_em_step(z, weights, means, covs, mesh: Mesh, reg_covar=1e-6):
             - dmu[:, :, None] * dmu[:, None, :]
             + reg_covar * jnp.eye(d, dtype=z_local.dtype)
         )
-        lb = jax.lax.psum(jnp.sum(norm), DATA_AXIS) / m_total
+        lb = (
+            jax.lax.psum(jnp.sum(norm[:, 0] * mask_local), DATA_AXIS)
+            / m_total
+        )
         return nk / m_total, new_means, new_covs, lb
 
-    mapped = jax.shard_map(
+    return jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(), P(), P()),
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
     )
-    z = jax.device_put(z, NamedSharding(mesh, P(DATA_AXIS)))
-    return mapped(
-        jnp.asarray(z), jnp.asarray(weights), jnp.asarray(means),
-        jnp.asarray(covs),
+
+
+def sharded_gmm_em_step(
+    z, weights, means, covs, mesh: Mesh, reg_covar=1e-6, mask=None
+):
+    """One EM iteration over latents sharded on the data mesh.
+
+    E-step responsibilities are computed per shard; the M-step reduces the
+    three sufficient statistics (responsibility mass Nk, first moments,
+    CENTERED second moments) with `psum`, matching the dense update of
+    cluster.gmm._m_step. Second moments are centered on the incoming
+    means: the raw E[zz^T] - mu mu^T form cancels catastrophically in f32
+    when the latent mean dwarfs its spread, corrupting covariances into
+    non-PSD matrices whose Cholesky is NaN. With c = old mean:
+    Cov = E[(z-c)(z-c)^T] - (mu_new-c)(mu_new-c)^T, and (mu_new-c) is one
+    EM step's movement — small, so the subtraction is well conditioned.
+    Returns (weights, means, covs, mean log-likelihood), all replicated.
+    `mask` zeroes rows out of every statistic (mesh padding).
+    """
+    z = jnp.asarray(z)
+    if mask is None:
+        mask = jnp.ones(z.shape[0], z.dtype)
+    z, mask, weights, means, covs = _put(mesh, z, mask, weights, means, covs)
+    return _gmm_em_step_fn(mesh, float(reg_covar))(
+        z, mask, weights, means, covs
     )
 
 
-def sharded_kmeans_step(z, centers, mesh: Mesh):
-    """One Lloyd iteration over latents sharded on the data mesh.
+@functools.lru_cache(maxsize=8)
+def _gmm_init_covs_fn(mesh: Mesh, reg_covar: float):
+    def step(z_local, mask_local, mu):
+        # hard-assignment M-step, the sharded analog of the dense
+        # cluster.gmm._init_covariances: covariances measured around each
+        # cluster's own mean of its assigned rows (identity init would
+        # flatten responsibilities to ~uniform whenever the latent scale
+        # is far from 1 and stall EM at a single effective component)
+        d = mu.shape[1]
+        labels = jnp.argmin(_sqdist(z_local, mu), axis=1)
+        resp = jax.nn.one_hot(labels, mu.shape[0], dtype=z_local.dtype)
+        resp = resp * mask_local[:, None]
+        nk = jax.lax.psum(jnp.sum(resp, axis=0), DATA_AXIS)
+        nk = nk + 10.0 * jnp.finfo(resp.dtype).eps
+        first = jax.lax.psum(resp.T @ z_local, DATA_AXIS)
 
-    Returns (labels (M,) sharded like z, new_centers (K, D) replicated).
-    Empty clusters keep their previous center (sklearn's relocation
-    heuristic is a host-side concern; the reference seeds k-means++ so
-    empties are rare).
-    """
+        def centered_stat(resp_k, mu_k):
+            diff = z_local - mu_k
+            return (diff * resp_k[:, None]).T @ diff
 
-    def step(z_local, centers_rep):
-        labels, sums, counts = _local_stats(z_local, centers_rep)
-        sums = jax.lax.psum(sums, DATA_AXIS)
-        counts = jax.lax.psum(counts, DATA_AXIS)
-        new = jnp.where(
-            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0),
-            centers_rep,
+        second_c = jax.lax.psum(
+            jax.vmap(centered_stat, in_axes=(1, 0))(resp, mu), DATA_AXIS
         )
-        return labels, new
+        new_means = first / nk[:, None]
+        dmu = new_means - mu
+        return (
+            second_c / nk[:, None, None]
+            - dmu[:, :, None] * dmu[:, None, :]
+            + reg_covar * jnp.eye(d, dtype=z_local.dtype)
+        )
 
-    mapped = jax.shard_map(
+    return jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS), P()),
-        out_specs=(P(DATA_AXIS), P()),
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=P(),
     )
-    z = jax.device_put(z, NamedSharding(mesh, P(DATA_AXIS)))
-    centers = jax.device_put(centers, NamedSharding(mesh, P()))
-    return mapped(z, centers)
+
+
+@functools.lru_cache(maxsize=8)
+def _gmm_assign_fn(mesh: Mesh):
+    from spectrogram_cube_clustering_tpu.cluster.gmm import (
+        _estimate_log_prob,
+    )
+
+    def assign(z_local, w, mu, cov):
+        logp = _estimate_log_prob(z_local, mu, cov) + jnp.log(w)[None, :]
+        return jnp.argmax(logp, axis=1)
+
+    return jax.shard_map(
+        assign,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(), P(), P()),
+        out_specs=P(DATA_AXIS),
+    )
+
+
+def sharded_gmm(
+    z,
+    n_clusters: int,
+    mesh: Mesh,
+    *,
+    max_iter: int = 100,
+    tol: float = 1e-3,
+    n_init: int = 100,
+    seed: int = 2009,
+    reg_covar: float = 1e-6,
+):
+    """Full k-means-initialized GMM over sharded latents (the distributed
+    analog of cluster.gmm / reference models.py:365-413).
+
+    Inputs of any length are zero-padded to a mesh multiple internally
+    (pad rows masked out of every statistic). Returns (labels (M,), means
+    replicated). Convergence follows sklearn semantics: change in mean
+    log-likelihood < tol.
+    """
+
+    km_labels, centers = sharded_kmeans(
+        z, n_clusters, mesh, n_init=n_init, seed=seed
+    )
+    counts = jnp.bincount(
+        jnp.asarray(km_labels).reshape(-1), length=n_clusters
+    )
+    weights = (counts / counts.sum()).astype(jnp.float32)
+    means = jnp.asarray(centers)
+
+    zp, mask, m = _pad_for_mesh(z, mesh)
+    zp, mask, weights, means = _put(mesh, zp, mask, weights, means)
+    covs = _gmm_init_covs_fn(mesh, float(reg_covar))(zp, mask, means)
+
+    em = _gmm_em_step_fn(mesh, float(reg_covar))
+    # sampled convergence checks, same rationale as sharded_kmeans: one
+    # blocking scalar fetch per check, and EM is monotone so a few extra
+    # iterations past convergence are harmless
+    check_every = 4
+    prev_lb = -jnp.inf
+    for i in range(max_iter):
+        weights, means, covs, lb = em(zp, mask, weights, means, covs)
+        if i % check_every == check_every - 1:
+            # average per-iteration lower-bound change < tol
+            if bool(jnp.abs(lb - prev_lb) < tol * check_every):
+                break
+            prev_lb = lb
+
+    labels = _gmm_assign_fn(mesh)(zp, weights, means, covs)
+    return labels[:m], means

@@ -139,6 +139,38 @@ class TestSilhouette:
         want = sk_silhouette_samples(x.reshape(64, -1), y)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
+    def test_single_cluster_raises(self, blobs):
+        """One populated cluster made b = inf and NaN'd every score into
+        cluster_performance.csv silently; like sklearn, refuse loudly
+        (review r3 — a collapsed fit should be visible)."""
+        x, y = blobs
+        with pytest.raises(ValueError, match="populated clusters"):
+            cluster.silhouette_samples(x, np.zeros_like(y), 5)
+
+    def test_multichannel_nhwc_layout(self):
+        """(M, H, W, C>1) NHWC input must stride H and W — the old
+        shape[-1]==1 check misrouted it to the NCHW branch, striding the
+        H axis as if it were channels (review r3)."""
+        from spectrogram_cube_clustering_tpu.cluster.metrics import (
+            silhouette_samples_X,
+        )
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(64, 8, 10, 3)).astype(np.float32)
+        y = rng.integers(0, 2, size=64)
+        got, x_ = silhouette_samples_X(x, y, rf=2)
+        assert x_.shape == (64, 4, 5)  # H and W strided, channel 0 taken
+        want = sk_silhouette_samples(
+            x[:, ::2, ::2, 0].reshape(64, -1), y
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+        # NCHW still routes through the channel-first branch
+        got_c, xc = silhouette_samples_X(
+            np.moveaxis(x, -1, 1), y, rf=2
+        )
+        assert xc.shape == (64, 4, 5)
+        np.testing.assert_allclose(got_c, want, rtol=1e-3, atol=1e-4)
+
 
 class TestTSNE:
     def test_smoke_shapes_and_determinism(self):

@@ -377,6 +377,81 @@ class TestShardedKMeansFull:
         assert np.isfinite(np.asarray(means)).all()
         assert nmi(y, np.asarray(labels)) > 0.99
 
+    def test_ragged_length_pads_internally(self, rng):
+        """Catalog lengths that don't divide the mesh are padded and
+        masked internally (review r3: the raised 'pad or trim first'
+        pushed an impossible precondition onto workflow.gmm_fit's mesh
+        path, which passes raw catalogs)."""
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        mesh = make_data_mesh()
+        k, d = 3, 5
+        centers_true = rng.normal(size=(k, d)).astype(np.float32) * 6
+        m = 8 * 60 + 5  # NOT a mesh multiple
+        y = rng.integers(0, k, size=m)
+        z = centers_true[y] + rng.normal(size=(m, d)).astype(np.float32) * 0.3
+        labels, centers = parallel.sharded_kmeans(
+            jnp.asarray(z), k, mesh, n_iter=50, n_init=4, init_subsample=256
+        )
+        assert np.asarray(labels).shape == (m,)
+        assert nmi(y, np.asarray(labels)) > 0.99
+        # pad rows must not drag centers toward the origin: every center
+        # sits near a true blob center
+        cdist = ((np.asarray(centers)[:, None] - centers_true[None]) ** 2
+                 ).sum(-1).min(1)
+        assert (cdist < 1.0).all()
+        labels_g, means_g = parallel.sharded_gmm(
+            jnp.asarray(z), k, mesh, n_init=4, max_iter=30
+        )
+        assert np.asarray(labels_g).shape == (m,)
+        assert nmi(y, np.asarray(labels_g)) > 0.99
+
+    def test_extreme_mean_offset_kmeans_step(self, rng):
+        """Distance computation stays assignment-correct under a common
+        offset that dwarfs the spread (review r3: the uncentered matmul
+        expansion lost the O(1) inter-cluster differences to f32
+        rounding at ||z||^2 ~ 1e8)."""
+        mesh = make_data_mesh()
+        k, d = 3, 5
+        centers_true = (
+            rng.normal(size=(k, d)).astype(np.float32) * 2.0 + 1.0e4
+        )
+        y = rng.integers(0, k, size=8 * 40)
+        z = (
+            centers_true[y]
+            + rng.normal(size=(len(y), d)).astype(np.float32) * 0.1
+        ).astype(np.float32)
+        labels, _ = parallel.sharded_kmeans_step(
+            jnp.asarray(z), jnp.asarray(centers_true), mesh
+        )
+        d2 = ((z[:, None, :].astype(np.float64)
+               - centers_true[None].astype(np.float64)) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(labels), d2.argmin(1))
+
+    def test_sharded_gmm_small_scale_latents(self, rng):
+        """Covariances initialize from the data (hard-assignment M-step),
+        not identity — identity covariances flatten responsibilities to
+        ~uniform when the latent scale is << 1 and EM collapses to one
+        effective component (review r3)."""
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        mesh = make_data_mesh()
+        k, d = 3, 5
+        centers_true = (
+            rng.normal(size=(k, d)).astype(np.float32) * 0.02
+        )
+        y = rng.integers(0, k, size=8 * 80)
+        z = (
+            centers_true[y]
+            + rng.normal(size=(len(y), d)).astype(np.float32) * 0.002
+        ).astype(np.float32)
+        labels, means = parallel.sharded_gmm(
+            jnp.asarray(z), k, mesh, n_init=4, max_iter=30
+        )
+        assert nmi(y, np.asarray(labels)) > 0.99
+        # all K components survived (no collapse to the global mean)
+        assert len(np.unique(np.asarray(labels))) == k
+
     def test_sharded_gmm_recovers_blobs(self, rng):
         from sklearn.metrics import normalized_mutual_info_score as nmi
 
