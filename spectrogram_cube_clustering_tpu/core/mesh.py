@@ -39,7 +39,10 @@ def initialize_distributed(
             process_id=process_id,
         )
     except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+        # jax wordings vary by version: "already initialized" and
+        # "should only be called once" both mean a prior successful init
+        msg = str(e).lower()
+        if "already" not in msg and "once" not in msg:
             raise
 
 

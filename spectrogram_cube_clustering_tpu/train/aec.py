@@ -224,7 +224,7 @@ def train_aec_stream(
     strikes = 0
     history = {"epoch": [], "train": [], "validation": []}
     start_epoch = 0
-    if resume and snapshot_path is not None and os.path.exists(snapshot_path):
+    if resume and snapshot_path is not None and ckpt.snapshot_exists(snapshot_path):
         state, meta, extra = ckpt.restore_snapshot(
             snapshot_path, state, extra_template=state.params
         )
@@ -338,7 +338,7 @@ def train_aec(
     history: Dict[str, List[float]] = {"epoch": [], "train": [], "validation": []}
     start_epoch = 0
 
-    if resume and snapshot_path is not None and os.path.exists(snapshot_path):
+    if resume and snapshot_path is not None and ckpt.snapshot_exists(snapshot_path):
         state, meta, extra = ckpt.restore_snapshot(
             snapshot_path, state, extra_template=state.params
         )
@@ -442,7 +442,7 @@ def _train_aec_fused(
         "epoch": [], "train": [], "validation": []
     }
 
-    if resume and snapshot_path is not None and os.path.exists(snapshot_path):
+    if resume and snapshot_path is not None and ckpt.snapshot_exists(snapshot_path):
         state, meta, extra = ckpt.restore_snapshot(
             snapshot_path, state, extra_template=state.params
         )

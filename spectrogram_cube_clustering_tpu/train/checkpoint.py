@@ -84,9 +84,20 @@ def save_snapshot(path: str, state, meta: dict, extra: Optional[Any] = None) -> 
     if primary:
         with open(os.path.join(tmp, "loop_meta.json"), "w") as f:
             json.dump(meta, f)
+        # never a moment with no complete snapshot on disk: the previous
+        # rmtree(path)-then-rename window meant a preemption landing
+        # between them silently restarted training from epoch 0 (resume
+        # gates on os.path.exists). Sequence: old aside -> tmp in -> drop
+        # old; restore_snapshot falls back to the .old copy if a crash
+        # lands between the two renames.
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.rename(path, old)
         os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
     if jax.process_count() > 1:
         # don't let any process race ahead to the next epoch (or a
         # restart) before the rename is visible
@@ -96,12 +107,23 @@ def save_snapshot(path: str, state, meta: dict, extra: Optional[Any] = None) -> 
     return path
 
 
+def snapshot_exists(path: str) -> bool:
+    """True when a resumable snapshot exists at `path` (or its `.old`
+    fallback from a crash mid-rotation)."""
+    path = os.path.abspath(path)
+    return os.path.exists(path) or os.path.exists(path + ".old")
+
+
 def restore_snapshot(path: str, state, extra_template: Optional[Any] = None) -> tuple:
     """Restore (state, meta, extra) from a snapshot; `state` is a freshly
-    created TrainState providing the structure."""
+    created TrainState providing the structure. Falls back to the `.old`
+    copy save_snapshot rotated aside when a crash landed between its two
+    renames."""
     import json
 
     path = os.path.abspath(path)
+    if not os.path.exists(path) and os.path.exists(path + ".old"):
+        path = path + ".old"
     template = {
         "params": state.params,
         "opt_state": state.opt_state,

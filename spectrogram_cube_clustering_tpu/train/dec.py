@@ -334,7 +334,7 @@ def train_dec_stream(
 
     train_step, eval_step = make_stream_fns(model, config.gamma)
 
-    if resume and snapshot_path is not None and os.path.exists(snapshot_path):
+    if resume and snapshot_path is not None and ckpt.snapshot_exists(snapshot_path):
         extra_tpl = {
             "p": jnp.zeros((m_total, config.n_clusters), jnp.float32),
             "labels_prev": jnp.zeros((m_total,), jnp.int32),
@@ -561,7 +561,7 @@ def train_dec(
 
     start_epoch = 0
     resumed_meta = None
-    if resume and snapshot_path is not None and os.path.exists(snapshot_path):
+    if resume and snapshot_path is not None and ckpt.snapshot_exists(snapshot_path):
         # skip cluster init + initial eval entirely: the snapshot carries
         # the live target distribution and previous labels
         extra_tpl = {

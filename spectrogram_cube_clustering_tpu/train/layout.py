@@ -154,7 +154,10 @@ def make_batched_data(
         x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
     mask = np.zeros((nb * batch_size,), np.float32)
     mask[:m] = 1.0
-    xb = x.reshape(nb, batch_size, *x.shape[1:]).astype(dtype)
+    # copy=False: the pad concat above already duplicated the data once;
+    # a dtype-matching astype copy would put a second full-dataset copy
+    # at the host-RAM peak
+    xb = x.reshape(nb, batch_size, *x.shape[1:]).astype(dtype, copy=False)
     mb = mask.reshape(nb, batch_size)
 
     if mesh is not None:

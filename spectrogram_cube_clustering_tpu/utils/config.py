@@ -94,6 +94,10 @@ def _coerce_hp(key: str, value: str) -> List[Any]:
         return [int(p) for p in parts]
     if kind == "float":
         return [float(p) for p in parts]
+    if kind == "bool":
+        # same strict parsing as _coerce — a raw 'false' string in a
+        # sweep list is truthy and would silently flip the flag on
+        return [_coerce(key, p) for p in parts]
     return parts
 
 

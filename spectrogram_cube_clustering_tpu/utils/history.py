@@ -53,7 +53,10 @@ def save_labels(
     fname = os.path.join(
         savepath, f"Labels{serial}.csv" if serial else "Labels.csv"
     )
-    if not _is_coordinator():
+    if not _is_coordinator() or not label_rows:
+        # empty rows: nothing to append (indexing label_rows[0] on the
+        # coordinator alone would kill the one process that owns file
+        # artifacts and hang the next multi-process barrier)
         return fname
     keys = label_rows[0].keys()
     write_header = not os.path.exists(fname)

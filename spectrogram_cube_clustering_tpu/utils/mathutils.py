@@ -72,8 +72,12 @@ def measure_label_change(labels1: np.ndarray, labels2: np.ndarray) -> pd.DataFra
     data.update(
         {f"Class {int(label) + 1}": counts[row] for row, label in enumerate(label_list)}
     )
-    # rows are indexed by destination class value (== RangeIndex when the
-    # labels are contiguous from 0, the reference's layout)
+    # Faithful reference quirk (utils.py:1052-1057): each 'Class {j+1}'
+    # column holds ORIGIN j's destination counts — so within the Class
+    # block the ROW position is the destination class — while the N_j/%N
+    # columns are per-origin totals indexed by row, and the index is
+    # nonetheless named 'Orig'. The reference builds exactly this mixed
+    # layout; replicated as-is for CSV parity.
     df = pd.DataFrame(data=data, index=[int(v) for v in label_list])
     df.loc["total"] = df.sum(numeric_only=True)
     int_cols = [c for c in df.columns if c != "%N"]

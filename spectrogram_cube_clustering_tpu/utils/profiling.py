@@ -65,7 +65,10 @@ class StepTimer:
             "steps": float(n),
             "mean_s": sum(ts) / n,
             "p50_s": ts[n // 2],
-            "p95_s": ts[min(n - 1, int(0.95 * n))],
+            # nearest-rank p95: ceil(0.95n)-th value, 0-based index
+            # ceil(0.95n)-1 (int(0.95n) overshoots by one rank, reporting
+            # the max at n=20)
+            "p95_s": ts[max(0, -(-19 * n // 20) - 1)],
         }
         if items_per_step:
             out["items_per_sec"] = items_per_step / out["mean_s"]

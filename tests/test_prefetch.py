@@ -95,6 +95,16 @@ class TestProfiling:
         with profiling.annotate("test-span"):
             pass
 
+    def test_p95_nearest_rank(self):
+        """Nearest-rank p95 over 20 samples is the 19th value, not the
+        max (review r3: int(0.95*n) overshot by one rank)."""
+        timer = profiling.StepTimer(warmup=0)
+        timer.times = [float(i) for i in range(1, 21)]  # 1..20
+        stats = timer.stats()
+        assert stats["p95_s"] == 19.0
+        timer.times = [float(i) for i in range(1, 101)]
+        assert timer.stats()["p95_s"] == 95.0
+
 
 class TestStreamingTraining:
     def test_train_aec_stream_matches_loss_decrease(self, rng):

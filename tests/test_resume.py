@@ -93,6 +93,57 @@ def test_snapshot_overwrites_stale_tmp(tmp_path, setup):
     assert not os.path.exists(path + ".tmp")
 
 
+def test_snapshot_rotation_never_leaves_a_gap(tmp_path, setup):
+    """save_snapshot must never have a moment with no complete snapshot:
+    the old copy rotates to SNAPSHOT.old before the new one renames in
+    (review r3: rmtree-then-rename silently restarted training from
+    epoch 0 when a preemption landed in the window), and resume falls
+    back to the .old copy."""
+    model, data, fresh_state = setup
+    state = fresh_state()
+    path = str(tmp_path / "snap")
+    ckpt.save_snapshot(path, state, {"epoch": 1})
+    ckpt.save_snapshot(path, state, {"epoch": 2})
+    assert not os.path.exists(path + ".old")  # rotation cleaned up
+    restored, meta, _ = ckpt.restore_snapshot(path, fresh_state())
+    assert meta["epoch"] == 2
+
+    # simulate a crash BETWEEN the two renames: old rotated aside, new
+    # not yet in place
+    os.rename(path, path + ".old")
+    assert ckpt.snapshot_exists(path)
+    restored, meta, _ = ckpt.restore_snapshot(path, fresh_state())
+    assert meta["epoch"] == 2
+    assert int(restored.step) == int(state.step)
+    # and the next save rotates the orphan away
+    ckpt.save_snapshot(path, state, {"epoch": 3})
+    assert os.path.exists(path) and not os.path.exists(path + ".old")
+
+
+def test_training_resumes_from_old_fallback(tmp_path, setup):
+    """A crash between save_snapshot's two renames leaves only the .old
+    copy; train_aec(resume=True) must pick it up instead of silently
+    restarting from epoch 0."""
+    model, data, fresh_state = setup
+    snap = str(tmp_path / "snap")
+    cfg_half = scc.train.AECConfig(n_epochs=3, early_stopping=False)
+    scc.train.train_aec(
+        model, fresh_state(), data, None, cfg_half,
+        snapshot_path=snap, snapshot_every=1,
+    )
+    os.rename(snap, snap + ".old")  # crash window between the renames
+    cfg_full = scc.train.AECConfig(n_epochs=6, early_stopping=False)
+    full = scc.train.train_aec(model, fresh_state(), data, None, cfg_full)
+    resumed = scc.train.train_aec(
+        model, fresh_state(), data, None, cfg_full,
+        snapshot_path=snap, resume=True,
+    )
+    assert resumed["history"]["epoch"] == full["history"]["epoch"]
+    np.testing.assert_allclose(
+        resumed["history"]["train"], full["history"]["train"], rtol=1e-5
+    )
+
+
 def test_sigkill_preemption_then_resume(tmp_path):
     """Real process death between epochs; resume continues from the
     snapshot (the reference restarts from scratch, SURVEY.md §5)."""

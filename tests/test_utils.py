@@ -39,6 +39,15 @@ class TestHistory:
         )
         assert fname.endswith("Labels20260101T000000.csv")
 
+    def test_save_labels_empty_rows(self, tmp_path):
+        """Empty rows are a no-op instead of IndexError on the
+        coordinator (review r3 — the one process owning file artifacts
+        dying would hang the next multi-process barrier)."""
+        import os
+
+        fname = scc_utils.save_labels([], str(tmp_path))
+        assert not os.path.exists(fname)
+
 
 class TestConfigEdges:
     def test_parse_nclusters(self):

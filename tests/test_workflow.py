@@ -65,6 +65,32 @@ def test_config_roundtrips_percent_in_values(tmp_path):
     assert "%2F" in config.fname_dataset
 
 
+def test_bool_hyperparameter_sweep_coerces(tmp_path):
+    """A bool-typed HYPERPARAMETERS sweep list parses to real booleans —
+    the raw strings 'true'/'false' are both truthy (review r3)."""
+    ini = scc_utils.config_training(
+        {"fname_dataset": str(tmp_path / "c.zarr"),
+         "savepath": str(tmp_path), "configpath": str(tmp_path / "Config")},
+        # DEC: the AEC path intentionally filters hp to batch_size/lr
+        # (reference utils.py:167-168)
+        {"model": "DEC", "mode": "train", "n_epochs": 1},
+        {"batch_size": "8", "lr": "0.001", "early_stopping": "true,false"},
+    )
+    config = scc_utils.load_config(ini)
+    assert config.hp["early_stopping"] == [True, False]
+    with pytest.raises(ValueError, match="not a boolean"):
+        scc_utils.load_config(
+            scc_utils.config_training(
+                {"fname_dataset": str(tmp_path / "c.zarr"),
+                 "savepath": str(tmp_path),
+                 "configpath": str(tmp_path / "Config2")},
+                {"model": "DEC", "mode": "train", "n_epochs": 1},
+                {"batch_size": "8", "lr": "0.001",
+                 "early_stopping": "yes,maybe"},
+            )
+        )
+
+
 def test_full_workflow(cube):
     root, cube_path, true_labels = cube
 
