@@ -80,4 +80,7 @@ def load_encoder_decoder_from_aec(dec_params, aec_params):
     new = dict(dec_params)
     new["encoder"] = aec_params["encoder"]
     new["decoder"] = aec_params["decoder"]
-    return new
+    # preserve the container type (FrozenDict stays FrozenDict), same as
+    # replace_centroids — a mixed mutable/frozen tree breaks container-
+    # sensitive consumers only for this one entry point
+    return type(dec_params)(new) if not isinstance(dec_params, dict) else new

@@ -80,15 +80,19 @@ class UNet(nn.Module):
         down_7 = DoubleConv(128, (2, 4), **kw)(_max_pool_2x2(down_5))  # (B, 4, 8, 128)
 
         # Bottleneck (torch CHW flatten order for exact weight porting).
+        # The reference hardwires the final width to n_in//256 == 16
+        # (networks.py:45-67); latent_dim keeps that default but is LIVE —
+        # it sets the innermost layer of both chains (a silently ignored
+        # constructor arg would run a 16-d experiment configured for 32).
         b, h, w, c = down_7.shape
         flat = jnp.transpose(down_7, (0, 3, 1, 2)).reshape((b, -1))  # (B, 4096)
         n_in = c * h * w
         z = flat
-        for n in (n_in // 4, n_in // 16, n_in // 64, n_in // 256):
-            z = nn.sigmoid(dense(n)(z))                 # -> (B, 16)
+        for n in (n_in // 4, n_in // 16, n_in // 64, self.latent_dim):
+            z = nn.sigmoid(dense(n)(z))                 # -> (B, latent_dim)
 
         u = z
-        for n in (n_in // 256, n_in // 64, n_in // 16, n_in // 4, n_in):
+        for n in (self.latent_dim, n_in // 64, n_in // 16, n_in // 4, n_in):
             u = nn.sigmoid(dense(n)(u))
         up_0 = jnp.transpose(u.reshape((b, c, h, w)), (0, 2, 3, 1))  # (B, 4, 8, 128)
 

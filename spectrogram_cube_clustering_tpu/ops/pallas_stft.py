@@ -50,14 +50,20 @@ def _windowed_dft_bases(nperseg: int, hop: int, nfreq_pad: int):
     (ratio, LANE, nfreq_pad); chunk j rows [0, hop) hold windowed basis
     rows [j*hop, (j+1)*hop), pad rows are zero (they meet the waveform's
     pad lanes)."""
+    # window + DFT convention come from signal.stft's numpy singletons —
+    # the jnp spectrogram there is this kernel's parity oracle, and a
+    # second copy of either formula could silently diverge from it
+    from spectrogram_cube_clustering_tpu.signal.stft import (
+        np_dft_angles,
+        np_hann,
+    )
+
     ratio = nperseg // hop
     nfreq = nperseg // 2 + 1
-    n = np.arange(nperseg)[:, None]
-    k = np.arange(nfreq)[None, :]
-    ang = 2.0 * np.pi * n * k / nperseg
-    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(nperseg) / nperseg)
-    full_cos = win[:, None] * np.cos(ang)
-    full_sin = win[:, None] * np.sin(ang)
+    cos_a, sin_a = np_dft_angles(nperseg)
+    win = np_hann(nperseg)
+    full_cos = win[:, None] * cos_a
+    full_sin = win[:, None] * sin_a
     cos = np.zeros((ratio, LANE, nfreq_pad), np.float32)
     sin = np.zeros((ratio, LANE, nfreq_pad), np.float32)
     for j in range(ratio):
@@ -171,6 +177,10 @@ def spectrogram_pallas(
         interpret=interpret,  # CPU test path; compiled Mosaic on TPU
     )
 
-    out = jax.lax.map(lambda pb: call(pb, cos, sin), planes)
+    # vmap folds the batch/channel axis into the kernel grid as one
+    # pallas_call (lax.map would lower to a scan of C dependent calls,
+    # repeating the grid prologue per channel with no cross-channel
+    # pipelining)
+    out = jax.vmap(call, in_axes=(0, None, None))(planes, cos, sin)
     out = out[:, :n_frames, :nfreq]
     return out.reshape(*batch_shape, n_frames, nfreq)

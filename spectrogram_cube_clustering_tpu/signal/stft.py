@@ -28,10 +28,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def np_hann(nperseg: int) -> np.ndarray:
+    """Periodic Hann window, numpy (single source of the window formula —
+    the Pallas kernel folds this into its DFT bases; diverging copies
+    would silently break the jnp-path-as-parity-oracle contract)."""
+    n = np.arange(nperseg, dtype=np.float64)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / nperseg)
+
+
+def np_dft_angles(nperseg: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real/imag rDFT basis matrices (nperseg, nfreq), numpy — the single
+    source of the DFT convention shared by `dft_matrices` and the Pallas
+    kernel's windowed bases."""
+    nfreq = nperseg // 2 + 1
+    n = np.arange(nperseg)[:, None]
+    k = np.arange(nfreq)[None, :]
+    ang = 2.0 * np.pi * n * k / nperseg
+    return np.cos(ang), np.sin(ang)
+
+
 def hann_window(nperseg: int, dtype=jnp.float32) -> jnp.ndarray:
     """Periodic Hann window (scipy.signal.get_window('hann') convention)."""
-    n = jnp.arange(nperseg, dtype=dtype)
-    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / nperseg)
+    return jnp.asarray(np_hann(nperseg), dtype)
 
 
 def frame(x: jnp.ndarray, nperseg: int, hop: int) -> jnp.ndarray:
@@ -70,29 +88,30 @@ def spectrogram(
 def dft_matrices(nperseg: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Real/imag rDFT bases, window pre-folded OUT: (nperseg, nfreq) each,
     so that rfft(f)[k] == f @ cos[:, k] - 1j * f @ sin[:, k]."""
-    nfreq = nperseg // 2 + 1
-    n = np.arange(nperseg)[:, None]
-    k = np.arange(nfreq)[None, :]
-    ang = 2.0 * np.pi * n * k / nperseg
-    return (
-        jnp.asarray(np.cos(ang), dtype),
-        jnp.asarray(np.sin(ang), dtype),
-    )
+    cos, sin = np_dft_angles(nperseg)
+    return jnp.asarray(cos, dtype), jnp.asarray(sin, dtype)
 
 
 def pallas_eligible(nperseg: int, hop: int, platform: str = None) -> bool:
     """True when the backend + STFT geometry can use the fused Pallas
-    kernel: its hop-chunk layout needs nperseg % hop == 0 and hop <= 128
-    lanes (ops/pallas_stft.py preconditions) — other configs fall back to
-    the XLA path, which handles them fine. `platform` overrides the
-    process default backend (pass the target mesh's device platform when
-    the devices differ from the default, e.g. a CPU mesh in a
+    kernel: its hop-chunk layout needs nperseg % hop == 0, hop <= 128
+    lanes (ops/pallas_stft.py preconditions), and a bounded staging
+    inflation — the layout stacks ratio = nperseg/hop shifted planes of
+    128-lane-padded hop rows, a ratio*(128/hop) memory factor over the
+    raw waveform; small hops (e.g. nperseg=512, hop=8 -> ~1024x) would
+    OOM HBM on inputs the XLA path handles trivially. Other configs fall
+    back to the XLA path, which handles them fine. `platform` overrides
+    the process default backend (pass the target mesh's device platform
+    when the devices differ from the default, e.g. a CPU mesh in a
     TPU-default process)."""
-    return (
+    if not (
         (platform or jax.default_backend()) == "tpu"
         and nperseg % hop == 0
         and hop <= 128
-    )
+    ):
+        return False
+    inflation = (nperseg // hop) * (128.0 / hop)
+    return inflation <= 16.0
 
 
 def spectrogram_windows(
@@ -102,24 +121,32 @@ def spectrogram_windows(
     window_rows: int = 4,
     transform: Optional[str] = "sample_norm_cent",
     use_pallas: Optional[bool] = None,
+    platform: Optional[str] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Raw waveform(s) -> model-ready windows (N, window_rows, n_freq, 1).
 
     Consecutive `window_rows` spectrogram frames form one sample (the Zarr
     reader's 4-row windowing, ZarrDataLoader.py:72); trailing partial
     windows are dropped; normalization fuses on device (ops.normalize).
-    `use_pallas=None` auto-selects the Pallas kernel on TPU backends.
+    `use_pallas=None` auto-selects the Pallas kernel on TPU backends;
+    `platform` overrides the backend the auto-selection keys on (pass the
+    target devices' platform when they differ from the process default),
+    and `interpret=True` runs the kernel in interpret mode (the off-TPU
+    path — a compiled Mosaic kernel crashes on CPU backends).
     """
     from spectrogram_cube_clustering_tpu.ops.normalize import make_normalizer
 
     if use_pallas is None:
-        use_pallas = pallas_eligible(nperseg, hop)
+        use_pallas = pallas_eligible(nperseg, hop, platform=platform)
     if use_pallas:
         from spectrogram_cube_clustering_tpu.ops.pallas_stft import (
             spectrogram_pallas,
         )
 
-        spec = spectrogram_pallas(x, nperseg=nperseg, hop=hop)
+        spec = spectrogram_pallas(
+            x, nperseg=nperseg, hop=hop, interpret=interpret
+        )
     else:
         spec = spectrogram(x, nperseg=nperseg, hop=hop)
     # (..., n_frames, n_freq) -> (N, window_rows, n_freq), windowing each

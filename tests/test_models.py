@@ -106,6 +106,16 @@ class TestUNet:
         z = np.asarray(z)
         assert (z > 0).all() and (z < 1).all()
 
+    def test_latent_dim_is_live(self, x8):
+        """UNet(latent_dim=32) must actually produce a 32-d latent — the
+        field used to be dead (bottleneck hardwired to n_in//256 = 16,
+        review r3), silently running a narrower latent than configured."""
+        m = models.UNet(latent_dim=32)
+        params = m.init(jax.random.key(0), x8)
+        x_rec, z = m.apply(params, x8)
+        assert z.shape == (8, 32)
+        assert x_rec.shape == (8, 4, 101, 1)
+
 
 class TestLayout:
     def test_nchw_roundtrip(self, x8):

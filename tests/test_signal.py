@@ -99,6 +99,35 @@ class TestSTFT:
         # normalized per window
         assert np.abs(w.mean(axis=(1, 2, 3))).max() < 1e-5
 
+    def test_spectrogram_windows_pallas_interpret_passthrough(self, rng):
+        """use_pallas=True off-TPU needs interpret=True forwarded to the
+        kernel (review r3: there was no passthrough, so the eligible-
+        geometry path crashed on CPU backends); results match the XLA
+        path."""
+        x = rng.normal(size=(5_000,)).astype(np.float32)
+        ref = np.asarray(
+            signal.spectrogram_windows(jnp.asarray(x), use_pallas=False)
+        )
+        got = np.asarray(
+            signal.spectrogram_windows(
+                jnp.asarray(x), use_pallas=True, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_pallas_eligible_bounds_staging_inflation(self):
+        """Small hops inflate the hop-chunk staging by ratio*(128/hop);
+        nperseg=512/hop=8 (~1024x, an HBM OOM on inputs the XLA path
+        handles trivially) must fall back (review r3)."""
+        from spectrogram_cube_clustering_tpu.signal.stft import (
+            pallas_eligible,
+        )
+
+        assert pallas_eligible(200, 100, platform="tpu")   # flagship: 2.56x
+        assert pallas_eligible(256, 128, platform="tpu")   # 2x
+        assert not pallas_eligible(512, 8, platform="tpu")  # ~1024x
+        assert not pallas_eligible(128, 16, platform="tpu")  # 64x
+
 
 class TestShardedSpectrogram:
     def test_pallas_eligible_platform_override(self):
