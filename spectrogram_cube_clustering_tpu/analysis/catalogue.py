@@ -135,7 +135,16 @@ class LabelCatalogue:
         self, fname_dataset: str, batch_size: int = 2048
     ) -> pd.DataFrame:
         """Class-averaged peak frequency: argmax over time-averaged spectra
-        mapped through the embedded freq vector (utils.py:406-455)."""
+        mapped through the embedded freq vector (utils.py:406-455).
+
+        Deliberate fix vs the reference: the per-class average weights
+        every SAMPLE equally (sum of per-sample peak freqs / class size).
+        The reference averages per-batch means with equal weight
+        (utils.py:434), over-weighting the trailing partial batch by up to
+        batch_size x. The Class index stays the raw label values like the
+        reference's table (note the reference numbers OTHER tables
+        1-based, e.g. amplitude stats — that mixed numbering is its own).
+        """
         _, fvec = get_timefreqvec(fname_dataset)
         dataset = SeismicDataset(fname_dataset, "h5")
         class_avg = np.zeros(len(self.label_list))
@@ -143,13 +152,13 @@ class LabelCatalogue:
             idx = self.df.loc[self.df["label"] == label, "idx"].to_numpy()
             if len(idx) == 0:
                 continue
-            means = []
+            total = 0.0
             for start in range(0, len(idx), batch_size):
                 x = dataset.load_batch(idx[start : start + batch_size])
                 # (B, 1, H, W): average over time bins, argmax over freq
                 maxfreqind = (x.mean(axis=3)).argmax(axis=2).squeeze(-1)
-                means.append(fvec[maxfreqind].mean())
-            class_avg[j] = float(np.mean(means))
+                total += float(fvec[maxfreqind].sum())
+            class_avg[j] = total / len(idx)
         return (
             pd.DataFrame(
                 {"Class": self.label_list, "Avg_Peak_Freq": class_avg}

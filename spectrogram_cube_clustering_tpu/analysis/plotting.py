@@ -110,6 +110,7 @@ def _to_hw(x) -> np.ndarray:
 def view_tsne(results, labels, title, show: bool = False):
     """t-SNE scatter colored by class (reference view_TSNE,
     plotting.py:1947-1977)."""
+    results = np.asarray(results)  # list input: fancy indexing below
     labels = np.asarray(labels)
     classes = np.unique(labels)
     colors = cmap_lifeaquatic(len(classes))
@@ -749,13 +750,17 @@ def view_class_pdf(
     if n_clusters is None:
         n_clusters = len(centroids_a)
     label_list = np.arange(n_clusters)  # class can be empty; see pdf note
-    all_d = np.concatenate([
+    # computed once and reused by the panel loop below — at cube scale
+    # each is an O(M*D) host pass and there are 2K of them
+    dists_a = [
         fractional_distance(centroids_a[l], data_a, p)
         for l in range(n_clusters)
-    ] + [
+    ]
+    dists_b = [
         fractional_distance(centroids_b[l], data_b, p)
         for l in range(n_clusters)
-    ])
+    ]
+    all_d = np.concatenate(dists_a + dists_b)
     hi = float(np.ceil(all_d.max() / 10.0)) * 10 if len(all_d) else 1.0
     bins = np.linspace(0, max(hi, 1.0), 200)
     colors = cmap_lifeaquatic(n_clusters)
@@ -781,14 +786,12 @@ def view_class_pdf(
             2, 1, subplot_spec=gs[l // 2, l % 2], hspace=0, wspace=0
         )
         axa = fig.add_subplot(sub[0])
-        _panel(axa, fractional_distance(centroids_a[l], data_a, p),
-               labels_a, "GMM")
+        _panel(axa, dists_a[l], labels_a, "GMM")
         axa.set_title(rf"Class PDFs relative to $\mu_{{{l + 1}}}$",
                       loc="left", size=12)
         axa.set_xticklabels([])
         axb = fig.add_subplot(sub[1])
-        _panel(axb, fractional_distance(centroids_b[l], data_b, p),
-               labels_b, "DEC")
+        _panel(axb, dists_b[l], labels_b, "DEC")
         if l == n_clusters - 1 or (n_clusters % 2 == 0 and l == n_clusters - 2):
             axb.set_xlabel(rf"$d=\Vert z-\mu_k\Vert_{p}$", size=12)
             axb.set_ylabel("PDF", size=12)

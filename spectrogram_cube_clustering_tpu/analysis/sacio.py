@@ -291,7 +291,12 @@ def read_mseed(path) -> "Trace":
 class Trace:
     def __init__(self, data, stats=None):
         self.data = np.asarray(data, np.float64)
-        self.stats = stats or Stats(npts=len(self.data))
+        # copy the header like obspy's Trace does: mutating/aliasing the
+        # caller's Stats would corrupt the sibling trace it came from
+        # (its npts here, its starttime on any later trim)
+        self.stats = stats.copy() if stats is not None else Stats(
+            npts=len(self.data)
+        )
         self.stats.npts = len(self.data)
 
     def copy(self):

@@ -115,7 +115,16 @@ def sac2mseed(
         search_days = pd.date_range(
             time_start.floor("D"), time_stop.ceil("D"), freq="D"
         )
-        flist = [f for f in files if file2dt(f).date() in search_days[:-1].date]
+        # the reference drops the ceil'd trailing day (environment.py:218)
+        # — valid only because its positive taper buffer guarantees ceil
+        # bumped a day; with taper_trace=0, time_stop lands exactly on
+        # midnight, ceil is a no-op, and the dropped day holds the
+        # inclusive endtime sample
+        use_days = (
+            search_days if time_stop == search_days[-1]
+            else search_days[:-1]
+        )
+        flist = [f for f in files if file2dt(f).date() in use_days.date]
         if not flist:
             continue
         st = None
@@ -739,6 +748,11 @@ def remove_trace(
     seedresp."""
     if taper_half_width:
         duration = tr.stats.endtime - tr.stats.starttime
+        if hasattr(duration, "total_seconds"):
+            # native sacio Stats carry datetimes (obspy returns float
+            # seconds); a float/timedelta division would TypeError before
+            # the deconvolution even ran
+            duration = duration.total_seconds()
         kwargs["taper_fraction"] = 2 * taper_half_width / duration
     if native:
         try:

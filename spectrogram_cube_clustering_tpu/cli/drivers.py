@@ -100,7 +100,8 @@ def aec_predict(argv: Optional[list] = None) -> None:
         _universal(args),
         {
             "model": "AEC", "mode": "predict",
-            "saved_weights": args.weights, "tb": "False",
+            "saved_weights": args.weights,
+            "tb": str(args.tb), "tbport": args.tbport,
             "show": str(args.verbose),
         },
         None,
@@ -122,7 +123,8 @@ def gmm_centroids(argv: Optional[list] = None) -> None:
         {
             "model": "GMM", "mode": "fit", "saved_weights": args.weights,
             "km_n_init": args.km_n_init, "km_max_iter": args.km_max_iter,
-            "tb": "False", "show": str(args.verbose),
+            "tb": str(args.tb), "tbport": args.tbport,
+            "show": str(args.verbose),
         },
         {"n_clusters": args.n_clusters},
     )
@@ -174,7 +176,8 @@ def dec_predict(argv: Optional[list] = None) -> None:
     args = parser.parse_args(argv)
     params = {
         "model": "DEC", "mode": "predict", "saved_weights": args.weights,
-        "tb": "False", "show": str(args.verbose),
+        "tb": str(args.tb), "tbport": args.tbport,
+            "show": str(args.verbose),
     }
     if args.silh_max_samples:
         params["silh_max_samples"] = args.silh_max_samples

@@ -149,6 +149,46 @@ class TestTraceOps:
         assert tr.stats.npts == 11
         assert tr.stats.endtime == t0 + timedelta(seconds=20)
 
+    def test_constructor_copies_stats(self):
+        """Trace(data, other.stats) must not mutate or alias the donor's
+        header (obspy copies it; review r3: the shared object let a trim
+        on the child advance the parent's starttime and overwrite its
+        npts)."""
+        t0 = datetime(2015, 1, 1)
+        tr1 = _trace(n=100, fs=1.0, t0=t0, data=np.arange(100.0))
+        from spectrogram_cube_clustering_tpu.analysis.sacio import Trace
+
+        tr2 = Trace(tr1.data[:10], tr1.stats)
+        assert tr1.stats.npts == 100  # donor untouched
+        assert tr2.stats.npts == 10
+        tr2.trim(starttime=t0 + timedelta(seconds=5))
+        assert tr1.stats.starttime == t0
+
+    def test_remove_trace_taper_with_datetime_stats(self, tmp_path):
+        """remove_trace(taper_half_width=...) on a native sacio Trace
+        (datetime start/end) must compute the taper fraction instead of
+        TypeError-ing on float/timedelta division (review r3)."""
+        from spectrogram_cube_clustering_tpu.analysis import seismic
+
+        resp = tmp_path / "RESP.t"
+        resp.write_text(
+            "B058F04     Sensitivity:    1.00000E+00\n"
+            "B053F03     Transfer function type:                A\n"
+            "B053F04     Stage sequence number:                 1\n"
+            "B053F05     Response in units lookup:              M/S - v\n"
+            "B053F07     A0 normalization factor:               1.0\n"
+            "B053F15-18     0  -1.00000E+00  +0.00000E+00  0 0\n"
+        )
+        t0 = datetime(2015, 1, 1)
+        tr = _trace(n=3600, fs=1.0, t0=t0,
+                    data=np.sin(2 * np.pi * 0.05 * np.arange(3600.0)))
+        before = tr.data.copy()
+        seismic.remove_trace(
+            tr, str(resp), units="VEL", taper_half_width=180.0
+        )
+        assert np.isfinite(tr.data).all()
+        assert not np.allclose(tr.data, before)
+
     def test_trim_clips_to_available(self):
         t0 = datetime(2015, 1, 1)
         tr = _trace(n=10, fs=1.0, t0=t0, data=np.arange(10.0))

@@ -201,6 +201,32 @@ class TestSac2Mseed:
         for p in written:
             assert os.path.exists(p)
 
+    def test_zero_buffer_includes_endtime_day(
+        self, fake_obspy, tmp_path, monkeypatch
+    ):
+        """taper_trace=0 lands time_stop exactly on midnight; ceil('D')
+        is a no-op there and the reference's [:-1] day-drop would exclude
+        the file holding the inclusive endtime sample (review r3 — the
+        reference's hardcoded positive buffer hides this)."""
+        datadir = tmp_path / "sac"
+        destdir = tmp_path / "mseed"
+        datadir.mkdir()
+        self._make_sac_files(datadir, n_days=4)
+
+        read_paths = []
+        orig_read = fake_obspy.read
+
+        def read(path):
+            read_paths.append(os.path.basename(path))
+            return orig_read(path)
+
+        monkeypatch.setattr(fake_obspy, "read", read)
+        seismic.sac2mseed(
+            str(datadir), str(destdir), taper_trace=0, pre_feed=0,
+        )
+        # converting day 2 (t1 = day 3 midnight) must read day 3's file
+        assert any(p.startswith("2015.003") for p in read_paths)
+
     def test_buffer_and_op_sequence(self, fake_obspy, tmp_path, monkeypatch):
         datadir = tmp_path / "sac"
         destdir = tmp_path / "mseed"
