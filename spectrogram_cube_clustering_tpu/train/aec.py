@@ -224,6 +224,7 @@ def train_aec_stream(
     strikes = 0
     history = {"epoch": [], "train": [], "validation": []}
     start_epoch = 0
+    finished = False
     if resume and snapshot_path is not None and ckpt.snapshot_exists(snapshot_path):
         state, meta, extra = ckpt.restore_snapshot(
             snapshot_path, state, extra_template=state.params
@@ -234,9 +235,12 @@ def train_aec_stream(
         strikes = meta["strikes"]
         if meta.get("have_best"):
             best_params = extra
-    finished = False
+        # honor an early-stop snapshot (written by any path — the formats
+        # are interchangeable): resuming past the stopping point would
+        # burn the epoch budget the stop existed to save
+        finished = bool(meta.get("done", False))
     last_epoch = start_epoch
-    for epoch in range(start_epoch, config.n_epochs):
+    for epoch in () if finished else range(start_epoch, config.n_epochs):
         last_epoch = epoch + 1
         # losses stay on device until epoch end: a float() per batch would
         # serialize every step on the dispatch round trip (disastrous on
@@ -271,15 +275,22 @@ def train_aec_stream(
                 strikes += 1
             if epoch > config.patience and strikes > config.patience:
                 finished = True
-                break
-        if snapshot_path is not None and (epoch + 1) % snapshot_every == 0:
+        if snapshot_path is not None and (
+            (epoch + 1) % snapshot_every == 0 or finished
+        ):
+            # a snapshot written AT the early stop carries done=True so
+            # any later resume (this path or the scan/fused ones) doesn't
+            # train past the stopping point
             ckpt.save_snapshot(
                 snapshot_path, state,
                 {"epoch": epoch + 1, "history": history,
                  "best_val": best_val, "strikes": strikes,
-                 "have_best": best_params is not None},
+                 "have_best": best_params is not None,
+                 "done": finished},
                 extra=best_params if best_params is not None else state.params,
             )
+        if finished:
+            break
     final = best_params if (config.early_stopping and best_params is not None) else state.params
     return {
         "state": state, "final_params": final, "best_val": best_val,

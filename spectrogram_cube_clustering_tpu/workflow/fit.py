@@ -40,8 +40,20 @@ def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
     With a `mesh`, the fit runs distributed: latents shard over the data
     axis and EM sufficient statistics psum-reduce (parallel.sharded_gmm).
     """
+    import jax
+
     z = np.asarray(load_data(config), np.float32)
     print(f"Dataset has {len(z)} samples.")
+    # file artifacts write on process 0 only (save_labels/save_history
+    # gate internally; the np.save/figure/pointer writers here do not,
+    # and N processes interleaving into one labels.npy tear the file)
+    primary = jax.process_index() == 0
+
+    # one embedding for the whole sweep: z and the seed never change
+    # between swept K values — only the label coloring does (a per-K
+    # sklearn t-SNE re-fit multiplies the sweep wall-clock for
+    # byte-identical embeddings)
+    tsne_results = _tsne(config, z) if figures and primary else None
 
     results = []
     for run_count, n_clusters in enumerate(config.hp["n_clusters"], start=1):
@@ -50,12 +62,18 @@ def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
         config.init_output_env(n_clusters=n_clusters)
         if mesh is not None:
             from spectrogram_cube_clustering_tpu.parallel import sharded_gmm
+            from spectrogram_cube_clustering_tpu.train.layout import (
+                fetch_global,
+            )
 
             labels, centroids = sharded_gmm(
                 z, int(n_clusters), mesh,
                 n_init=int(getattr(config, "km_n_init", 100)),
                 seed=int(getattr(config, "seed", 2009) or 2009),
             )
+            # labels shard over the mesh; all-gather before host use (a
+            # bare np.asarray raises on process-spanning arrays)
+            labels = fetch_global(labels)
         else:
             labels, centroids = _cluster.gmm(
                 z, int(n_clusters),
@@ -70,24 +88,28 @@ def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
             [{"idx": i, "label": int(labels[i])} for i in range(len(z))],
             config.savepath_run,
         )
-        np.save(os.path.join(config.savepath_run, "labels"), labels)
-        np.save(os.path.join(config.savepath_run, "centroids"), centroids)
-        # the latents these labels/centroids were fit on: a pointer back
-        # to the AEC run's Prediction/Z_AEC.npy (not a copy — review r3),
-        # which DEC training carries into its own run
-        # (train._record_gmm_provenance) so DEC prediction can draw the
-        # comparative GMM-vs-DEC figures (reference models.py:659-695)
-        z_src = os.path.join(
-            os.path.abspath(os.path.join(config.saved_weights, os.pardir)),
-            "Prediction", "Z_AEC.npy",
-        )
-        if os.path.exists(z_src):
-            write_z_pointer(config.savepath_run, z_src)
-        else:  # latents came from somewhere we can't point at: keep a copy
-            np.save(os.path.join(config.savepath_run, "Z_AEC"), z)
+        if primary:
+            np.save(os.path.join(config.savepath_run, "labels"), labels)
+            np.save(
+                os.path.join(config.savepath_run, "centroids"), centroids
+            )
+            # the latents these labels/centroids were fit on: a pointer
+            # back to the AEC run's Prediction/Z_AEC.npy (not a copy —
+            # review r3), which DEC training carries into its own run
+            # (train._record_gmm_provenance) so DEC prediction can draw
+            # the comparative GMM-vs-DEC figures (models.py:659-695)
+            z_src = os.path.join(
+                os.path.abspath(
+                    os.path.join(config.saved_weights, os.pardir)
+                ),
+                "Prediction", "Z_AEC.npy",
+            )
+            if os.path.exists(z_src):
+                write_z_pointer(config.savepath_run, z_src)
+            else:  # latents from somewhere we can't point at: keep a copy
+                np.save(os.path.join(config.savepath_run, "Z_AEC"), z)
 
-        if figures:
-            tsne_results = _tsne(config, z)
+        if tsne_results is not None:
             fig = plotting.view_tsne(tsne_results, labels, "GMM")
             fig.savefig(
                 os.path.join(config.savepath_run, "t-SNE.png"),
@@ -144,16 +166,20 @@ def _cluster_count_diagnostics(config, z, results, figures: bool = True):
         "gap_gaussian": gaps["gap_g"],
         "gap_uniform": gaps["gap_u"],
     })
-    df.to_csv(
-        os.path.join(config.savepath_exp, "cluster_stats.csv"), index=False
-    )
-    if figures:
-        fig = plotting.view_cluster_stats(
-            k_list, gaps["inertia"], silh,
-            gap_g=gaps["gap_g"], gap_u=gaps["gap_u"],
+    import jax
+
+    if jax.process_index() == 0:  # shared exp dir: one writer
+        df.to_csv(
+            os.path.join(config.savepath_exp, "cluster_stats.csv"),
+            index=False,
         )
-        fig.savefig(
-            os.path.join(config.savepath_exp, "cluster_stats.png"),
-            dpi=300, facecolor="w",
-        )
+        if figures:
+            fig = plotting.view_cluster_stats(
+                k_list, gaps["inertia"], silh,
+                gap_g=gaps["gap_g"], gap_u=gaps["gap_u"],
+            )
+            fig.savefig(
+                os.path.join(config.savepath_exp, "cluster_stats.png"),
+                dpi=300, facecolor="w",
+            )
     return df

@@ -129,6 +129,13 @@ def _save_aec_artifacts(config, model, out, sample_x, writer=None):
     )
     final_path = os.path.join(config.savepath_run, "AEC_Params_Final")
     save(final_path, out["final_params"])
+    # all-gather BEFORE the proc-0 gate: fetch_global is a collective,
+    # and an eager apply on process-spanning params would raise on the
+    # one process that proceeds past the gate while the others hang the
+    # next collective
+    from spectrogram_cube_clustering_tpu.train.layout import fetch_global
+
+    host_params = fetch_global(out["final_params"])
     if jax.process_index() != 0:
         return final_path
     # final reconstruction panel (the reference's TB figure hook is
@@ -137,7 +144,7 @@ def _save_aec_artifacts(config, model, out, sample_x, writer=None):
 
     n_show = min(4, len(sample_x))
     xr, _ = model.apply(
-        {"params": out["final_params"]}, jnp.asarray(sample_x[:n_show])
+        {"params": host_params}, jnp.asarray(sample_x[:n_show])
     )
     fig = plotting.view_specgram_training(
         sample_x[:n_show], np.asarray(xr), n_samples=n_show,
@@ -487,33 +494,31 @@ def _train_stream(config, mesh=None):
                     init=init_mode,
                     kmeans_n_init=int(getattr(config, "km_n_init", 100)),
                     kmeans_max_iter=int(getattr(config, "km_max_iter", 1000)),
+                    seed=int(getattr(config, "seed", 2009) or 2009),
                 ),
                 initial=initial,
                 snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
                 resume=bool(getattr(config, "resume", False)),
             )
-            if out["initial_params"] is not None:  # None when resumed
-                save(
-                    os.path.join(config.savepath_run, "DEC_Params_Initial"),
-                    out["initial_params"],
-                )
-            save(
-                os.path.join(config.savepath_run, "DEC_Params_Final"),
-                out["state"].params,
+            # same artifacts + TB output as the ram path; scalars replayed
+            # from the histories (the stream loop has no live hook)
+            writer, log_scalar = _tb_writer(config, config.savepath_run)
+            if log_scalar is not None:
+                h = out["history"]
+                for i, t, r, c in zip(h["iteration"], h["total"],
+                                      h["reconstruction"], h["clustering"]):
+                    log_scalar("Loss", t, i)
+                    log_scalar("MSE", r, i)
+                    log_scalar("KLD", c, i)
+                for i, dl in zip(out["deltas"]["iteration"],
+                                 out["deltas"]["delta"]):
+                    log_scalar("delta", dl, i)
+            _save_dec_artifacts(
+                config, out, writer, batch_size=batch_size, lr=lr,
+                n_clusters=n_clusters,
+                gamma=float(hp.get("gamma", 0.001)),
+                tol=float(hp.get("tol", 0.003)),
             )
-            _utils.save_history(
-                {"Iteration": out["history"]["iteration"],
-                 "Loss": out["history"]["total"],
-                 "MSE": out["history"]["reconstruction"],
-                 "KLD": out["history"]["clustering"]},
-                os.path.join(config.savepath_run, "DEC_history.csv"),
-            )
-            if out["deltas"]["iteration"]:
-                _utils.save_history(
-                    {"Iteration": out["deltas"]["iteration"],
-                     "Delta": out["deltas"]["delta"]},
-                    os.path.join(config.savepath_run, "Delta_history.csv"),
-                )
         else:
             raise ValueError(f"unknown model {config.model!r}")
         out["savepath_run"] = config.savepath_run
@@ -523,6 +528,14 @@ def _train_stream(config, mesh=None):
 
 def train(config, mesh=None):
     """Run the full hp sweep. Returns a list of per-run result dicts."""
+    if config.model not in ("AEC", "DEC"):
+        # before load_data: model='GMM' loads a single latent array whose
+        # unpack below would raise a confusing 'too many values' instead
+        # of this error (GMM runs through workflow.gmm_fit / mode='fit')
+        raise ValueError(
+            f"unknown model {config.model!r} for mode='train' "
+            "(GMM fitting runs via mode='fit' / workflow.gmm_fit)"
+        )
     if getattr(config, "loadmode", "ram") == "stream":
         return _train_stream(config, mesh)
     tra_x, val_x = load_data(config)
@@ -595,6 +608,57 @@ def _train_aec_run(config, hp, tra_x, val_x, mesh):
     return out
 
 
+def _save_dec_artifacts(config, out, writer, *, batch_size, lr, n_clusters,
+                        gamma, tol):
+    """DEC run artifacts shared by the ram and stream paths: initial/final
+    params, history CSVs, TB breadcrumbs + hparams summary (reference
+    models.py:992-998, 1213-1229). One writer — the stream path used to
+    carry a drifting copy that silently dropped the TB output."""
+    if out["initial_params"] is not None:
+        # absent exactly when resuming: the restored params are
+        # mid-training, and the original run already saved the real
+        # initialization (reference artifact DEC_Params_Initial,
+        # models.py:1009-1012)
+        save(
+            os.path.join(config.savepath_run, "DEC_Params_Initial"),
+            out["initial_params"],
+        )
+    save(
+        os.path.join(config.savepath_run, "DEC_Params_Final"),
+        out["state"].params,
+    )
+    _utils.save_history(
+        {"Iteration": out["history"]["iteration"],
+         "Loss": out["history"]["total"],
+         "MSE": out["history"]["reconstruction"],
+         "KLD": out["history"]["clustering"]},
+        os.path.join(config.savepath_run, "DEC_history.csv"),
+    )
+    if out["deltas"]["iteration"]:
+        _utils.save_history(
+            {"Iteration": out["deltas"]["iteration"],
+             "Delta": out["deltas"]["delta"]},
+            os.path.join(config.savepath_run, "Delta_history.csv"),
+        )
+    if writer is not None:
+        # breadcrumbs (reference models.py:992-998, 1229)
+        writer.add_text("Pretrained AEC Weights", str(config.saved_weights))
+        writer.add_text(
+            "Path to Saved Weights",
+            os.path.join(config.savepath_run, "DEC_Params_Final"),
+        )
+        # run summary as TB hparams (reference models.py:1213-1225)
+        final = out["history"]
+        writer.add_hparams(
+            {"batch_size": batch_size, "lr": lr, "n_clusters": n_clusters,
+             "gamma": gamma, "tol": tol},
+            {"hparam/final_loss": final["total"][-1] if final["total"] else 0.0,
+             "hparam/epochs": out["last_epoch"],
+             "hparam/stopped_early": int(out["stopped_early"])},
+        )
+        writer.close()
+
+
 def _train_dec_run(config, hp, tra_x, mesh):
     batch_size, lr = int(hp["batch_size"]), float(hp["lr"])
     n_clusters = int(hp.get("n_clusters", getattr(config, "n_clusters", 5)))
@@ -657,6 +721,9 @@ def _train_dec_run(config, hp, tra_x, mesh):
             init=init_mode,
             kmeans_n_init=int(getattr(config, "km_n_init", 100)),
             kmeans_max_iter=int(getattr(config, "km_max_iter", 1000)),
+            # same seed source as gmm_fit: init='gmm' here and a prior
+            # gmm_fit run must produce the same initialization
+            seed=int(getattr(config, "seed", 2009) or 2009),
             verbose=bool(getattr(config, "show", False)),
         ),
         initial=initial,
@@ -665,45 +732,9 @@ def _train_dec_run(config, hp, tra_x, mesh):
         snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),
         resume=bool(getattr(config, "resume", False)),
     )
-    if out["initial_params"] is not None:
-        # absent exactly when resuming: the restored params are
-        # mid-training, and the original run already saved the real
-        # initialization (reference artifact DEC_Params_Initial,
-        # models.py:1009-1012)
-        save(
-            os.path.join(config.savepath_run, "DEC_Params_Initial"),
-            out["initial_params"],
-        )
-    save(os.path.join(config.savepath_run, "DEC_Params_Final"), out["state"].params)
-    _utils.save_history(
-        {"Iteration": out["history"]["iteration"],
-         "Loss": out["history"]["total"],
-         "MSE": out["history"]["reconstruction"],
-         "KLD": out["history"]["clustering"]},
-        os.path.join(config.savepath_run, "DEC_history.csv"),
+    _save_dec_artifacts(
+        config, out, writer, batch_size=batch_size, lr=lr,
+        n_clusters=n_clusters, gamma=gamma, tol=tol,
     )
-    if out["deltas"]["iteration"]:
-        _utils.save_history(
-            {"Iteration": out["deltas"]["iteration"],
-             "Delta": out["deltas"]["delta"]},
-            os.path.join(config.savepath_run, "Delta_history.csv"),
-        )
-    if writer is not None:
-        # breadcrumbs (reference models.py:992-998, 1229)
-        writer.add_text("Pretrained AEC Weights", str(config.saved_weights))
-        writer.add_text(
-            "Path to Saved Weights",
-            os.path.join(config.savepath_run, "DEC_Params_Final"),
-        )
-        # run summary as TB hparams (reference models.py:1213-1225)
-        final = out["history"]
-        writer.add_hparams(
-            {"batch_size": batch_size, "lr": lr, "n_clusters": n_clusters,
-             "gamma": gamma, "tol": tol},
-            {"hparam/final_loss": final["total"][-1] if final["total"] else 0.0,
-             "hparam/epochs": out["last_epoch"],
-             "hparam/stopped_early": int(out["stopped_early"])},
-        )
-        writer.close()
     out["savepath_run"] = config.savepath_run
     return out

@@ -203,6 +203,49 @@ def test_sigkill_preemption_then_resume(tmp_path):
     assert out["history"]["epoch"] == [1, 2, 3, 4, 5]
 
 
+def test_aec_stream_resume_after_early_stop_stays_stopped(tmp_path, rng):
+    """The stream path writes done=True at the early stop and honors it
+    on resume — in any combination with the scan/fused paths (the
+    formats are interchangeable; review r3: the stream resume ignored
+    the flag and trained on past the stop)."""
+    x, _ = scc.data.synthetic_windows(96, n_classes=3, seed=5)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    model = scc.models.AEC()
+
+    def make_loader():
+        return scc.data.PrefetchLoader(
+            lambda i: x[i * 8 : (i + 1) * 8], n_items=12, batch_size=32,
+            num_workers=2,
+        )
+
+    def fresh():
+        return scc.train.create_train_state(
+            model, jax.random.key(7), jnp.asarray(x[:2]), lr=0.0
+        )
+
+    snap = str(tmp_path / "stopsnap")
+    cfg = scc.train.AECConfig(n_epochs=20, early_stopping=True, patience=2)
+    stopped = scc.train.train_aec_stream(
+        model, fresh(), make_loader, cfg, make_val_loader=make_loader,
+        snapshot_path=snap,
+    )
+    assert stopped["stopped_early"]
+    # stream resume stays stopped
+    res = scc.train.train_aec_stream(
+        model, fresh(), make_loader, cfg, make_val_loader=make_loader,
+        snapshot_path=snap, resume=True,
+    )
+    assert res["stopped_early"]
+    assert res["history"]["epoch"] == stopped["history"]["epoch"]
+    # scan-path resume of the stream snapshot stays stopped too
+    data = scc.train.make_batched_data(x, batch_size=32)
+    res2 = scc.train.train_aec(
+        model, fresh(), data, data, cfg, snapshot_path=snap, resume=True,
+    )
+    assert res2["stopped_early"]
+    assert res2["history"]["epoch"] == stopped["history"]["epoch"]
+
+
 def test_aec_stream_resume_matches_uninterrupted(tmp_path, rng):
     """Streaming AEC (the larger-than-HBM tier, where preemption hurts
     most) carries the same epoch-granular snapshot contract as the scan

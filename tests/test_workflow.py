@@ -91,6 +91,22 @@ def test_bool_hyperparameter_sweep_coerces(tmp_path):
         )
 
 
+def test_train_rejects_gmm_model_clearly(tmp_path):
+    """model='GMM' with mode='train' must hit the explicit unknown-model
+    error, not an unpack ValueError from load_data's single latent array
+    (review r3)."""
+    import types
+
+    from spectrogram_cube_clustering_tpu import workflow
+
+    config = types.SimpleNamespace(
+        model="GMM", mode="train", loadmode="ram",
+        fname_dataset=str(tmp_path / "c.zarr"),
+    )
+    with pytest.raises(ValueError, match="unknown model 'GMM'"):
+        workflow.train(config)
+
+
 def test_full_workflow(cube):
     root, cube_path, true_labels = cube
 
