@@ -51,6 +51,7 @@ _CODECS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _CNAME_TO_ID = {"blosclz": 0, "lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3, "zstd": 4}
 
 _MAX_SPLITS = 16  # c-blosc MAX_SPLITS: larger typesizes never split
+_MIN_BUFFERSIZE = 128  # c-blosc MIN_BUFFERSIZE: smaller blocks never split
 
 _lock = threading.Lock()
 _libblosc: Optional[ctypes.CDLL] = None
@@ -145,6 +146,11 @@ def _lz4_decompress_block(src: memoryview, dst_len: int) -> bytearray:
                 if b != 255:
                     break
         if lit:
+            if si + lit > n or di + lit > dst_len:
+                # slice assignment would silently SHRINK/GROW the
+                # bytearray past either end, sailing through the final
+                # length check — fail like libblosc does
+                raise ValueError("corrupt lz4 block: literal run overruns")
             dst[di:di + lit] = src[si:si + lit]
             si += lit
             di += lit
@@ -166,6 +172,8 @@ def _lz4_decompress_block(src: memoryview, dst_len: int) -> bytearray:
         ref = di - offset
         if ref < 0:
             raise ValueError("corrupt lz4 block: match before start")
+        if di + mlen > dst_len:
+            raise ValueError("corrupt lz4 block: match overruns output")
         if offset >= mlen:  # non-overlapping fast path
             dst[di:di + mlen] = dst[ref:ref + mlen]
             di += mlen
@@ -215,6 +223,8 @@ def _blosclz_decompress(src: memoryview, dst_len: int) -> bytearray:
                 ref = di - ofs - _BLOSCLZ_MAX_DISTANCE - 1
             if ref < 0:
                 raise ValueError("corrupt blosclz stream: match before start")
+            if di + mlen > dst_len:
+                raise ValueError("corrupt blosclz stream: match overruns")
             if di - ref >= mlen:
                 dst[di:di + mlen] = dst[ref:ref + mlen]
                 di += mlen
@@ -225,6 +235,10 @@ def _blosclz_decompress(src: memoryview, dst_len: int) -> bytearray:
                     ref += 1
         else:
             lit = ctrl + 1
+            if si + lit > n or di + lit > dst_len:
+                raise ValueError(
+                    "corrupt blosclz stream: literal run overruns"
+                )
             dst[di:di + lit] = src[si:si + lit]
             si += lit
             di += lit
@@ -322,6 +336,12 @@ def decompress_pure(frame: bytes) -> bytes:
     nbytes, blocksize, cbytes = struct.unpack_from("<iii", frame, 4)
     if cbytes > len(frame):
         raise ValueError("truncated blosc frame body")
+    if nbytes < 0 or blocksize <= 0:
+        # corrupt sizes would otherwise surface as ZeroDivisionError /
+        # IndexError instead of the ValueError corrupt-frame contract
+        raise ValueError(
+            f"corrupt blosc header (nbytes={nbytes}, blocksize={blocksize})"
+        )
     if nbytes == 0:
         return b""
 
@@ -348,6 +368,11 @@ def decompress_pure(frame: bytes) -> bytes:
             and typesize > 1
             and typesize <= _MAX_SPLITS
             and bsize % typesize == 0
+            # c-blosc blosc_d's MIN_BUFFERSIZE rule: small blocks never
+            # split even without the dont-split bit — pre-1.11 encoders
+            # (no such bit yet) emit exactly those frames, and assuming a
+            # split there mis-parses streams libblosc reads fine
+            and blocksize // typesize >= _MIN_BUFFERSIZE
         )
         nsplits = typesize if split else 1
         neblock = bsize // nsplits
@@ -365,6 +390,10 @@ def decompress_pure(frame: bytes) -> bytes:
                 parts.append(_decode_stream(codec, mv[off:off + csize], neblock))
                 off += csize
         block = b"".join(parts)
+        if len(block) != bsize:
+            # a truncated raw stream slice would shift every later block
+            # through the resizing slice assignment below
+            raise ValueError("corrupt blosc frame: short block")
         if flags & _F_SHUFFLE and typesize > 1:
             block = _unshuffle(block, typesize)
         elif flags & _F_BITSHUFFLE:
@@ -379,7 +408,13 @@ def decompress(frame: bytes) -> bytes:
     lib = _load_libblosc()
     if lib is None:
         return decompress_pure(frame)
-    nbytes, _, _ = cbuffer_sizes(frame)
+    nbytes, cbytes, _ = cbuffer_sizes(frame)
+    if cbytes > len(frame) or cbytes < 16:
+        # blosc_decompress_ctx takes no srcsize and trusts header cbytes:
+        # handing it a truncated buffer is a heap overread in C
+        raise ValueError("truncated blosc frame body")
+    if nbytes < 0:
+        raise ValueError(f"corrupt blosc header (nbytes={nbytes})")
     dst = ctypes.create_string_buffer(max(nbytes, 1))
     rc = lib.blosc_decompress_ctx(frame, dst, nbytes, 1)
     if rc != nbytes:

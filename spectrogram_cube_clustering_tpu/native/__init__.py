@@ -27,16 +27,26 @@ _failed = False
 
 
 def _build() -> bool:
+    # compile to a process-unique temp name and rename into place:
+    # concurrent processes (multi-process training, parallel jobs in one
+    # checkout) racing on the final .so could dlopen a half-written file
+    # and permanently fall back to the slow Python path
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", _LIB, _SRC, "-lz", "-ldl", "-pthread",
+        "-o", tmp, _SRC, "-lz", "-ldl", "-pthread",
     ]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=120
         )
+        os.replace(tmp, _LIB)  # atomic on the same filesystem
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -95,6 +105,9 @@ def decode_chunks(
     """Decode `paths` into a (len(paths), *chunk_shape) array with the
     native thread pool; None when the library is unavailable. Missing
     files zero-fill. Raises IOError on corrupt chunks."""
+    comp = {None: 0, "zlib": 1, "gzip": 1, "blosc": 2}.get(compressor)
+    if comp is None:
+        return None  # unknown framing: let the Python path handle it
     lib = load()
     if lib is None:
         return None
@@ -104,9 +117,6 @@ def decode_chunks(
     arr = (ctypes.c_char_p * len(paths))(
         *[p.encode() for p in paths]
     )
-    comp = {None: 0, "zlib": 1, "gzip": 1, "blosc": 2}.get(compressor)
-    if comp is None:
-        return None  # unknown framing: let the Python path handle it
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)
     failures = lib.scc_decode_chunks(

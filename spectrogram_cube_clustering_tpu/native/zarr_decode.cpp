@@ -236,7 +236,8 @@ constexpr uint8_t kFlagShuffle = 0x1;
 constexpr uint8_t kFlagMemcpyed = 0x2;
 constexpr uint8_t kFlagBitShuffle = 0x4;
 constexpr uint8_t kFlagDontSplit = 0x10;
-constexpr size_t kMaxSplits = 16;  // c-blosc MAX_SPLITS
+constexpr size_t kMaxSplits = 16;      // c-blosc MAX_SPLITS
+constexpr size_t kMinBufferSize = 128; // c-blosc MIN_BUFFERSIZE
 
 inline int32_t read_i32(const uint8_t* p) {
   int32_t v;
@@ -297,8 +298,12 @@ bool blosc_decompress_own(const uint8_t* frame, size_t frame_len,
   for (size_t b = 0; b < nblocks; ++b) {
     size_t bsize = std::min<size_t>(blocksize, out_len - pos);
     bool leftover = bsize != static_cast<size_t>(blocksize);
+    // blosc_d's MIN_BUFFERSIZE rule: small blocks never split even
+    // without the dont-split bit (pre-1.11 encoders lack the bit and
+    // emit exactly those frames)
     bool split = !(flags & kFlagDontSplit) && !leftover && typesize > 1 &&
-                 typesize <= kMaxSplits && bsize % typesize == 0;
+                 typesize <= kMaxSplits && bsize % typesize == 0 &&
+                 static_cast<size_t>(blocksize) / typesize >= kMinBufferSize;
     size_t nsplits = split ? typesize : 1;
     size_t neblock = bsize / nsplits;
     size_t off = static_cast<size_t>(read_i32(bstarts + 4 * b));
@@ -335,6 +340,11 @@ bool blosc_decompress_frame(const uint8_t* frame, size_t frame_len,
                             uint8_t* out, size_t out_len) {
   std::call_once(g_dl_once, resolve_shared_libs);
   if (g_blosc_decompress) {
+    // blosc_decompress_ctx takes no srcsize and trusts header cbytes —
+    // a truncated buffer would be a heap overread inside libblosc
+    if (frame_len < 16) return false;
+    int32_t cbytes = read_i32(frame + 12);
+    if (cbytes < 16 || static_cast<size_t>(cbytes) > frame_len) return false;
     int rc = g_blosc_decompress(frame, out, out_len, 1);
     return rc == static_cast<int>(out_len);
   }

@@ -94,6 +94,67 @@ class TestPureDecoder:
         frame = blosc1.compress(b"x" * 4096, typesize=4)
         with pytest.raises(ValueError):
             blosc1.decompress_pure(frame[: len(frame) // 2])
+        # the libblosc fast path must also refuse a truncated body:
+        # blosc_decompress_ctx takes no srcsize and would overread the
+        # heap (review r3)
+        with pytest.raises(ValueError):
+            blosc1.decompress(frame[: len(frame) // 2])
+
+    def test_corrupt_header_sizes_raise_valueerror(self):
+        """blocksize=0 / negative nbytes are the corrupt-frame contract's
+        ValueError, not ZeroDivisionError/IndexError (review r3)."""
+        import struct
+
+        good = blosc1.compress(b"y" * 1024, typesize=4)
+        # non-memcpyed header with blocksize=0
+        hdr = bytearray(good[:16])
+        hdr[2] &= ~0x2  # clear memcpyed
+        struct.pack_into("<i", hdr, 8, 0)
+        with pytest.raises(ValueError, match="corrupt blosc header"):
+            blosc1.decompress_pure(bytes(hdr) + good[16:])
+        struct.pack_into("<i", hdr, 4, -5)
+        struct.pack_into("<i", hdr, 8, 256)
+        with pytest.raises(ValueError, match="corrupt blosc header"):
+            blosc1.decompress_pure(bytes(hdr) + good[16:])
+
+    def test_corrupt_literal_runs_raise(self):
+        """Over-long literal/match runs raise instead of silently
+        resizing the output bytearray past the final length check
+        (review r3, confirmed by experiment)."""
+        with pytest.raises(ValueError, match="literal run overruns"):
+            blosc1._lz4_decompress_block(memoryview(b"\xa0ABCDE"), 10)
+        # blosclz: ctrl byte claims 6 literals, only 3 present
+        with pytest.raises(ValueError, match="literal run overruns"):
+            blosc1._blosclz_decompress(memoryview(b"\x05abc"), 6)
+
+    def test_legacy_no_dont_split_small_block(self):
+        """Pre-1.11 frames lack the dont-split bit; c-blosc's decoder
+        still does NOT split when blocksize/typesize < MIN_BUFFERSIZE
+        (=128). The parsers used to assume typesize splits there and
+        failed on frames libblosc reads fine (review r3, confirmed)."""
+        import struct
+
+        rng = np.random.default_rng(0)
+        data = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+        typesize, nbytes = 4, 64
+        # stored layout is the shuffled block
+        arr = np.frombuffer(data, np.uint8).reshape(-1, typesize)
+        shuf = arr.T.tobytes()
+        # header: version 2, flags = shuffle | lz4 codec, NO dont-split
+        flags = 0x1 | (1 << 5)
+        header = struct.pack(
+            "<BBBBiii", 2, 1, flags, typesize, nbytes, nbytes,
+            16 + 4 + 4 + nbytes,
+        )
+        # one block: bstarts[0]=20, then ONE raw stream (csize==neblock)
+        frame = header + struct.pack("<i", 20) + struct.pack("<i", nbytes) + shuf
+        assert blosc1.decompress_pure(frame) == data
+        if HAVE_LIBBLOSC:
+            assert blosc1.decompress(frame) == data
+        if native.available():
+            assert native.blosc_decompress(
+                frame, nbytes, force_own=True
+            ) == data
 
 
 class TestNativeDecoder:
