@@ -20,6 +20,18 @@ import numpy as np
 from spectrogram_cube_clustering_tpu.cluster.silhouette import silhouette_samples
 
 
+def _silhouette_or_nan(x, labels, n_clusters: int, context: str) -> np.ndarray:
+    """silhouette_samples, degrading LOUDLY to NaN scores when the labels
+    carry fewer than 2 populated clusters (silhouette_samples raises like
+    sklearn there) — a degenerate class in a metrics pass must not abort
+    the whole prediction run after its expensive forward passes."""
+    try:
+        return np.asarray(silhouette_samples(x, labels, n_clusters))
+    except ValueError as e:
+        print(f"silhouette skipped ({context}): {e}")
+        return np.full(len(np.asarray(labels)), np.nan, np.float32)
+
+
 def silhouette_samples_X(
     x: np.ndarray, labels: np.ndarray, rf: int = 2
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -142,17 +154,26 @@ def cluster_metrics(
         )
         silh_z = np.full(m, np.nan, np.float32)
         silh_x = np.full(m, np.nan, np.float32)
-        silh_z[sel] = np.asarray(
-            silhouette_samples(np.asarray(z)[sel], labels[sel], n_clusters)
+        # the subsample can lose a small class entirely -> degrade to NaN
+        # scores loudly instead of aborting the run
+        silh_z[sel] = _silhouette_or_nan(
+            np.asarray(z)[sel], labels[sel], n_clusters, "Z subsample"
         )
-        silh_x[sel], _ = silhouette_samples_X(
-            np.asarray(x)[sel], labels[sel], rf=rf
-        )
+        try:
+            silh_x[sel], _ = silhouette_samples_X(
+                np.asarray(x)[sel], labels[sel], rf=rf
+            )
+        except ValueError as e:
+            print(f"silhouette skipped (X subsample): {e}")
     else:
-        silh_z = np.asarray(
-            silhouette_samples(np.asarray(z), labels, n_clusters)
+        silh_z = _silhouette_or_nan(
+            np.asarray(z), labels, n_clusters, "Z"
         )
-        silh_x, _ = silhouette_samples_X(np.asarray(x), labels, rf=rf)
+        try:
+            silh_x, _ = silhouette_samples_X(np.asarray(x), labels, rf=rf)
+        except ValueError as e:
+            print(f"silhouette skipped (X): {e}")
+            silh_x = np.full(m, np.nan, np.float32)
 
     x_flat = np.asarray(x).reshape(len(labels), -1)
     d = x_flat.shape[1]

@@ -131,6 +131,7 @@ def sharded_kmeans(
     n_init: int = 100,
     init_subsample: int = 65536,
     seed: int = 2009,
+    _placed=None,
 ):
     """Full k-means over latents sharded on the data mesh.
 
@@ -152,7 +153,13 @@ def sharded_kmeans(
 
     from spectrogram_cube_clustering_tpu.cluster.kmeans import kmeans
 
-    zp, mask, m = _pad_for_mesh(z, mesh)
+    if _placed is None:
+        zp, mask, m = _pad_for_mesh(z, mesh)
+        zp, mask = _put(mesh, zp, mask)[:2]
+    else:
+        # already padded + placed by the caller (sharded_gmm reuses one
+        # transfer of the cube-scale latent matrix for both stages)
+        zp, mask, m = _placed
     sub = np.sort(
         np.random.default_rng(seed).choice(
             m, min(init_subsample, m), replace=False
@@ -165,7 +172,9 @@ def sharded_kmeans(
     # device_put once; the cached step function never retraces across
     # iterations (each re-dispatch through a fresh shard_map closure paid
     # a retrace AND a full host->device copy of z per iteration before)
-    zp, mask, centers = _put(mesh, zp, mask, centers)
+    centers = jax.device_put(
+        jnp.asarray(centers), NamedSharding(mesh, P())
+    )
     step = _kmeans_step_fn(mesh)
     # Convergence is checked every `check_every` iterations, not every
     # one: each check is a blocking device->host scalar fetch, and on a
@@ -274,7 +283,6 @@ def _gmm_init_covs_fn(mesh: Mesh, reg_covar: float):
         resp = jax.nn.one_hot(labels, mu.shape[0], dtype=z_local.dtype)
         resp = resp * mask_local[:, None]
         nk = jax.lax.psum(jnp.sum(resp, axis=0), DATA_AXIS)
-        nk = nk + 10.0 * jnp.finfo(resp.dtype).eps
         first = jax.lax.psum(resp.T @ z_local, DATA_AXIS)
 
         def centered_stat(resp_k, mu_k):
@@ -284,13 +292,22 @@ def _gmm_init_covs_fn(mesh: Mesh, reg_covar: float):
         second_c = jax.lax.psum(
             jax.vmap(centered_stat, in_axes=(1, 0))(resp, mu), DATA_AXIS
         )
-        new_means = first / nk[:, None]
+        # EMPTY clusters (possible when K exceeds the populated k-means
+        # clusters, e.g. collapsed/duplicate latents): new_means=0 would
+        # make dmu=-mu and the covariance -mu.mu^T — strongly negative
+        # definite, NaN-poisoning the first Cholesky and thus the whole
+        # fit. Keep their mean and give them a unit covariance.
+        safe = nk > 0.5
+        nk_div = jnp.maximum(nk, 1.0)
+        new_means = jnp.where(safe[:, None], first / nk_div[:, None], mu)
         dmu = new_means - mu
-        return (
-            second_c / nk[:, None, None]
+        eye = jnp.eye(d, dtype=z_local.dtype)
+        covs = (
+            second_c / nk_div[:, None, None]
             - dmu[:, :, None] * dmu[:, None, :]
-            + reg_covar * jnp.eye(d, dtype=z_local.dtype)
+            + reg_covar * eye
         )
+        return jnp.where(safe[:, None, None], covs, eye)
 
     return jax.shard_map(
         step,
@@ -338,17 +355,22 @@ def sharded_gmm(
     log-likelihood < tol.
     """
 
+    # pad + place the latent matrix ONCE; k-means reuses the same
+    # transfer (it used to pad and device_put the full matrix twice)
+    zp, mask, m = _pad_for_mesh(z, mesh)
+    zp, mask = _put(mesh, zp, mask)[:2]
     km_labels, centers = sharded_kmeans(
-        z, n_clusters, mesh, n_init=n_init, seed=seed
+        z, n_clusters, mesh, n_init=n_init, seed=seed,
+        _placed=(zp, mask, m),
     )
     counts = jnp.bincount(
         jnp.asarray(km_labels).reshape(-1), length=n_clusters
     )
-    weights = (counts / counts.sum()).astype(jnp.float32)
-    means = jnp.asarray(centers)
-
-    zp, mask, m = _pad_for_mesh(z, mesh)
-    zp, mask, weights, means = _put(mesh, zp, mask, weights, means)
+    rep = NamedSharding(mesh, P())
+    weights = jax.device_put(
+        (counts / counts.sum()).astype(jnp.float32), rep
+    )
+    means = jax.device_put(jnp.asarray(centers), rep)
     covs = _gmm_init_covs_fn(mesh, float(reg_covar))(zp, mask, means)
 
     em = _gmm_em_step_fn(mesh, float(reg_covar))

@@ -399,18 +399,25 @@ def train_aec(
                 strikes = 1 if epoch == 0 else strikes + 1
             if epoch > config.patience and strikes > config.patience:
                 finished = True
-                break
         elif save_checkpoint is not None:
             save_checkpoint(f"AEC_Params_{epoch + 1:03d}", state.params)
 
-        if snapshot_path is not None and (epoch + 1) % snapshot_every == 0:
+        if snapshot_path is not None and (
+            (epoch + 1) % snapshot_every == 0 or finished
+        ):
+            # a snapshot written AT the early stop carries done=True so a
+            # resume (this path or the fused/stream ones — interchangeable
+            # formats) doesn't train past the stopping point
             ckpt.save_snapshot(
                 snapshot_path, state,
                 {"epoch": epoch + 1, "history": history,
                  "best_val": best_val, "strikes": strikes,
-                 "have_best": best_params is not None},
+                 "have_best": best_params is not None,
+                 "done": finished},
                 extra=best_params if best_params is not None else state.params,
             )
+        if finished:
+            break
 
     # Final = best-validation params when early stopping (models.py:916-923).
     final_params = (

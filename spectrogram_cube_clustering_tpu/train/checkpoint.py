@@ -91,9 +91,15 @@ def save_snapshot(path: str, state, meta: dict, extra: Optional[Any] = None) -> 
         # old; restore_snapshot falls back to the .old copy if a crash
         # lands between the two renames.
         old = path + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
         if os.path.exists(path):
+            # make room for the rotation — at this moment `path` is a
+            # complete snapshot, so dropping a stale .old keeps the
+            # invariant. When `path` is ABSENT (recovering from a crash
+            # that left only .old), the fallback must survive until the
+            # new snapshot is in place — deleting it first would reopen
+            # the zero-snapshot window.
+            if os.path.exists(old):
+                shutil.rmtree(old)
             os.rename(path, old)
         os.rename(tmp, path)
         if os.path.exists(old):

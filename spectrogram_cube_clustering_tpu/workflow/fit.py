@@ -137,8 +137,8 @@ def _cluster_count_diagnostics(config, z, results, figures: bool = True):
     """
     import pandas as pd
 
-    from spectrogram_cube_clustering_tpu.cluster.silhouette import (
-        silhouette_samples,
+    from spectrogram_cube_clustering_tpu.cluster.metrics import (
+        _silhouette_or_nan,
     )
 
     cap = int(getattr(config, "silh_max_samples", None) or 20000)
@@ -152,10 +152,13 @@ def _cluster_count_diagnostics(config, z, results, figures: bool = True):
 
     k_list = [r["n_clusters"] for r in results]
     gaps = _cluster.gap_statistic(z[sel], k_list, seed=seed)
+    # one collapsed swept K (or a subsampled-away class) degrades to a
+    # NaN row instead of losing cluster_stats.csv for every K
     silh = [
-        float(np.mean(np.asarray(silhouette_samples(
-            z[sel], r["labels"][sel], r["n_clusters"]
-        ))))
+        float(np.mean(_silhouette_or_nan(
+            z[sel], r["labels"][sel], r["n_clusters"],
+            f"K={r['n_clusters']}",
+        )))
         for r in results
     ]
 

@@ -201,6 +201,21 @@ def test_gap_statistic_accepts_iterator(blobs):
 
 
 class TestMetricsSubsample:
+    def test_degenerate_labels_degrade_to_nan(self, blobs, tmp_path, capsys):
+        """A single populated cluster in a metrics pass degrades to NaN
+        scores with a loud note instead of aborting the run (review r3
+        second pass: the new silhouette ValueError was unhandled by its
+        in-pipeline callers)."""
+        from spectrogram_cube_clustering_tpu.cluster import cluster_metrics
+
+        z, y = blobs
+        x = np.tile(z[:, :4, None, None], (1, 1, 4, 5)).astype(np.float32)
+        out = cluster_metrics(
+            str(tmp_path), np.zeros_like(y), x, z, save=True
+        )
+        assert np.isnan(out["silh_scores_Z"]).all()
+        assert "silhouette skipped" in capsys.readouterr().out
+
     def test_silh_cap(self, blobs, tmp_path):
         from spectrogram_cube_clustering_tpu.cluster import cluster_metrics
 

@@ -457,6 +457,31 @@ class TestShardedKMeansFull:
                - centers_true[None].astype(np.float64)) ** 2).sum(-1)
         np.testing.assert_array_equal(np.asarray(labels), d2.argmin(1))
 
+    def test_sharded_gmm_more_components_than_clusters(self, rng):
+        """K exceeding the populated k-means clusters (duplicate/collapsed
+        latents) must stay finite: an empty cluster's hard-assignment
+        covariance init used to produce -mu.mu^T (negative definite) and
+        NaN-poison the whole fit (review r3 second pass)."""
+        mesh = make_data_mesh()
+        d = 5
+        # two true blobs, K=4: at least two k-means clusters end up empty
+        centers_true = np.stack([
+            np.full(d, -3.0, np.float32), np.full(d, 3.0, np.float32)
+        ])
+        y = rng.integers(0, 2, size=8 * 40)
+        z = (
+            centers_true[y]
+            + rng.normal(size=(len(y), d)).astype(np.float32) * 0.05
+        ).astype(np.float32)
+        labels, means = parallel.sharded_gmm(
+            jnp.asarray(z), 4, mesh, n_init=4, max_iter=20
+        )
+        assert np.isfinite(np.asarray(means)).all()
+        labels = np.asarray(labels)
+        # the two real blobs are separated (some of the 4 components may
+        # stay empty, which is fine)
+        assert len(set(labels[y == 0]) & set(labels[y == 1])) == 0
+
     def test_sharded_gmm_small_scale_latents(self, rng):
         """Covariances initialize from the data (hard-assignment M-step),
         not identity — identity covariances flatten responsibilities to

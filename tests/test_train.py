@@ -165,6 +165,26 @@ class TestAEC:
             assert res["stopped_early"]
             assert res["last_epoch"] == stopped["last_epoch"]
             assert res["history"]["epoch"] == stopped["history"]["epoch"]
+        # the PER-EPOCH path writes done=True at its stop too (review r3
+        # second pass: it broke out before the snapshot block)
+        snap2 = str(tmp_path / "SNAP2")
+        stopped2 = train.train_aec(
+            aec_model,
+            train.create_train_state(
+                aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=0.0
+            ),
+            tra, tra, cfg, snapshot_path=snap2, sync_every=1,
+        )
+        assert stopped2["stopped_early"]
+        res2 = train.train_aec(
+            aec_model,
+            train.create_train_state(
+                aec_model, jax.random.key(0), jnp.asarray(x[:4]), lr=0.0
+            ),
+            tra, tra, cfg, snapshot_path=snap2, resume=True, sync_every=7,
+        )
+        assert res2["stopped_early"]
+        assert res2["history"]["epoch"] == stopped2["history"]["epoch"]
 
     def test_fused_snapshot_resume_interop(self, windows, aec_model, tmp_path):
         """A snapshot written by the fused path resumes in the per-epoch
