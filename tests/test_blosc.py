@@ -127,6 +127,44 @@ class TestPureDecoder:
         with pytest.raises(ValueError, match="literal run overruns"):
             blosc1._blosclz_decompress(memoryview(b"\x05abc"), 6)
 
+    @pytest.mark.skipif(not HAVE_LIBBLOSC, reason="needs libblosc to compress")
+    def test_differential_fuzz_vs_libblosc(self, rng):
+        """Seeded differential fuzz: random sizes/typesizes/levels through
+        real libblosc compression must decode byte-identically on the
+        pure-Python parser (and the C++ force_own parser when built) —
+        the permanent form of the ad-hoc fuzz that caught the
+        MIN_BUFFERSIZE split bug (review r3)."""
+        native_ok = native.available()
+        for trial in range(60):
+            n = int(rng.integers(0, 50_000))
+            kind = trial % 3
+            if kind == 0:
+                data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            elif kind == 1:
+                data = (
+                    np.cumsum(rng.normal(size=n // 4 + 1))
+                    .astype(np.float32).tobytes()[:n]
+                )
+            else:
+                data = (b"\x00" * 97 + bytes(rng.integers(0, 4, 31))) * (
+                    n // 128 + 1
+                )
+                data = data[:n]
+            typesize = int(rng.choice([1, 2, 4, 8, 12, 16, 32]))
+            cname = str(rng.choice(["blosclz", "lz4", "zstd", "zlib"]))
+            clevel = int(rng.integers(1, 10))
+            shuffle = int(rng.integers(0, 3))
+            frame = blosc1.compress(
+                data, typesize=typesize, cname=cname, clevel=clevel,
+                shuffle=shuffle,
+            )
+            ctx = (trial, n, typesize, cname, clevel, shuffle)
+            assert blosc1.decompress_pure(frame) == data, ctx
+            if native_ok:
+                assert native.blosc_decompress(
+                    frame, len(data), force_own=True
+                ) == data, ctx
+
     def test_legacy_no_dont_split_small_block(self):
         """Pre-1.11 frames lack the dont-split bit; c-blosc's decoder
         still does NOT split when blocksize/typesize < MIN_BUFFERSIZE
