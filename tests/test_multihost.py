@@ -126,6 +126,20 @@ assert dsout["labels"].shape == (128,)
 # predict workflow does), but only process 0 may touch the files —
 # ungated append-mode Labels.csv used to interleave one copy of every
 # row per host
+# ELASTIC resume: a snapshot written by a SINGLE-process run (epochs
+# 1-2 of 4, seeded by the pytest process before this cluster started)
+# resumes on THIS 2-process cluster — params/optimizer restore across a
+# topology change and training continues process-locally fed
+estate = scc.train.create_train_state(
+    model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+)
+eout = scc.train.train_aec(
+    model, estate, data, None,
+    scc.train.AECConfig(n_epochs=4, early_stopping=False),
+    snapshot_path=os.path.join(sys.argv[3], "esnap"), resume=True,
+)
+assert eout["history"]["epoch"] == [1, 2, 3, 4]
+
 from jax.experimental import multihost_utils
 scc.utils.save_labels(
     [{"idx": i, "label": 0} for i in range(8)], sys.argv[3]
@@ -144,6 +158,7 @@ if rank == 0:
          "dec": dout["history"]["total"],
          "dec_labels": np.asarray(dout["labels"]).tolist(),
          "dec_stream": dsout["history"]["total"],
+         "elastic": eout["history"]["train"],
          "label_lines": label_lines}
     ), flush=True)
 """
@@ -158,6 +173,28 @@ def _free_port() -> int:
 
 
 def test_two_process_training_matches_single_process(tmp_path):
+    # Seed the elastic-resume snapshot from a SINGLE-process run BEFORE
+    # the cluster starts: the workers resume it across the topology
+    # change (1 process -> 2 processes over the same 8 virtual devices).
+    import jax
+    import jax.numpy as jnp
+
+    import spectrogram_cube_clustering_tpu as scc
+
+    x, _ = scc.data.synthetic_windows(128, n_classes=3, seed=11)
+    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    mesh = scc.core.make_data_mesh()
+    model = scc.models.AEC()
+    data = scc.train.make_batched_data(x, batch_size=32, mesh=mesh)
+    seed_state = scc.train.create_train_state(
+        model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+    )
+    scc.train.train_aec(
+        model, seed_state, data, None,
+        scc.train.AECConfig(n_epochs=2, early_stopping=False),
+        snapshot_path=str(tmp_path / "esnap"),
+    )
+
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER.replace("__REPO__", repr(REPO)))
     port = str(_free_port())
@@ -197,17 +234,8 @@ def test_two_process_training_matches_single_process(tmp_path):
             result = json.loads(line[len("RESULT "):])
     assert result is not None, f"no RESULT line in:\n{outs[0]}"
 
-    # single-process reference on the same 8 devices
-    import jax
-    import jax.numpy as jnp
-
-    import spectrogram_cube_clustering_tpu as scc
-
-    x, _ = scc.data.synthetic_windows(128, n_classes=3, seed=11)
-    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
-    mesh = scc.core.make_data_mesh()
-    model = scc.models.AEC()
-    data = scc.train.make_batched_data(x, batch_size=32, mesh=mesh)
+    # single-process reference on the same 8 devices (x/mesh/model/data
+    # were built above for the elastic-resume seed)
     state = scc.train.create_train_state(
         model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
     )
@@ -219,6 +247,17 @@ def test_two_process_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(result["scan"], ref, rtol=1e-4)
     np.testing.assert_allclose(result["stream"], ref, rtol=1e-4)
     np.testing.assert_allclose(result["stream_local"], ref, rtol=1e-4)
+
+    # elastic resume: 2-process continuation of the single-process
+    # snapshot == the uninterrupted single-process 4-epoch run
+    state4 = scc.train.create_train_state(
+        model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+    )
+    ref4 = scc.train.train_aec(
+        model, state4, data, None,
+        scc.train.AECConfig(n_epochs=4, early_stopping=False),
+    )["history"]["train"]
+    np.testing.assert_allclose(result["elastic"], ref4, rtol=1e-4)
 
     # DEC (scan + streaming) on the same mesh: losses and labels must
     # match the single-process run
