@@ -259,6 +259,23 @@ def test_two_process_training_matches_single_process(tmp_path):
     )["history"]["train"]
     np.testing.assert_allclose(result["elastic"], ref4, rtol=1e-4)
 
+    # and the inverse direction: the DEC snapshot the 2-process cluster
+    # wrote resumes in THIS single process and keeps training
+    dec2 = scc.models.DEC(n_clusters=3)
+    dstate2 = scc.train.create_train_state(
+        dec2, jax.random.key(1), jnp.asarray(x[:2]), lr=1e-3
+    )
+    cont = scc.train.train_dec(
+        dec2, dstate2, data,
+        scc.train.DECConfig(
+            n_clusters=3, n_epochs=3, tol=0.0, init="kmeans",
+            kmeans_n_init=2, kmeans_max_iter=10,
+        ),
+        snapshot_path=str(tmp_path / "snap"), resume=True,
+    )
+    assert cont["labels"].shape == (128,)
+    assert np.isfinite(cont["history"]["total"]).all()
+
     # DEC (scan + streaming) on the same mesh: losses and labels must
     # match the single-process run
     dec = scc.models.DEC(n_clusters=3)
