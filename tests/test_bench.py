@@ -1,10 +1,12 @@
 """Bench entry-point bitrot guards (tiny sizes, CPU)."""
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def test_measure_aec_throughput_runs():
-    sys.path.insert(0, "/root/repo")
     from bench import measure_aec_throughput
 
     import numpy as np
@@ -16,7 +18,6 @@ def test_measure_aec_throughput_runs():
 
 
 def test_measure_aec_packed_throughput_runs():
-    sys.path.insert(0, "/root/repo")
     from bench import measure_aec_throughput
 
     import numpy as np
@@ -29,7 +30,6 @@ def test_measure_aec_packed_throughput_runs():
 
 
 def test_measure_dec_throughput_runs():
-    sys.path.insert(0, "/root/repo")
     from bench import measure_dec_throughput
 
     import numpy as np
@@ -41,7 +41,6 @@ def test_measure_dec_throughput_runs():
 
 
 def test_measure_stft_throughput_runs():
-    sys.path.insert(0, "/root/repo")
     from bench import measure_stft_throughput
 
     tput, v, spread = measure_stft_throughput(
@@ -52,7 +51,6 @@ def test_measure_stft_throughput_runs():
 
 
 def test_measure_stream_throughput_runs():
-    sys.path.insert(0, "/root/repo")
     from bench import measure_stream_throughput
 
     import numpy as np

@@ -82,7 +82,17 @@ class TestPureDecoder:
         if HAVE_LIBBLOSC:
             import ctypes
 
-            lib = ctypes.CDLL("libblosc.so.1")
+            # same candidate list as blosc1._load_libblosc — hardcoding
+            # libblosc.so.1 errors on hosts where HAVE_LIBBLOSC came from
+            # another soname (dylib, unversioned .so)
+            lib = None
+            for name in ("libblosc.so.1", "libblosc.so", "libblosc.dylib"):
+                try:
+                    lib = ctypes.CDLL(name)
+                    break
+                except OSError:
+                    pass
+            assert lib is not None
             lib.blosc_decompress_ctx.restype = ctypes.c_int
             dst = ctypes.create_string_buffer(len(data))
             rc = lib.blosc_decompress_ctx(frame, dst, len(data), 1)

@@ -152,6 +152,11 @@ multihost_utils.sync_global_devices("labels_written")
 if rank == 0:
     with open(os.path.join(sys.argv[3], "Labels.csv")) as fh:
         label_lines = len(fh.read().strip().splitlines())
+    # save_history gates on the coordinator the same way: exactly one
+    # header + 2 epoch rows, never one copy per host
+    with open(os.path.join(sys.argv[3], "hist.csv")) as fh:
+        hist_lines = len(fh.read().strip().splitlines())
+    assert hist_lines == 3, f"hist.csv has {hist_lines} lines"
     print("RESULT " + json.dumps(
         {"scan": out["history"]["train"], "stream": sout["history"]["train"],
          "stream_local": lout["history"]["train"],

@@ -176,18 +176,23 @@ class TestStreamingTraining:
 def test_abandoned_iteration_does_not_wedge_reader():
     """Breaking out of iteration early must release the reader thread."""
     import threading
+    import time
 
-    before = threading.active_count()
+    # track thread IDENTITIES, not active_count(): an unrelated daemon
+    # exiting during the wait would mask exactly one wedged reader
+    # (review r3 — count-delta oracles can both false-pass and flake)
+    before = set(threading.enumerate())
     loader = PrefetchLoader(_item_fn, n_items=50, batch_size=3,
                             num_workers=2, queue_depth=2)
     for i, _ in enumerate(loader):
         if i == 1:
             break
-    import time
+
+    def new_threads():
+        return [t for t in threading.enumerate()
+                if t not in before and t.is_alive()]
 
     deadline = time.time() + 10
-    while threading.active_count() > before and time.time() < deadline:
+    while new_threads() and time.time() < deadline:
         time.sleep(0.05)
-    # no NEW threads may remain: even one leftover is a wedged
-    # reader/worker (<= tolerates an unrelated thread exiting mid-test)
-    assert threading.active_count() <= before
+    assert not new_threads(), f"leftover threads: {new_threads()}"

@@ -164,7 +164,11 @@ class TestMicroBatcher:
         (results must not depend on batching timing)."""
         pred, x = predictor
         ref = pred(x[8:16].astype(np.float32))
-        mb = serve_http.MicroBatcher(pred, max_wait_ms=250.0)
+        # generous window: the coalescing assertion below needs thread 1
+        # to enqueue within it, and a loaded CI box can stall a thread
+        # start well past a 250 ms window (review r3 — timing flake);
+        # max_rows=16 closes the batch the moment both requests arrive
+        mb = serve_http.MicroBatcher(pred, max_wait_ms=5000.0, max_rows=16)
         results = {}
 
         def worker(i, arr):

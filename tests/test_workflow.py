@@ -416,7 +416,7 @@ def test_gmm_km_metrics_diagnostics(cube):
     )
 
 
-def test_gmm_figure_context_loads_artifacts(tmp_path, cube, capsys):
+def test_gmm_figure_context_loads_artifacts(tmp_path, capsys):
     """DEC-predict comparative figures load the GMM run's labels/centroids
     + the AEC prediction's Z_AEC (reference models.py:659-695), falling
     back to self-comparison when artifacts are missing."""
