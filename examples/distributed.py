@@ -18,8 +18,17 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-import numpy as np
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").lower().startswith("cpu"):
+    # honor the env request even on images whose sitecustomize
+    # force-registers a TPU plugin (env vars alone don't win there)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
+import numpy as np
 import jax.numpy as jnp
 
 import spectrogram_cube_clustering_tpu as scc
