@@ -142,6 +142,38 @@ class TestZarrlite:
         np.testing.assert_array_equal(arr[:, :][4:8], np.zeros((4, 4), np.int64))
         np.testing.assert_array_equal(arr[:, :][:4], data[:4])
 
+    def test_slice_fuzz_matches_numpy(self, tmp_path, rng):
+        """Seeded fuzz of the chunk-grid indexing math: random shapes,
+        chunk grids, and mixed int/slice indices must match numpy
+        exactly (the zarr reader is the data boundary — an off-by-one
+        here silently corrupts every window downstream)."""
+        for trial in range(25):
+            ndim = int(rng.integers(1, 4))
+            shape = tuple(int(rng.integers(1, 40)) for _ in range(ndim))
+            chunks = tuple(
+                int(rng.integers(1, s + 3)) for s in shape
+            )
+            data = rng.normal(size=shape).astype(np.float32)
+            path = str(tmp_path / f"fz{trial}")
+            zarrlite.write_array(
+                path, data, chunks=chunks,
+                compressor=["zlib", None][trial % 2],
+            )
+            arr = zarrlite.open_array(path)
+            for _ in range(8):
+                idx = []
+                for d, s in enumerate(shape):
+                    if rng.random() < 0.4:
+                        idx.append(int(rng.integers(-s, s)))
+                    else:
+                        lo = int(rng.integers(0, s + 1))
+                        hi = int(rng.integers(lo, s + 1))
+                        idx.append(slice(lo, hi))
+                idx = tuple(idx)
+                np.testing.assert_array_equal(
+                    arr[idx], data[idx], err_msg=f"{shape} {chunks} {idx}"
+                )
+
     def test_empty_slice_reads_nothing(self, tmp_path, rng):
         """A zero-length slice — including one at the array end — returns
         an empty array without touching any chunk (the old chunk-grid
