@@ -205,6 +205,44 @@ def make_segment_fn(model, gamma: float, seg_len: int):
     return segment
 
 
+def _init_from_config(
+    config: DECConfig,
+    latent_dim: int,
+    m_total: int,
+    initial: Optional[Tuple[np.ndarray, np.ndarray]],
+    z_provider,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shared load/rand/kmeans/gmm cluster-init dispatch (reference
+    models.py:498-543) — ONE definition for the scan and stream paths
+    (their rand/seed parity depends on it); `z_provider()` supplies
+    latents only when kmeans/gmm need them."""
+    from spectrogram_cube_clustering_tpu import cluster as _cluster
+
+    k = config.n_clusters
+    if config.init == "load":
+        if initial is None:
+            raise ValueError("init='load' requires initial=(labels, centroids)")
+        return np.asarray(initial[0]), np.asarray(initial[1])
+    if config.init == "rand":
+        rng = np.random.default_rng(config.seed)
+        labels = rng.integers(0, k, size=m_total)
+        return labels, rng.uniform(size=(k, latent_dim)).astype(np.float32)
+    if config.init not in ("kmeans", "gmm"):
+        raise ValueError(f"unknown init {config.init!r}")
+    z = z_provider()
+    if config.init == "kmeans":
+        labels, centroids = _cluster.kmeans(
+            z, k, n_init=config.kmeans_n_init,
+            max_iter=config.kmeans_max_iter, seed=config.seed,
+        )
+    else:
+        labels, centroids = _cluster.gmm(
+            z, k, n_init=config.kmeans_n_init,
+            kmeans_max_iter=config.kmeans_max_iter, seed=config.seed,
+        )
+    return np.asarray(labels), np.asarray(centroids)
+
+
 def initialize_clusters(
     model,
     params,
@@ -219,39 +257,22 @@ def initialize_clusters(
     path is broken in-tree (indexes labels by an attribute only the dead H5
     path sets, SURVEY.md §2.3 defect 5).
     """
-    from spectrogram_cube_clustering_tpu import cluster as _cluster
 
-    k = config.n_clusters
-    if config.init == "load":
-        if initial is None:
-            raise ValueError("init='load' requires initial=(labels, centroids)")
-        return np.asarray(initial[0]), np.asarray(initial[1])
-    if config.init == "rand":
-        rng = np.random.default_rng(config.seed)
-        labels = rng.integers(0, k, size=data.n_samples)
-        latent_dim = model.latent_dim
-        return labels, rng.uniform(size=(k, latent_dim)).astype(np.float32)
+    def z_provider():
+        _, _, z = full_eval(model, params, data)
+        if isinstance(z, jax.Array) and not z.is_fully_addressable:
+            # multi-process mesh: gather latents so the dense k-means/GMM
+            # run identically (same seeded input) on every host
+            from spectrogram_cube_clustering_tpu.train.layout import (
+                fetch_global,
+            )
 
-    _, _, z = full_eval(model, params, data)
-    if isinstance(z, jax.Array) and not z.is_fully_addressable:
-        # multi-process mesh: gather latents so the dense k-means/GMM run
-        # identically (same seeded input) on every host
-        from spectrogram_cube_clustering_tpu.train.layout import fetch_global
+            z = fetch_global(z)
+        return z
 
-        z = fetch_global(z)
-    if config.init == "kmeans":
-        labels, centroids = _cluster.kmeans(
-            z, k, n_init=config.kmeans_n_init,
-            max_iter=config.kmeans_max_iter, seed=config.seed,
-        )
-    elif config.init == "gmm":
-        labels, centroids = _cluster.gmm(
-            z, k, n_init=config.kmeans_n_init,
-            kmeans_max_iter=config.kmeans_max_iter, seed=config.seed,
-        )
-    else:
-        raise ValueError(f"unknown init {config.init!r}")
-    return np.asarray(labels), np.asarray(centroids)
+    return _init_from_config(
+        config, model.latent_dim, data.n_samples, initial, z_provider
+    )
 
 
 def make_stream_fns(model, gamma: float):
@@ -328,8 +349,6 @@ def train_dec_stream(
     IO overlap. `snapshot_path`/`resume` give epoch-granular preemption
     recovery like the scan path.
     """
-    import os
-
     from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
 
     train_step, eval_step = make_stream_fns(model, config.gamma)
@@ -352,36 +371,13 @@ def train_dec_stream(
             snapshot_cb=snapshot_cb, snapshot_every=snapshot_every,
         )
 
-    # cluster init on streamed latents
-    if config.init == "load":
-        if initial is None:
-            raise ValueError("init='load' requires initial=(labels, centroids)")
-        labels_prev, centroids = (
-            np.asarray(initial[0]), np.asarray(initial[1]),
-        )
-    elif config.init == "rand":
-        # same semantics as initialize_clusters' 'rand' (scan path)
-        rng = np.random.default_rng(config.seed)
-        labels_prev = rng.integers(0, config.n_clusters, size=m_total)
-        centroids = rng.uniform(
-            size=(config.n_clusters, model.latent_dim)
-        ).astype(np.float32)
-    elif config.init in ("kmeans", "gmm"):
-        from spectrogram_cube_clustering_tpu import cluster as _cluster
-
-        _, _, z = full_eval_stream(eval_step, state.params, make_loader, m_total)
-        fn = _cluster.kmeans if config.init == "kmeans" else _cluster.gmm
-        kw = (
-            dict(n_init=config.kmeans_n_init, max_iter=config.kmeans_max_iter)
-            if config.init == "kmeans"
-            else dict(n_init=config.kmeans_n_init,
-                      kmeans_max_iter=config.kmeans_max_iter)
-        )
-        labels_prev, centroids = fn(z, config.n_clusters, seed=config.seed, **kw)
-        labels_prev = np.asarray(labels_prev)
-        centroids = np.asarray(centroids)
-    else:
-        raise ValueError(f"unknown init {config.init!r}")
+    # cluster init on streamed latents: same dispatch as the scan path
+    labels_prev, centroids = _init_from_config(
+        config, model.latent_dim, m_total, initial,
+        lambda: full_eval_stream(
+            eval_step, state.params, make_loader, m_total
+        )[2],
+    )
 
     state = state.replace(
         params=replace_centroids(state.params, jnp.asarray(centroids))
@@ -470,6 +466,8 @@ def _train_dec_stream_loop(
                 deltas["delta"].append(delta)
                 labels_prev = labels
                 if delta < config.tol:
+                    if config.verbose:
+                        print("Stop criterion met, training complete.")
                     finished = True
                     break
             p_slice = p[offset : offset + x.shape[0]]
@@ -486,6 +484,15 @@ def _train_dec_stream_loop(
             offset += n_valid
             batch_num += 1
         flush()
+        if config.verbose and not finished:
+            # same per-epoch progress line as the scan path — a
+            # multi-hour streaming run with verbose on used to print
+            # nothing at all
+            accum = running[:3] / max(running[3], 1.0)
+            print(
+                f"Epoch [{epoch + 1}/{config.n_epochs}] "
+                f"Loss={accum[0]:.4e} MSE={accum[1]:.4e} KLD={accum[2]:.4e}"
+            )
         if (
             snapshot_cb is not None
             and not finished
@@ -542,8 +549,6 @@ def train_dec(
     `resume=True` continues a preempted run at epoch granularity (the
     reference restarts DEC from scratch, SURVEY.md §5).
     """
-    import os
-
     from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
 
     m = data.n_samples
@@ -577,7 +582,7 @@ def train_dec(
         # the restored params are mid-training — NOT the pre-refinement
         # initialization; the original run saved the real one
         initial_params = None
-        z0 = None
+        z_initial = None
     else:
         labels_prev, centroids = initialize_clusters(
             model, state.params, data, config, initial
@@ -588,6 +593,15 @@ def train_dec(
         initial_params = jax.tree.map(lambda a: a, state.params)
 
         q, _, z0 = full_eval(model, state.params, data)
+        # pre-refinement latents (the reference t-SNEs them, models.py:
+        # 1019) — fetched to host NOW so the (M, D) buffer doesn't stay
+        # pinned in HBM for the whole refinement run
+        from spectrogram_cube_clustering_tpu.train.layout import (
+            fetch_global as _fg,
+        )
+
+        z_initial = np.asarray(_fg(z0))
+        del z0
         p = target_distribution(q)
         p_all = _pad_p(p, nb, bsz)
         # int32 for snapshot-template stability (np.load'ed labels are int64)
@@ -717,7 +731,5 @@ def train_dec(
         "centroids": np.asarray(state.params["centroids"]),
         "stopped_early": finished,
         "last_epoch": epoch + 1,
-        "z_initial": (
-            np.asarray(fetch_global(z0)) if z0 is not None else None
-        ),
+        "z_initial": z_initial,
     }
