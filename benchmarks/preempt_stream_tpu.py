@@ -66,16 +66,19 @@ def main():
     with open(worker_py, "w") as f:
         f.write(WORKER.replace("__REPO__", repr(REPO)))
 
-    def spawn():
+    def spawn(log_path):
+        # log to a FILE: a PIPE nobody drains fills at ~64 KiB and blocks
+        # the worker in write() before it ever snapshots
+        log = open(log_path, "w")
         return subprocess.Popen(
             [sys.executable, worker_py, snap, str(n_epochs)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            stdout=log, stderr=subprocess.STDOUT,
             cwd=REPO, text=True,
         )
 
     print(f"run 1: training {n_epochs} epochs, SIGKILL {kill_after}s after "
           "the first snapshot lands")
-    p = spawn()
+    p = spawn(os.path.join(work, "run1.log"))
     t0 = time.time()
     killed = False
     first_snap = None
@@ -90,7 +93,7 @@ def main():
     p.wait()
     if not killed:
         print("run 1 finished before the kill window — raise n_epochs")
-        print(p.stdout.read())
+        print(open(os.path.join(work, "run1.log")).read()[-3000:])
         return 1
     has_snap = os.path.exists(snap) or os.path.exists(snap + ".old")
     print(f"run 1 SIGKILLed at {time.time() - t0:.1f}s; snapshot on disk: "
@@ -99,8 +102,17 @@ def main():
 
     print("run 2: resuming to completion")
     t1 = time.time()
-    p2 = spawn()
-    out, _ = p2.communicate(timeout=1800)
+    run2_log = os.path.join(work, "run2.log")
+    p2 = spawn(run2_log)
+    try:
+        p2.wait(timeout=1800)
+    except subprocess.TimeoutExpired:
+        # never leak a live TPU-attached worker: a wedged one can take
+        # the tunnel chip offline for everyone (~20 min)
+        p2.kill()
+        p2.wait()
+        raise
+    out = open(run2_log).read()
     assert p2.returncode == 0, f"resume failed:\n{out[-3000:]}"
     result = None
     for line in out.splitlines():

@@ -25,8 +25,11 @@ if os.environ.get("JAX_PLATFORMS", "").lower().startswith("cpu"):
     # force-registers a TPU plugin (env vars alone don't win there)
     try:
         jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass
+    except RuntimeError as e:
+        # backend already initialized: the pin cannot take effect —
+        # say so instead of silently running on whatever device won
+        print(f"WARNING: could not pin CPU backend ({e}); "
+              f"running on {jax.default_backend()}", flush=True)
 
 import numpy as np
 import jax.numpy as jnp

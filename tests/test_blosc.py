@@ -156,9 +156,10 @@ class TestPureDecoder:
                     .astype(np.float32).tobytes()[:n]
                 )
             else:
-                data = (b"\x00" * 97 + bytes(rng.integers(0, 4, 31))) * (
-                    n // 128 + 1
-                )
+                data = (
+                    b"\x00" * 97
+                    + rng.integers(0, 4, 31, dtype=np.uint8).tobytes()
+                ) * (n // 128 + 1)
                 data = data[:n]
             typesize = int(rng.choice([1, 2, 4, 8, 12, 16, 32]))
             cname = str(rng.choice(["blosclz", "lz4", "zstd", "zlib"]))

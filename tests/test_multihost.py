@@ -239,22 +239,9 @@ def test_two_process_training_matches_single_process(tmp_path):
             result = json.loads(line[len("RESULT "):])
     assert result is not None, f"no RESULT line in:\n{outs[0]}"
 
-    # single-process reference on the same 8 devices (x/mesh/model/data
-    # were built above for the elastic-resume seed)
-    state = scc.train.create_train_state(
-        model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
-    )
-    ref = scc.train.train_aec(
-        model, state, data, None,
-        scc.train.AECConfig(n_epochs=2, early_stopping=False),
-    )["history"]["train"]
-
-    np.testing.assert_allclose(result["scan"], ref, rtol=1e-4)
-    np.testing.assert_allclose(result["stream"], ref, rtol=1e-4)
-    np.testing.assert_allclose(result["stream_local"], ref, rtol=1e-4)
-
-    # elastic resume: 2-process continuation of the single-process
-    # snapshot == the uninterrupted single-process 4-epoch run
+    # single-process reference on the same 8 devices: ONE 4-epoch run
+    # serves both comparisons (its first two epochs ARE the 2-epoch
+    # reference — sequential, identically seeded)
     state4 = scc.train.create_train_state(
         model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
     )
@@ -262,6 +249,14 @@ def test_two_process_training_matches_single_process(tmp_path):
         model, state4, data, None,
         scc.train.AECConfig(n_epochs=4, early_stopping=False),
     )["history"]["train"]
+    ref = ref4[:2]
+
+    np.testing.assert_allclose(result["scan"], ref, rtol=1e-4)
+    np.testing.assert_allclose(result["stream"], ref, rtol=1e-4)
+    np.testing.assert_allclose(result["stream_local"], ref, rtol=1e-4)
+
+    # elastic resume: 2-process continuation of the single-process
+    # snapshot == the uninterrupted single-process 4-epoch run
     np.testing.assert_allclose(result["elastic"], ref4, rtol=1e-4)
 
     # and the inverse direction: the DEC snapshot the 2-process cluster
