@@ -79,6 +79,54 @@ class TestSeismicDataset:
         assert h5mod.get_channel(2) == "HHZ"
         assert h5mod.get_network(0) == "XH"
 
+    def test_read_h5_rows(self, catalog):
+        path, spec, _ = catalog
+        np.testing.assert_array_equal(h5mod.read_h5(path, 4), spec[4])
+        np.testing.assert_array_equal(
+            h5mod.read_h5(path, [1, 3]), spec[[1, 3]]
+        )
+
+    def test_get_datetime(self):
+        # day index into the RIS deployment window (utils.py:916-925)
+        assert str(h5mod.get_datetime(0)) == "2014-12-02 00:00:00"
+        assert str(h5mod.get_datetime(30)) == "2015-01-01 00:00:00"
+
+    def test_load_images(self, catalog):
+        """Reference load_images (utils.py:995-1014): crop, per-sample
+        mean/absmax normalization, channel dim, embedded vectors."""
+        path, spec, _ = catalog
+        x, tvec, fvec = h5mod.load_images(path, [2, 5])
+        assert x.shape == (2, 1, 87, 100)
+        np.testing.assert_allclose(tvec, np.arange(W_RAW - 1))
+        np.testing.assert_allclose(fvec, np.linspace(0, 10, 87))
+        want = spec[2, :-1, 1:]
+        want = (want - want.mean()) / np.abs(want).max()
+        np.testing.assert_allclose(x[0, 0], want, rtol=1e-6)
+
+    def test_normalize_specgram_matches_ops(self, catalog):
+        """The host twin must match the on-device ops.normalize family
+        (SpecgramNormalizer, utils.py:213-231)."""
+        import jax.numpy as jnp
+
+        from spectrogram_cube_clustering_tpu import ops
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(5, 4, 101)).astype(np.float32)
+        on_device = {
+            "sample_normalization": ops.sample_normalization,
+            "sample_norm_cent": ops.sample_norm_cent,
+            "vec_norm": ops.vec_norm,
+        }
+        for name, fn in on_device.items():
+            host = h5mod.normalize_specgram(x, name)
+            dev = np.asarray(fn(jnp.asarray(x[..., None])))[..., 0]
+            np.testing.assert_allclose(host, dev, rtol=2e-5, atol=2e-6)
+        np.testing.assert_array_equal(
+            h5mod.normalize_specgram(x, None), x
+        )
+        with pytest.raises(ValueError):
+            h5mod.normalize_specgram(x, "bogus")
+
     def test_load_batch_single_handle_matches_per_item(self, catalog):
         """load_batch's one-handle block read (unsorted + duplicate
         indices) matches the per-event __getitem__ path exactly."""
