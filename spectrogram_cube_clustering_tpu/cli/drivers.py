@@ -32,15 +32,28 @@ def _common(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--tb", action="store_true", help="start TensorBoard")
     parser.add_argument("--tbport", type=int, default=6999)
     parser.add_argument("--verbose", action="store_true")
+    # cube geometry (defaults = the reference cube's 5758-row chunking,
+    # ZarrDataLoader.py:46-57); exposed so non-reference cubes — e.g.
+    # build-cube output with custom chunking — work without a full .ini
+    parser.add_argument("--chunk-size", type=int, default=None)
+    parser.add_argument("--window-rows", type=int, default=None)
+    parser.add_argument("--channel-start", type=int, default=None)
+    parser.add_argument("--channel-stride", type=int, default=None)
 
 
 def _universal(args) -> dict:
-    return {
+    out = {
         "fname_dataset": args.dataset,
         "savepath": os.path.join(args.project, "Outputs"),
         "configpath": os.path.join(args.project, "Config"),
         "transform": args.transform,
     }
+    for key in ("chunk_size", "window_rows", "channel_start",
+                "channel_stride"):
+        val = getattr(args, key)
+        if val is not None:
+            out[key] = val
+    return out
 
 
 def _run(universal, parameters, hp) -> None:

@@ -142,6 +142,97 @@ def test_run_dc_full_pipeline(tmp_path):
     assert os.path.isdir(os.path.join(cfg.savepath_exp, runs[0], "DEC_Params_Final"))
 
 
+def test_driver_chain(tmp_path):
+    """The console drivers (reference root scripts AEC_train.py /
+    GMM_centroids.py / DEC_train.py) drive the whole 3-stage workflow
+    through their argparse surface, incl. the cube-geometry flags."""
+    from spectrogram_cube_clustering_tpu.cli import drivers
+
+    cube_path = str(tmp_path / "cube.zarr")
+    make_synthetic_cube(
+        cube_path, n_time=32 * 11, n_channels=9, n_freq=101,
+        n_classes=3, chunk_rows=32, seed=9, spec=SPEC,
+    )
+    geom = [
+        "--chunk-size", "32", "--channel-start", "1",
+        "--channel-stride", "2", "--project", str(tmp_path),
+    ]
+
+    drivers.aec_train(
+        [cube_path, *geom, "--epochs", "2", "--batch-size", "32",
+         "--lr", "0.001", "--no-early-stopping"]
+    )
+    aec_exp = _latest_exp(tmp_path, "AEC")
+    runs = [d for d in os.listdir(aec_exp) if d.startswith("Run_")]
+    weights = os.path.join(aec_exp, runs[0], "AEC_Params_Final")
+    assert os.path.isdir(weights)
+
+    run_dir = os.path.dirname(weights)
+    drivers.aec_predict([cube_path, *geom, weights])
+    # predictions nest under the weights' run dir (utils.py:67-69)
+    assert os.path.exists(
+        os.path.join(run_dir, "Prediction", "Z_AEC.npy")
+    )
+
+    drivers.gmm_centroids(
+        [cube_path, *geom, weights, "--n-clusters", "3",
+         "--km-n-init", "4", "--km-max-iter", "50"]
+    )
+    # GMM artifacts nest under the AEC run (utils.py:70-72)
+    assert os.path.exists(
+        os.path.join(run_dir, "GMM", "n_clusters=3", "centroids.npy")
+    )
+
+    drivers.dec_train(
+        [cube_path, *geom, weights, "--epochs", "1", "--batch-size", "32",
+         "--lr", "0.0005", "--n-clusters", "3", "--tol", "0.0",
+         "--init", "load"]
+    )
+    dec_exp = _latest_exp(tmp_path, "DEC")
+    runs = [d for d in os.listdir(dec_exp) if d.startswith("Run_")]
+    dec_weights = os.path.join(dec_exp, runs[0], "DEC_Params_Final")
+    assert os.path.isdir(dec_weights)
+
+    drivers.dec_predict([cube_path, *geom, dec_weights])
+    assert os.path.exists(
+        os.path.join(os.path.dirname(dec_weights), "Prediction",
+                     "labels_DEC.npy")
+    )
+
+
+def _latest_exp(project, model):
+    """Newest Exp* dir for a model under the driver project tree."""
+    base = os.path.join(str(project), "Outputs", "Models", model)
+    exps = sorted(os.listdir(base))
+    return os.path.join(base, exps[-1])
+
+
+def test_run_dc_main_argv(tmp_path):
+    """run-dc's argv branch (the installed console script path)."""
+    cube_path = str(tmp_path / "cube.zarr")
+    make_synthetic_cube(
+        cube_path, n_time=32 * 11, n_channels=9, n_freq=101,
+        n_classes=3, chunk_rows=32, seed=4, spec=SPEC,
+    )
+    ini = scc_utils.config_training(
+        {
+            "fname_dataset": cube_path,
+            "savepath": str(tmp_path / "Outputs"),
+            "configpath": str(tmp_path / "Config"),
+            "transform": "sample_norm_cent",
+            "chunk_size": SPEC.chunk_size,
+            "channel_start": SPEC.channel_start,
+            "channel_stride": SPEC.channel_stride,
+        },
+        {"model": "AEC", "mode": "train", "n_epochs": 1,
+         "early_stopping": "False", "tb": "False", "show": "False",
+         "send_message": "True"},
+        {"batch_size": "32", "lr": "0.001"},
+    )
+    config = cli.run_dc(argv=[ini])
+    assert os.path.exists(os.path.join(config.savepath_exp, "COMPLETED.txt"))
+
+
 def test_build_cube_roundtrip(tmp_path, rng):
     """build-cube writes a Zarr cube the window reader can consume."""
     from spectrogram_cube_clustering_tpu.data import CubeSpec, ZarrCubeDataset
