@@ -5,6 +5,7 @@ from spectrogram_cube_clustering_tpu.cli.tools import (
     build_cube,
     convert_h5_to_np,
     convert_torch_checkpoint,
+    export_torch_checkpoint,
     extract_h5dataset,
     generate_sample_index,
     query_h5size,
@@ -19,6 +20,7 @@ from spectrogram_cube_clustering_tpu.cli.drivers import (
 
 __all__ = [
     "run_dc", "query_h5size", "extract_h5dataset", "generate_sample_index",
-    "convert_h5_to_np", "build_cube", "convert_torch_checkpoint", "aec_train", "aec_predict", "gmm_centroids",
+    "convert_h5_to_np", "build_cube", "convert_torch_checkpoint",
+    "export_torch_checkpoint", "aec_train", "aec_predict", "gmm_centroids",
     "dec_train", "dec_predict",
 ]

@@ -318,3 +318,33 @@ def test_torch_checkpoint_port(tmp_path, data):
             rtol=1e-6, atol=0,
             err_msg=k,
         )
+
+
+def test_checkpoint_migration_cli_roundtrip(tmp_path, data):
+    """The convert-torch-checkpoint / export-torch-checkpoint console
+    tools (cli/tools.py) round-trip AEC params exactly — the argparse
+    surface over the torch_port functions tested above."""
+    from spectrogram_cube_clustering_tpu import cli
+    from spectrogram_cube_clustering_tpu.train.checkpoint import (
+        restore,
+        save,
+    )
+
+    model = models.AEC()
+    x = jnp.asarray(data.transpose(0, 2, 3, 1))
+    params = model.init(jax.random.key(1), x)["params"]
+    src = str(tmp_path / "orig_ckpt")
+    save(src, params)
+
+    pt = str(tmp_path / "AEC_Params_Final.pt")
+    cli.export_torch_checkpoint([src, pt])
+    back_dir = str(tmp_path / "back_ckpt")
+    cli.convert_torch_checkpoint([pt, back_dir])
+
+    back = restore(back_dir, params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6
+        ),
+        params, back,
+    )
