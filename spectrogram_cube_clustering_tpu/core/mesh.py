@@ -25,11 +25,13 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    **kwargs,
 ) -> None:
     """Multi-host bring-up: `jax.distributed.initialize` so
     `jax.devices()` spans all hosts' chips (SURVEY.md §5 'Distributed
     communication backend'). On TPU pods the arguments auto-discover from
-    the environment; pass them explicitly elsewhere. Idempotent."""
+    the environment; pass them explicitly elsewhere (extra kwargs — e.g.
+    `local_device_ids` on CPU clusters — pass through). Idempotent."""
     import jax.distributed as jdist
 
     try:
@@ -37,6 +39,7 @@ def initialize_distributed(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,
         )
     except RuntimeError as e:  # already initialized
         # jax wordings vary by version: "already initialized" and

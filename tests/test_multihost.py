@@ -27,13 +27,19 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
 rank = int(sys.argv[1])
-jax.distributed.initialize(
-    "localhost:" + sys.argv[2], num_processes=2, process_id=rank,
-    local_device_ids=[0, 1, 2, 3],
-)
 import jax.numpy as jnp
 import numpy as np
 import spectrogram_cube_clustering_tpu as scc
+
+# the framework's own bring-up wrapper (idempotence included)
+scc.core.initialize_distributed(
+    "localhost:" + sys.argv[2], num_processes=2, process_id=rank,
+    local_device_ids=[0, 1, 2, 3],
+)
+scc.core.initialize_distributed(
+    "localhost:" + sys.argv[2], num_processes=2, process_id=rank,
+    local_device_ids=[0, 1, 2, 3],
+)
 
 assert jax.process_count() == 2 and len(jax.devices()) == 8
 
