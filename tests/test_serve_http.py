@@ -419,3 +419,66 @@ def test_encoder_server_serves_latents(predictor):
         srv.shutdown()
         srv.server_close()
         t.join(timeout=10)
+
+
+def test_scc_serve_main(tmp_path, predictor):
+    """The scc-serve console entry (serve_http.main): argv parsing,
+    checkpoint load, warmup, and live HTTP — run as a real subprocess
+    (the installed-script shape) against a saved DEC checkpoint."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    from spectrogram_cube_clustering_tpu.train.checkpoint import save
+
+    pred, x = predictor
+    ckpt = str(tmp_path / "DEC_Params_Final")
+    save(ckpt, pred.params)
+
+    # sitecustomize force-registers the TPU plugin; pin CPU inside the
+    # child before serve_http imports jax (env vars alone don't win)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from spectrogram_cube_clustering_tpu import serve_http\n"
+        f"serve_http.main([{ckpt!r}, '--n-clusters', '3', "
+        "'--max-batch', '64', '--port', '0'])\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        url = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                time.sleep(0.2)
+                continue
+            m = re.search(r"http://([\d.]+):(\d+)", line)
+            if m:
+                host, port = m.group(1), int(m.group(2))
+                if host == "0.0.0.0":
+                    host = "127.0.0.1"
+                url = f"http://{host}:{port}"
+                break
+        assert url, "server never announced its address"
+
+        meta = json.loads(
+            urllib.request.urlopen(f"{url}/healthz", timeout=30).read()
+        )
+        assert meta["model"] == "DECPredictor"
+
+        buf = io.BytesIO()
+        np.save(buf, x[:5])
+        req = urllib.request.Request(
+            f"{url}/predict", data=buf.getvalue(), method="POST"
+        )
+        out = np.load(io.BytesIO(urllib.request.urlopen(req, timeout=60).read()))
+        np.testing.assert_array_equal(out["labels"], pred(x[:5])["labels"])
+    finally:
+        proc.kill()
+        proc.wait()
