@@ -159,6 +159,10 @@ def dec_train(argv: Optional[list] = None) -> None:
         "--init", default="gmm", choices=["load", "rand", "kmeans", "gmm"]
     )
     parser.add_argument("--update-interval", type=int, default=-1)
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from the run's tmp/SNAPSHOT after preemption",
+    )
     args = parser.parse_args(argv)
     _run(
         _universal(args),
@@ -167,6 +171,7 @@ def dec_train(argv: Optional[list] = None) -> None:
             "saved_weights": args.weights, "init": args.init,
             "update_interval": args.update_interval, "tb": str(args.tb),
             "tbport": args.tbport, "show": str(args.verbose),
+            "resume": str(args.resume),
         },
         {
             "batch_size": args.batch_size, "lr": args.lr,

@@ -237,11 +237,18 @@ class ServingServer(ThreadingHTTPServer):
     def __init__(self, address, predictor, max_wait_ms: float = 2.0,
                  max_request_mb: float = 256.0):
         self.predictor = predictor
-        self.batcher = MicroBatcher(predictor, max_wait_ms=max_wait_ms)
         self.latency = _LatencyRing()
         self.max_request_bytes = int(max_request_mb * (1 << 20))
         self.started = time.time()
+        # bind the socket BEFORE spawning the batcher worker: a bind
+        # failure (port in use) must not leak a live thread pinning the
+        # predictor's compiled executables
         super().__init__(address, _Handler)
+        try:
+            self.batcher = MicroBatcher(predictor, max_wait_ms=max_wait_ms)
+        except Exception:
+            self.server_close()
+            raise
 
     def metadata(self) -> Dict:
         p = self.predictor
@@ -347,6 +354,16 @@ class _Handler(BaseHTTPRequestHandler):
         q = parse_qs(url.query).get("fields")
         if q:
             fields = [f for part in q for f in part.split(",") if f]
+            # reject typo'd field names BEFORE paying the device pass —
+            # the valid set is statically known from the predictor
+            available = self.server.metadata()["outputs"]
+            unknown = [f for f in fields if f not in available]
+            if unknown:
+                self._send_json(400, {
+                    "error": f"unknown fields {unknown}; "
+                    f"available: {sorted(available)}",
+                })
+                return
 
         t0 = time.monotonic()
         try:
@@ -357,14 +374,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.server.latency.add(time.monotonic() - t0)
 
         if fields:
-            unknown = [f for f in fields if f not in out]
-            if unknown:
-                self._send_json(400, {
-                    "error": f"unknown fields {unknown}; "
-                    f"available: {sorted(out)}",
-                })
-                return
-            out = {k: out[k] for k in fields}
+            out = {k: out[k] for k in fields if k in out}
         buf = io.BytesIO()
         np.savez(buf, **out)
         self._send(200, buf.getvalue(), "application/octet-stream")

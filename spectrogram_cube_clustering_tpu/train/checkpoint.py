@@ -24,7 +24,9 @@ def _checkpointer():
 
 
 def save(path: str, tree: Any) -> str:
-    """Save a pytree checkpoint at `path` (created, must not exist).
+    """Save a pytree checkpoint at `path`, overwriting an existing one
+    (a resumed run re-lands its finals in the same run dir — review
+    r3.2; orbax refuses existing destinations without `force`).
 
     Leaves sharded across processes (e.g. the DEC snapshot's target
     distribution on a multi-host mesh) are all-gathered first — a bare
@@ -34,7 +36,7 @@ def save(path: str, tree: Any) -> str:
 
     path = os.path.abspath(path)
     ckpt = _checkpointer()
-    ckpt.save(path, fetch_global(tree))
+    ckpt.save(path, fetch_global(tree), force=True)
     ckpt.wait_until_finished()
     return path
 

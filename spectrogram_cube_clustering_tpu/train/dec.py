@@ -383,8 +383,9 @@ def train_dec_stream(
         params=replace_centroids(state.params, jnp.asarray(centroids))
     )
     # post-centroid-injection params = the reference's DEC_Params_Initial
-    # (models.py:1006-1012); the scan path captures the same point
-    initial_params = jax.tree.map(lambda a: a, state.params)
+    # (models.py:1006-1012); the scan path captures the same point (jax
+    # arrays are immutable — holding the pytree reference is a snapshot)
+    initial_params = state.params
     q, _, _ = full_eval_stream(eval_step, state.params, make_loader, m_total)
     p = np.asarray(target_distribution(jnp.asarray(q)))
 
@@ -590,7 +591,7 @@ def train_dec(
         state = state.replace(
             params=replace_centroids(state.params, jnp.asarray(centroids))
         )
-        initial_params = jax.tree.map(lambda a: a, state.params)
+        initial_params = state.params
 
         q, _, z0 = full_eval(model, state.params, data)
         # pre-refinement latents (the reference t-SNEs them, models.py:

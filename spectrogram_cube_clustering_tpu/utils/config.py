@@ -192,9 +192,22 @@ class Configuration:
         """
         self.serial_exp = _serial()
         if self.mode == "train":
-            self.savepath_exp = os.path.join(
-                self.savepath, "Models", self.model, f"Exp{self.serial_exp}"
-            )
+            base = os.path.join(self.savepath, "Models", self.model)
+            if bool(getattr(self, "resume", False)) and os.path.isdir(base):
+                # resume must land in the run tree that holds the
+                # snapshot: reuse the newest Exp (serials are timestamps,
+                # so lexical order = chronological) instead of minting a
+                # fresh empty one where snapshot_exists is always False
+                exps = sorted(
+                    d for d in os.listdir(base)
+                    if d.startswith("Exp")
+                    and os.path.isdir(os.path.join(base, d))
+                )
+                if exps:
+                    self.serial_exp = exps[-1][len("Exp"):]
+                    self.savepath_exp = os.path.join(base, exps[-1])
+                    return self.savepath_exp, self.serial_exp
+            self.savepath_exp = os.path.join(base, f"Exp{self.serial_exp}")
         elif self.mode == "predict":
             run_dir = os.path.abspath(
                 os.path.join(self.saved_weights, os.pardir)

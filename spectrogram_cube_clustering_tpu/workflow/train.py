@@ -442,6 +442,7 @@ def _train_stream(config, mesh=None):
                     n_epochs=int(config.n_epochs), lr=lr,
                     early_stopping=bool(getattr(config, "early_stopping", True)),
                     patience=int(getattr(config, "patience", 10)),
+                    verbose=bool(getattr(config, "show", False)),
                 ),
                 make_val_loader=lambda: make_loader(list(idx_val)),
                 # preemption-safe like the ram path: full-state snapshot
@@ -495,6 +496,7 @@ def _train_stream(config, mesh=None):
                     kmeans_n_init=int(getattr(config, "km_n_init", 100)),
                     kmeans_max_iter=int(getattr(config, "km_max_iter", 1000)),
                     seed=int(getattr(config, "seed", 2009) or 2009),
+                    verbose=bool(getattr(config, "show", False)),
                 ),
                 initial=initial,
                 snapshot_path=os.path.join(config.savepath_chkpnt, "SNAPSHOT"),

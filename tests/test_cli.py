@@ -200,6 +200,42 @@ def test_driver_chain(tmp_path):
     )
 
 
+def test_driver_resume_reuses_run_tree(tmp_path):
+    """aec-train --resume must land in the EXISTING Exp tree where the
+    snapshot lives (review r3.2: init_exp_env minted a fresh Exp dir, so
+    --resume silently restarted from epoch 0)."""
+    from spectrogram_cube_clustering_tpu.cli import drivers
+
+    cube_path = str(tmp_path / "cube.zarr")
+    make_synthetic_cube(
+        cube_path, n_time=32 * 11, n_channels=9, n_freq=101,
+        n_classes=3, chunk_rows=32, seed=13, spec=SPEC,
+    )
+    geom = [
+        "--chunk-size", "32", "--channel-start", "1",
+        "--channel-stride", "2", "--project", str(tmp_path),
+    ]
+    common = [cube_path, *geom, "--batch-size", "32", "--lr", "0.001",
+              "--no-early-stopping"]
+
+    drivers.aec_train([*common, "--epochs", "1"])
+    base = os.path.join(str(tmp_path), "Outputs", "Models", "AEC")
+    exps = [d for d in os.listdir(base) if d.startswith("Exp")]
+    assert len(exps) == 1
+    run = [d for d in os.listdir(os.path.join(base, exps[0]))
+           if d.startswith("Run_")][0]
+    snap = os.path.join(base, exps[0], run, "tmp", "SNAPSHOT")
+    assert os.path.isdir(snap)  # epoch-1 snapshot on disk
+
+    drivers.aec_train([*common, "--epochs", "3", "--resume"])
+    exps_after = [d for d in os.listdir(base) if d.startswith("Exp")]
+    assert exps_after == exps  # reused, not re-minted
+    import pandas as pd
+
+    hist = pd.read_csv(os.path.join(base, exps[0], run, "AEC_history.csv"))
+    assert len(hist) == 3  # epoch 1 from run 1 + epochs 2-3 resumed
+
+
 def _latest_exp(project, model):
     """Newest Exp* dir for a model under the driver project tree."""
     base = os.path.join(str(project), "Outputs", "Models", model)

@@ -625,7 +625,7 @@ def test_unet_arch_workflow(cube):
         workflow.train(config)
 
 
-def test_stream_dec_train_artifacts(cube):
+def test_stream_dec_train_artifacts(cube, capsys):
     """Streaming DEC training writes the same artifact set as the ram
     path — including DEC_Params_Initial (review r3). n_clusters sits at
     the PARAMETERS (config) level, not in the hp sweep: the stream path
@@ -643,7 +643,7 @@ def test_stream_dec_train_artifacts(cube):
         root, cube_path, "DEC", "train",
         {"n_epochs": 1, "saved_weights": weights, "init": "kmeans",
          "km_n_init": 2, "loadmode": "stream", "workers": "2",
-         "n_clusters": 3},
+         "n_clusters": 3, "show": "True"},
         {"batch_size": "64", "lr": "0.001", "gamma": "0.001", "tol": "0.0"},
     )
     [dec] = workflow.train(config)
@@ -652,6 +652,9 @@ def test_stream_dec_train_artifacts(cube):
         assert os.path.isdir(os.path.join(run, name)), name
     assert os.path.exists(os.path.join(run, "DEC_history.csv"))
     assert dec["state"].params["centroids"].shape[0] == 3
+    # show=True must reach the stream loop's verbose flag (review r3.2:
+    # the workflow dropped it, so multi-hour stream runs printed nothing)
+    assert "Epoch [1/1]" in capsys.readouterr().out
 
 
 def test_stream_dec_predict_with_figures(cube):
