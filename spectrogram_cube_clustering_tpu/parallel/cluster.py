@@ -341,6 +341,7 @@ def sharded_gmm(
     mesh: Mesh,
     *,
     max_iter: int = 100,
+    kmeans_n_iter: int = 100,
     tol: float = 1e-3,
     n_init: int = 100,
     seed: int = 2009,
@@ -360,7 +361,7 @@ def sharded_gmm(
     zp, mask, m = _pad_for_mesh(z, mesh)
     zp, mask = _put(mesh, zp, mask)[:2]
     km_labels, centers = sharded_kmeans(
-        z, n_clusters, mesh, n_init=n_init, seed=seed,
+        z, n_clusters, mesh, n_iter=kmeans_n_iter, n_init=n_init, seed=seed,
         _placed=(zp, mask, m),
     )
     counts = jnp.bincount(

@@ -174,6 +174,7 @@ class DECPredictor:
         input_hw=(4, 101),
         transfer_dtype: Optional[str] = None,
         mesh=None,
+        attention_faithful: bool = True,
     ):
         self.input_hw = (int(input_hw[0]), int(input_hw[1]))
         self._wire_dtype = _host_transfer_dtype(transfer_dtype)
@@ -187,7 +188,8 @@ class DECPredictor:
             self.model = _models.PackedDEC(n_clusters=n_clusters)
         else:
             self.model = _models.DEC(
-                n_clusters=n_clusters, input_hw=self.input_hw
+                n_clusters=n_clusters, input_hw=self.input_hw,
+                attention_faithful=attention_faithful,
             )
         self.params, self.sizes = _mesh_setup(
             params, mesh, max_batch, buckets
@@ -212,22 +214,33 @@ class DECPredictor:
         input_hw=(4, 101),
         transfer_dtype: Optional[str] = None,
         mesh=None,
+        attention_faithful: bool = True,
     ) -> "DECPredictor":
-        from spectrogram_cube_clustering_tpu.train.checkpoint import restore
+        from spectrogram_cube_clustering_tpu.train.checkpoint import (
+            check_restored_shapes,
+            restore,
+        )
 
         h, w = int(input_hw[0]), int(input_hw[1])
         model = (
             _models.PackedDEC(n_clusters=n_clusters)
             if arch == "packed"
-            else _models.DEC(n_clusters=n_clusters, input_hw=(h, w))
+            else _models.DEC(n_clusters=n_clusters, input_hw=(h, w),
+                             attention_faithful=attention_faithful)
         )
         template = model.init(
             jax.random.key(0), jnp.zeros((1, h, w, 1))
         )["params"]
+        params = restore(path, template)
+        # orbax restore is shape-lenient: a checkpoint trained with a
+        # different arch/input_hw/attention_faithful would otherwise die
+        # with an opaque dot_general error at the first request
+        check_restored_shapes(params, template, type(model).__name__)
         return cls(
-            restore(path, template), n_clusters, max_batch, transform,
+            params, n_clusters, max_batch, transform,
             buckets=buckets, arch=arch, input_hw=(h, w),
             transfer_dtype=transfer_dtype, mesh=mesh,
+            attention_faithful=attention_faithful,
         )
 
     def warmup(self) -> None:
@@ -267,12 +280,24 @@ class AECEncoder:
         input_hw=(4, 101),
         transfer_dtype: Optional[str] = None,
         mesh=None,
+        arch: str = "AEC",
+        attention_faithful: bool = True,
     ):
         self.input_hw = (int(input_hw[0]), int(input_hw[1]))
         self._wire_dtype = _host_transfer_dtype(transfer_dtype)
         self.mesh = mesh
         self._put = _make_put(mesh)
-        self.model = _models.AEC(input_hw=self.input_hw)
+        if arch == "packed":
+            if self.input_hw != (4, 101):
+                raise ValueError(
+                    "arch='packed' serves only the (4, 101) geometry"
+                )
+            self.model = _models.PackedAEC()
+        else:
+            self.model = _models.AEC(
+                input_hw=self.input_hw,
+                attention_faithful=attention_faithful,
+            )
         self.params, self.sizes = _mesh_setup(
             params, mesh, max_batch, buckets
         )
@@ -296,16 +321,30 @@ class AECEncoder:
         input_hw=(4, 101),
         transfer_dtype: Optional[str] = None,
         mesh=None,
+        arch: str = "AEC",
+        attention_faithful: bool = True,
     ) -> "AECEncoder":
-        from spectrogram_cube_clustering_tpu.train.checkpoint import restore
+        from spectrogram_cube_clustering_tpu.train.checkpoint import (
+            check_restored_shapes,
+            restore,
+        )
 
         h, w = int(input_hw[0]), int(input_hw[1])
-        template = _models.AEC(input_hw=(h, w)).init(
+        model = (
+            _models.PackedAEC()
+            if arch == "packed"
+            else _models.AEC(input_hw=(h, w),
+                             attention_faithful=attention_faithful)
+        )
+        template = model.init(
             jax.random.key(0), jnp.zeros((1, h, w, 1))
         )["params"]
-        return cls(restore(path, template), max_batch, transform,
+        params = restore(path, template)
+        check_restored_shapes(params, template, type(model).__name__)
+        return cls(params, max_batch, transform,
                    buckets=buckets, input_hw=(h, w),
-                   transfer_dtype=transfer_dtype, mesh=mesh)
+                   transfer_dtype=transfer_dtype, mesh=mesh, arch=arch,
+                   attention_faithful=attention_faithful)
 
     def warmup(self) -> None:
         """Pay every bucket's compile before serving traffic."""

@@ -429,6 +429,10 @@ def main(argv=None) -> int:
     ap.add_argument("--n-clusters", type=int, default=None,
                     help="required for --model DEC")
     ap.add_argument("--arch", default="AEC", choices=["AEC", "packed"])
+    ap.add_argument("--attention-faithful",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="must match the checkpoint's training config "
+                    "(it changes the encoder head width)")
     ap.add_argument("--input-hw", type=int, nargs=2, default=(4, 101),
                     metavar=("H", "W"))
     ap.add_argument("--transform", default="sample_norm_cent")
@@ -472,6 +476,7 @@ def main(argv=None) -> int:
             buckets=args.buckets or None, arch=args.arch,
             input_hw=tuple(args.input_hw),
             transfer_dtype=args.transfer_dtype, mesh=mesh,
+            attention_faithful=args.attention_faithful,
         )
     else:
         predictor = _serve.AECEncoder.from_checkpoint(
@@ -479,6 +484,8 @@ def main(argv=None) -> int:
             transform=args.transform, buckets=args.buckets or None,
             input_hw=tuple(args.input_hw),
             transfer_dtype=args.transfer_dtype, mesh=mesh,
+            arch=args.arch,
+            attention_faithful=args.attention_faithful,
         )
     if hasattr(predictor, "warmup"):
         predictor.warmup()  # pay every bucket's compile before traffic

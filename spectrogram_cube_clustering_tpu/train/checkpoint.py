@@ -51,6 +51,45 @@ def restore(path: str, template: Optional[Any] = None) -> Any:
     return ckpt.restore(path)
 
 
+def check_restored_shapes(restored, template, what: str) -> None:
+    """Raise a clear error when a checkpoint's param shapes differ from the
+    model template (orbax restore is shape-lenient, so without this the
+    mismatch only surfaces as an opaque dot_general error inside the first
+    jitted step). Shared by the workflow loaders and the serving tier."""
+    mismatches = []
+
+    def walk(r, t, path):
+        if isinstance(t, dict):
+            for k in t:
+                if isinstance(r, dict) and k in r:
+                    walk(r[k], t[k], path + (k,))
+                else:
+                    # a whole submodule the checkpoint lacks (e.g. an
+                    # AEC checkpoint restored into a packed template:
+                    # the key sets are disjoint, so shape comparison
+                    # alone would pass vacuously)
+                    mismatches.append(("/".join(path + (k,)),
+                                       "missing", "present"))
+            return
+        rs, ts = getattr(r, "shape", None), getattr(t, "shape", None)
+        if rs is not None and ts is not None and tuple(rs) != tuple(ts):
+            mismatches.append(("/".join(path), tuple(rs), tuple(ts)))
+
+    walk(restored, template, ())
+    if mismatches:
+        detail = "; ".join(
+            f"{p}: checkpoint {rs} vs model {ts}"
+            for p, rs, ts in mismatches[:4]
+        )
+        raise ValueError(
+            f"checkpoint at odds with the configured {what} model — param "
+            f"shapes differ ({detail}). Check that `arch`, `input_hw` and "
+            "`attention_faithful` match the values the checkpoint was "
+            "trained with (attention_faithful changes the encoder head "
+            "width, models/aec.py)."
+        )
+
+
 # -- preemption-safe training snapshots -------------------------------------
 #
 # The reference can only save weights; a killed run restarts from scratch

@@ -11,6 +11,7 @@ import csv
 import os
 from typing import Dict, List, Sequence
 
+import numpy as np
 import pandas as pd
 
 
@@ -45,24 +46,40 @@ def save_history(history: Dict[str, Sequence], path: str) -> pd.DataFrame:
 
 
 def save_labels(
-    label_rows: List[Dict], savepath: str, serial: str | None = None
+    label_rows, savepath: str, serial: str | None = None
 ) -> str:
-    """Append label rows to Labels[serial].csv, header once
-    (reference utils.py:1182-1209). No-op off process 0: the append mode
-    would otherwise interleave one copy of every row per host."""
+    """Write Labels[serial].csv (reference utils.py:1182-1209).
+
+    Deliberate fix vs the reference: it APPENDS, so re-running predict
+    or gmm_fit into the same deterministic artifact dir silently
+    duplicates every row while labels_*.npy overwrite — here the CSV
+    overwrites like every other artifact. No-op off process 0 (one
+    writer per cluster).
+
+    `label_rows` is either a list of dict rows (reference shape) or a
+    1-D integer array — the array path streams `idx,label` lines
+    directly instead of materializing one dict per window (a multi-GB
+    spike at cube scale)."""
     fname = os.path.join(
         savepath, f"Labels{serial}.csv" if serial else "Labels.csv"
     )
-    if not _is_coordinator() or not label_rows:
-        # empty rows: nothing to append (indexing label_rows[0] on the
+    if not _is_coordinator() or len(label_rows) == 0:
+        # empty rows: nothing to write (indexing label_rows[0] on the
         # coordinator alone would kill the one process that owns file
         # artifacts and hang the next multi-process barrier)
         return fname
+    if isinstance(label_rows, np.ndarray):
+        with open(fname, "w", newline="") as f:
+            f.write("idx,label\n")
+            for start in range(0, len(label_rows), 1 << 20):
+                chunk = label_rows[start : start + (1 << 20)]
+                idx = np.arange(start, start + len(chunk))
+                np.savetxt(f, np.column_stack([idx, chunk]),
+                           fmt="%d", delimiter=",")
+        return fname
     keys = label_rows[0].keys()
-    write_header = not os.path.exists(fname)
-    with open(fname, "a", newline="") as f:
+    with open(fname, "w", newline="") as f:
         w = csv.DictWriter(f, keys)
-        if write_header:
-            w.writeheader()
+        w.writeheader()
         w.writerows(label_rows)
     return fname

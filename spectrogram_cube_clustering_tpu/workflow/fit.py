@@ -69,6 +69,9 @@ def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
             labels, centroids = sharded_gmm(
                 z, int(n_clusters), mesh,
                 n_init=int(getattr(config, "km_n_init", 100)),
+                # honor the configured Lloyd budget like the dense path
+                # (sampled convergence checks stop early regardless)
+                kmeans_n_iter=int(getattr(config, "km_max_iter", 1000)),
                 seed=int(getattr(config, "seed", 2009) or 2009),
             )
             # labels shard over the mesh; all-gather before host use (a

@@ -30,7 +30,6 @@ import numpy as np
 from jax import lax
 
 from spectrogram_cube_clustering_tpu import cluster as _cluster
-from spectrogram_cube_clustering_tpu import models as _models
 from spectrogram_cube_clustering_tpu import train as _train
 from spectrogram_cube_clustering_tpu import utils as _utils
 from spectrogram_cube_clustering_tpu.analysis import plotting
@@ -75,6 +74,11 @@ def _gallery_traces(config):
     the gallery omits the trace row. Returned as a lazy idx -> (L,)
     callable so only the ~n_examples*K displayed traces are read."""
     if getattr(config, "datafiletype", None) != "h5":
+        return None
+    if getattr(config, "h5_ftype", "h5") == "np":
+        # the .npy dump (convert-h5-to-np) carries spectrograms only —
+        # opening it with h5py would crash the gallery after the full
+        # forward pass; omit the trace row like other traceless sources
         return None
 
     from spectrogram_cube_clustering_tpu.data import h5 as _h5
@@ -278,13 +282,10 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
         centroids_np = np.asarray(params["centroids"], np.float32)
         if proc0:
             # artifact writes gate on process 0 (same contract as
-            # checkpoint.save_snapshot): on a multi-process mesh every
-            # host holds the full fetched arrays and an ungated
-            # append-mode Labels.csv would interleave duplicate rows
-            _utils.save_labels(
-                [{"idx": i, "label": int(labels_np[i])} for i in range(m)],
-                savepath,
-            )
+            # checkpoint.save_snapshot): every host holds the full
+            # fetched arrays. Array form: no per-window dict spike on
+            # the tier that exists because X exceeds host RAM.
+            _utils.save_labels(labels_np, savepath)
             np.save(os.path.join(savepath, "q_DEC"), q_np)
             np.save(os.path.join(savepath, "Z_DEC"), z_np)
             np.save(os.path.join(savepath, "labels_DEC"), labels_np)
@@ -367,6 +368,14 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
 
 def predict(config, mesh=None, figures: bool = True) -> Dict:
     """Run inference and write the artifact tree. Returns the arrays."""
+    if config.model not in ("AEC", "DEC"):
+        # same guard as workflow.train: model='GMM' would load the
+        # (M, 9) latent array as image windows and die in jit with an
+        # opaque shape error (GMM inference = workflow.gmm_fit)
+        raise ValueError(
+            f"unknown model {config.model!r} for mode='predict' "
+            "(GMM fitting/inference runs via mode='fit' / workflow.gmm_fit)"
+        )
     if getattr(config, "loadmode", "ram") == "stream":
         return _predict_stream(config, figures, mesh=mesh)
     x_np = _normalize(config, load_data(config))
@@ -398,12 +407,8 @@ def predict(config, mesh=None, figures: bool = True) -> Dict:
 
         if proc0:
             # writes gate on process 0: every host holds the full fetched
-            # arrays, and the append-mode Labels.csv (plus np.save/figure
-            # races) would otherwise interleave duplicates
-            _utils.save_labels(
-                [{"idx": i, "label": int(labels_np[i])} for i in range(m)],
-                savepath,
-            )
+            # arrays (np.save/figure writes would otherwise race)
+            _utils.save_labels(labels_np, savepath)
             np.save(os.path.join(savepath, "q_DEC"), q_np)
             np.save(os.path.join(savepath, "Z_DEC"), z_np)
             np.save(os.path.join(savepath, "Xr_DEC"), _to_nchw_np(xr))

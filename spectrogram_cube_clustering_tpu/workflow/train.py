@@ -32,7 +32,11 @@ from spectrogram_cube_clustering_tpu import models as _models
 from spectrogram_cube_clustering_tpu import ops as _ops
 from spectrogram_cube_clustering_tpu import train as _train
 from spectrogram_cube_clustering_tpu import utils as _utils
-from spectrogram_cube_clustering_tpu.train.checkpoint import restore, save
+from spectrogram_cube_clustering_tpu.train.checkpoint import (
+    check_restored_shapes as _check_restored_shapes,
+    restore,
+    save,
+)
 from spectrogram_cube_clustering_tpu.workflow.data import load_data
 
 
@@ -176,36 +180,8 @@ def _init_template(model, input_hw=None) -> dict:
     )["params"]
 
 
-def _check_restored_shapes(restored, template, what: str) -> None:
-    """Raise a clear error when a checkpoint's param shapes differ from the
-    model template (orbax restore is shape-lenient, so without this the
-    mismatch only surfaces as an opaque dot_general error inside the first
-    jitted step)."""
-    mismatches = []
-
-    def walk(r, t, path):
-        if isinstance(t, dict):
-            for k in t:
-                if k in r:
-                    walk(r[k], t[k], path + (k,))
-            return
-        rs, ts = getattr(r, "shape", None), getattr(t, "shape", None)
-        if rs is not None and ts is not None and tuple(rs) != tuple(ts):
-            mismatches.append(("/".join(path), tuple(rs), tuple(ts)))
-
-    walk(restored, template, ())
-    if mismatches:
-        detail = "; ".join(
-            f"{p}: checkpoint {rs} vs model {ts}"
-            for p, rs, ts in mismatches[:4]
-        )
-        raise ValueError(
-            f"checkpoint at odds with the configured {what} model — param "
-            f"shapes differ ({detail}). Check that `arch`, `input_hw` and "
-            "`attention_faithful` match the values the checkpoint was "
-            "trained with (attention_faithful changes the encoder head "
-            "width, models/aec.py)."
-        )
+# (the restored-shape guard lives with the restore machinery in
+# train/checkpoint.py — imported above — so the serving tier reuses it)
 
 
 def load_aec_params(config, model) -> dict:

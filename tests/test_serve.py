@@ -250,3 +250,63 @@ def test_h5_geometry_predictor_from_checkpoint(tmp_path):
     out = pred(x[:3])
     assert out["q"].shape == (3, 3)
     assert np.isfinite(out["q"]).all()
+
+
+class TestServeArchVariants:
+    """Review r3.2: checkpoints trained with arch='packed' or
+    attention_faithful=False were unservable (shape-lenient restore +
+    opaque jit error); serving now exposes both knobs and fails loudly
+    on mismatch."""
+
+    def test_packed_aec_encoder_served(self, tmp_path):
+        x, _ = scc.data.synthetic_windows(16, n_classes=3, seed=2)
+        xn = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+        model = scc.models.PackedAEC()
+        params = model.init(jax.random.key(0), jnp.asarray(xn[:2]))["params"]
+        path = str(tmp_path / "PackedAEC_Params_Final")
+        save(path, params)
+        enc = serve.AECEncoder.from_checkpoint(
+            path, max_batch=16, arch="packed"
+        )
+        z = enc(x)
+        want = model.apply({"params": params}, jnp.asarray(xn),
+                           method="encode")
+        np.testing.assert_allclose(z, np.asarray(want), rtol=2e-4, atol=1e-6)
+
+    def test_unfaithful_attention_checkpoint_served(self, tmp_path):
+        x, _ = scc.data.synthetic_windows(16, n_classes=3, seed=3)
+        xn = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+        model = scc.models.DEC(n_clusters=3, attention_faithful=False)
+        params = model.init(jax.random.key(0), jnp.asarray(xn[:2]))["params"]
+        path = str(tmp_path / "DEC_Params_Final")
+        save(path, params)
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16, attention_faithful=False
+        )
+        out = pred(x)
+        q, _, z = model.apply({"params": params}, jnp.asarray(xn))
+        np.testing.assert_allclose(out["q"], np.asarray(q), rtol=2e-4,
+                                   atol=1e-6)
+
+    def test_arch_mismatch_fails_loudly(self, trained, tmp_path):
+        # disjoint tree structure: orbax itself raises (ValueError
+        # listing the mismatched modules) before the shape check runs
+        _, aec_path, _, _, _ = trained
+        with pytest.raises(ValueError):
+            serve.AECEncoder.from_checkpoint(
+                aec_path, max_batch=16, arch="packed"
+            )
+
+    def test_faithful_mismatch_fails_loudly(self, tmp_path):
+        # same tree structure, different head width: orbax restores
+        # leniently, so the explicit shape check must catch it
+        x, _ = scc.data.synthetic_windows(4, n_classes=2, seed=5)
+        xn = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+        model = scc.models.DEC(n_clusters=2, attention_faithful=False)
+        params = model.init(jax.random.key(0), jnp.asarray(xn))["params"]
+        path = str(tmp_path / "DEC_Params_Final")
+        save(path, params)
+        with pytest.raises(ValueError, match="at odds with the configured"):
+            serve.DECPredictor.from_checkpoint(
+                path, n_clusters=2, max_batch=4, attention_faithful=True
+            )

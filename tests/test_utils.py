@@ -25,13 +25,29 @@ class TestHistory:
         loaded = pd.read_csv(path, index_col=0)
         np.testing.assert_allclose(loaded["Training MSE"], [0.5, 0.25])
 
-    def test_save_labels_appends_with_single_header(self, tmp_path):
+    def test_save_labels_overwrites_on_rerun(self, tmp_path):
+        """Deliberate fix vs the reference's append mode (utils.py:
+        1199-1209): re-running predict into the same artifact dir must
+        not duplicate rows while labels_*.npy overwrite (review r3.2)."""
         rows = [{"idx": 0, "label": 2}, {"idx": 1, "label": 0}]
         fname = scc_utils.save_labels(rows, str(tmp_path))
-        scc_utils.save_labels([{"idx": 2, "label": 1}], str(tmp_path))
+        scc_utils.save_labels(rows, str(tmp_path))
         df = pd.read_csv(fname)
-        assert len(df) == 3
+        assert len(df) == 2
         assert list(df.columns) == ["idx", "label"]
+
+    def test_save_labels_array_form_matches_dict_form(self, tmp_path):
+        """The array fast path (no per-window dict spike at cube scale)
+        writes byte-compatible idx,label CSV."""
+        labels = np.array([2, 0, 1, 1], np.int64)
+        fname = scc_utils.save_labels(labels, str(tmp_path))
+        df = pd.read_csv(fname)
+        assert list(df.columns) == ["idx", "label"]
+        np.testing.assert_array_equal(df["idx"], np.arange(4))
+        np.testing.assert_array_equal(df["label"], labels)
+        # overwrite applies to the array form too
+        scc_utils.save_labels(labels[:2], str(tmp_path))
+        assert len(pd.read_csv(fname)) == 2
 
     def test_save_labels_serial_suffix(self, tmp_path):
         fname = scc_utils.save_labels(

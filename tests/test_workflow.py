@@ -938,3 +938,34 @@ def test_h5_stream_loadmode(h5_catalog):
     assert os.path.exists(
         os.path.join(run_dir, "Prediction", "Z_AEC.npy")
     )
+
+
+def test_gallery_traces_np_catalog_returns_none():
+    """h5_ftype='np' sources are .npy dumps with no /4.0/Trace — the
+    gallery must omit the waveform row instead of crashing predict after
+    the full forward pass (review r3.2)."""
+    from types import SimpleNamespace
+
+    from spectrogram_cube_clustering_tpu.workflow.predict import (
+        _gallery_traces,
+    )
+
+    cfg = SimpleNamespace(
+        datafiletype="h5", h5_ftype="np", fname_dataset="catalog.npy"
+    )
+    assert _gallery_traces(cfg) is None
+    cfg_zarr = SimpleNamespace(datafiletype="zarr", fname_dataset="c.zarr")
+    assert _gallery_traces(cfg_zarr) is None
+
+
+def test_predict_rejects_gmm_model(cube):
+    """mode='predict' with model='GMM' fails with a clear error instead
+    of feeding the (M, 9) latent array into the image pipeline (same
+    guard train() has — review r3.2)."""
+    root, cube_path, _ = cube
+    config = _make_config(
+        root, cube_path, "GMM", "predict",
+        {"saved_weights": str(root / "nope")},
+    )
+    with pytest.raises(ValueError, match="mode='predict'"):
+        workflow.predict(config)
