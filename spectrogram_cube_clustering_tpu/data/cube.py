@@ -167,9 +167,19 @@ def train_val_split(
     n_items: int, train_frac: float = 0.7, seed: int = 2009
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Seeded 70/30 item split (reference: random_split,
-    ZarrDataLoader.py:103-107)."""
+    ZarrDataLoader.py:103-107).
+
+    Refuses splits that leave either side empty: an empty train side
+    streams zero batches per epoch and the run "succeeds" with a
+    perfect-looking 0.0 loss while training on nothing."""
     perm = np.random.default_rng(seed).permutation(n_items)
     n_train = int(train_frac * n_items)
+    if n_train == 0 or n_train == n_items:
+        raise ValueError(
+            f"cannot split {n_items} items {train_frac:.0%}/"
+            f"{1 - train_frac:.0%}: one side would be empty — the dataset "
+            "is too small for a train/val split"
+        )
     return perm[:n_train], perm[n_train:]
 
 

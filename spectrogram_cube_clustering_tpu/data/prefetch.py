@@ -203,10 +203,11 @@ class PrefetchLoader:
                         parts.append(
                             np.zeros((hi - lo - rows, *wshape), dtype)
                         )
-                    local = (
-                        np.ascontiguousarray(np.concatenate(parts, axis=0))
-                        if parts
-                        else np.zeros((hi - lo, *wshape), dtype)
+                    # parts is never empty here: every process owns at
+                    # least one row (hi > lo), and rows < hi - lo just
+                    # appended the zero tail when segs was empty
+                    local = np.ascontiguousarray(
+                        np.concatenate(parts, axis=0)
                     )
                     n_valid = min(bsz, total - b * bsz)
                     yield local, n_valid

@@ -30,7 +30,6 @@ from spectrogram_cube_clustering_tpu.train.layout import BatchedData
 @dataclasses.dataclass
 class AECConfig:
     n_epochs: int = 20
-    lr: float = 1e-4
     early_stopping: bool = True
     patience: int = 10
     verbose: bool = False
@@ -277,10 +276,12 @@ def train_aec_stream(
                 finished = True
         if snapshot_path is not None and (
             (epoch + 1) % snapshot_every == 0 or finished
+            or epoch + 1 == config.n_epochs
         ):
             # a snapshot written AT the early stop carries done=True so
             # any later resume (this path or the scan/fused ones) doesn't
-            # train past the stopping point
+            # train past the stopping point; the final epoch always
+            # snapshots (fused-path parity)
             ckpt.save_snapshot(
                 snapshot_path, state,
                 {"epoch": epoch + 1, "history": history,
@@ -404,10 +405,13 @@ def train_aec(
 
         if snapshot_path is not None and (
             (epoch + 1) % snapshot_every == 0 or finished
+            or epoch + 1 == config.n_epochs
         ):
             # a snapshot written AT the early stop carries done=True so a
             # resume (this path or the fused/stream ones — interchangeable
-            # formats) doesn't train past the stopping point
+            # formats) doesn't train past the stopping point; the final
+            # epoch always snapshots (fused-path parity) so a post-run
+            # resume=True is a no-op instead of re-training the tail
             ckpt.save_snapshot(
                 snapshot_path, state,
                 {"epoch": epoch + 1, "history": history,

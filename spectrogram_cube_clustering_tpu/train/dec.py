@@ -41,7 +41,6 @@ from spectrogram_cube_clustering_tpu.train.layout import BatchedData
 class DECConfig:
     n_clusters: int = 5
     n_epochs: int = 400
-    lr: float = 1e-3
     gamma: float = 0.001
     tol: float = 0.003
     update_interval: int = -1       # -1 => 2 refreshes/epoch (models.py:986-989)

@@ -108,7 +108,16 @@ def fetch_global(tree):
 
     def gather(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            repl = NamedSharding(x.sharding.mesh, P())
+            mesh = getattr(x.sharding, "mesh", None)
+            if mesh is None:
+                # non-Named shardings (GSPMD/positional from library
+                # code) carry no mesh; gather across processes the
+                # portable way instead of AttributeError-ing at the
+                # host boundary the fetch exists to protect
+                from jax.experimental import multihost_utils
+
+                return multihost_utils.process_allgather(x, tiled=True)
+            repl = NamedSharding(mesh, P())
             # one cached jitted identity per target sharding: a fresh
             # jax.jit object per call would miss the jit cache (keyed on
             # function identity) and re-trace on every fetch — hundreds
@@ -148,7 +157,12 @@ def make_batched_data(
             f"{mesh.devices.size}-device mesh"
         )
     m = x.shape[0]
-    nb = max(-(-m // batch_size), 1)
+    if m == 0:
+        # fabricating one all-padding batch would report a silent 0.0
+        # loss (or NaN for mean-by-n_valid consumers) — fail loudly like
+        # prefetch._iter_process_local does for the same hazard
+        raise ValueError("make_batched_data got an empty sample array")
+    nb = -(-m // batch_size)
     pad = nb * batch_size - m
     if pad:
         x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)

@@ -415,7 +415,7 @@ def _train_stream(config, mesh=None):
                 model, state,
                 lambda: make_loader(list(idx_tra)),
                 _train.AECConfig(
-                    n_epochs=int(config.n_epochs), lr=lr,
+                    n_epochs=int(config.n_epochs),
                     early_stopping=bool(getattr(config, "early_stopping", True)),
                     patience=int(getattr(config, "patience", 10)),
                     verbose=bool(getattr(config, "show", False)),
@@ -465,7 +465,7 @@ def _train_stream(config, mesh=None):
                 model, state, make_loader, ds.n_windows,
                 _train.DECConfig(
                     n_clusters=n_clusters, n_epochs=int(config.n_epochs),
-                    lr=lr, gamma=float(hp.get("gamma", 0.001)),
+                    gamma=float(hp.get("gamma", 0.001)),
                     tol=float(hp.get("tol", 0.003)),
                     update_interval=int(getattr(config, "update_interval", -1)),
                     init=init_mode,
@@ -566,7 +566,6 @@ def _train_aec_run(config, hp, tra_x, val_x, mesh):
         model, state, tra, val,
         _train.AECConfig(
             n_epochs=int(config.n_epochs),
-            lr=lr,
             early_stopping=bool(getattr(config, "early_stopping", True)),
             patience=int(getattr(config, "patience", 10)),
             verbose=bool(getattr(config, "show", False)),
@@ -692,7 +691,6 @@ def _train_dec_run(config, hp, tra_x, mesh):
         _train.DECConfig(
             n_clusters=n_clusters,
             n_epochs=int(config.n_epochs),
-            lr=lr,
             gamma=gamma,
             tol=tol,
             update_interval=int(getattr(config, "update_interval", -1)),

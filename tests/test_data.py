@@ -292,3 +292,13 @@ class TestCubeDataset:
         assert sorted(np.concatenate([tra, val]).tolist()) == list(range(10))
         tra2, _ = train_val_split(10, train_frac=0.7, seed=2009)
         np.testing.assert_array_equal(tra, tra2)
+
+    def test_train_val_split_rejects_empty_side(self):
+        """1-item datasets produced an EMPTY train split that streamed
+        zero batches and 'trained' at a perfect 0.0 loss (review r3.2)."""
+        import pytest
+
+        with pytest.raises(ValueError, match="too small"):
+            train_val_split(1, train_frac=0.7)
+        with pytest.raises(ValueError, match="too small"):
+            train_val_split(3, train_frac=1.0)

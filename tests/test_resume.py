@@ -437,3 +437,26 @@ def test_dec_stream_resume(tmp_path, rng):
     )
     assert resumed["last_epoch"] == 4
     np.testing.assert_array_equal(resumed["labels"], full["labels"])
+
+
+def test_final_epoch_always_snapshots(tmp_path, setup):
+    """Both AEC paths snapshot at the final epoch even off the
+    snapshot_every grid (fused-path parity, review r3.2): a post-run
+    resume=True is then a no-op instead of re-training the tail."""
+    model, data, fresh_state = setup
+    cfg = scc.train.AECConfig(n_epochs=6, early_stopping=False)
+    path = str(tmp_path / "snap")
+    out = scc.train.train_aec(
+        model, fresh_state(), data, None, cfg,
+        snapshot_path=path, snapshot_every=4,
+    )
+    st = fresh_state()
+    _, meta, _ = ckpt.restore_snapshot(path, st, extra_template=st.params)
+    assert meta["epoch"] == 6
+    resumed = scc.train.train_aec(
+        model, fresh_state(), data, None, cfg,
+        snapshot_path=path, snapshot_every=4, resume=True,
+    )
+    np.testing.assert_allclose(
+        resumed["history"]["train"], out["history"]["train"]
+    )

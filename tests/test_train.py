@@ -32,6 +32,13 @@ class TestLayout:
         m = np.asarray(d.mask)
         assert m.sum() == 10 and m[2, 2:].sum() == 0
 
+    def test_empty_array_rejected(self):
+        """m=0 used to fabricate one all-padding batch that trained on
+        nothing and reported a silent 0.0 loss (review r3.2)."""
+        x = np.ones((0, 4, 101, 1), np.float32)
+        with pytest.raises(ValueError, match="empty"):
+            train.make_batched_data(x, batch_size=4)
+
     def test_mesh_divisibility_error(self):
         from spectrogram_cube_clustering_tpu.core import make_data_mesh
 
