@@ -11,11 +11,15 @@ on the from-scratch `analysis.sacio` backend (SAC reader, Trace/Stream
 ops, miniSEED writer) when obspy is absent, and response removal is
 native spectral division over the RESP's full stage chain — analog
 pole-zero (B053) AND digital FIR/IIR coefficient stages (B054/B061 with
-B057 decimation rates) — via `remove_response_native`. obspy, when
-installed, is preferred for IO (backend='auto') and remains the fallback
-only for polynomial (B062) responses, which spectral division cannot
-invert (the reference additionally shells out to an external `evalresp`
-binary, environment.py:434-441).
+B057 decimation rates) — via `remove_response_native`. Polynomial (B062)
+responses are ALSO handled natively, by direct MacLaurin evaluation of
+counts into physical units (`apply_polynomial_response`) — the IRIS
+convention for transducer channels, which neither evalresp spectral
+division nor obspy `remove_response`/`simulate` can perform at all.
+obspy, when installed, is preferred for IO (backend='auto') and remains
+the fallback only for malformed or multi-epoch RESP files (the reference
+additionally shells out to an external `evalresp` binary,
+environment.py:434-441).
 """
 
 from __future__ import annotations
@@ -170,9 +174,10 @@ def remove_response(
     The reference invokes an external `evalresp` executable and hand-rolls
     the deconvolution (environment.py:262-521, after Zhao Chen); here the
     RESP's stage chain (analog pole-zero + digital FIR/IIR) is evaluated
-    and divided out natively (`remove_response_native`), with obspy
-    `simulate(seedresp=...)` as the fallback for responses the native
-    path cannot invert (polynomial B062, malformed files).
+    and divided out natively, and polynomial (B062) responses convert by
+    direct MacLaurin evaluation (`remove_response_native`), with obspy
+    `simulate(seedresp=...)` as the fallback for malformed or multi-epoch
+    files.
     """
     try:
         trace.data = remove_response_native(
@@ -391,22 +396,26 @@ def parse_resp_stages(resp_path: str) -> dict:
 
     Covers analog pole-zero stages (blockette 053), digital coefficient
     stages (054: FIR numerators + optional IIR denominators), FIR stages
-    (061, with SEED symmetry codes A/B/C), and per-stage decimation info
+    (061, with SEED symmetry codes A/B/C), per-stage decimation info
     (057: input sample rate + applied delay correction) — everything the
     reference delegates to the external `evalresp` binary
-    (environment.py:413-455). Polynomial responses (blockette 062) are
-    not invertible by spectral division and raise ValueError (callers
-    fall back to obspy).
+    (environment.py:413-455) — and polynomial responses (blockette 062:
+    approximation type + MacLaurin coefficients), which evalresp cannot
+    express as a transfer function at all.
 
     Returns ``{"paz_stages": [...], "digital_stages": [...],
-    "sensitivity": float, "input_units": str}`` where each digital stage
-    carries its numerator/denominator coefficients, symmetry code,
-    stage input sample rate, and applied delay correction.
+    "poly_stages": [...], "sensitivity": float, "input_units": str}``
+    where each digital stage carries its numerator/denominator
+    coefficients, symmetry code, stage input sample rate, and applied
+    delay correction, and each polynomial stage its approximation code
+    and index-ordered coefficient list.
     """
     paz_stages = []
     digital_stages = []
+    poly_stages = []
     current = None      # open B053 stage dict
     dcurrent = None     # open B054/B061 stage dict
+    pcurrent = None     # open B062 stage dict
     dstage_by_seq = {}
     seen_seq = set()    # (blockette-family, stage-sequence) pairs
     sensitivity = None
@@ -512,25 +521,56 @@ def parse_resp_stages(resp_path: str) -> dict:
             elif tag == "B058F04" and "sensitivity:" in raw.lower():
                 sensitivity = float(line[-1])
             elif tag.startswith("B062"):
-                raise ValueError(
-                    f"{resp_path} carries a polynomial (B062) response, "
-                    "which spectral division cannot invert"
-                )
+                # rdseed versions disagree on B062 field numbers (the
+                # approximation type is F07 in some writers, F08 in
+                # others), so dispatch on the label text; coefficient
+                # rows are the only range-tagged (FNN-MM) B062 lines
+                low = raw.lower()
+                if "transfer function type" in low:
+                    pcurrent = {
+                        "approximation": None, "coefficients": {},
+                        "input_units": None,
+                    }
+                    poly_stages.append(pcurrent)
+                elif "stage sequence" in low and pcurrent is not None:
+                    _epoch_guard("B062", line[-1])
+                elif "response in units" in low and pcurrent is not None:
+                    pcurrent["input_units"] = _units_from(raw)
+                elif "approximation type" in low and pcurrent is not None:
+                    pcurrent["approximation"] = _units_from(raw)
+                elif (
+                    pcurrent is not None and "-" in tag and len(line) >= 3
+                ):
+                    pcurrent["coefficients"][int(line[1])] = float(line[2])
     # stages that never accumulated coefficients (a lone B057 opening a
     # synthetic entry) are decimation-only: drop them
     digital_stages = [d for d in digital_stages if d["numerator"]]
-    if not paz_stages and not digital_stages:
+    poly_stages = [p for p in poly_stages if p["coefficients"]]
+    for p in poly_stages:
+        idx = sorted(p["coefficients"])
+        if idx != list(range(len(idx))):
+            raise ValueError(
+                f"{resp_path}: polynomial (B062) coefficient indices "
+                f"{idx} are not contiguous from 0 — corrupt blockette"
+            )
+        p["coefficients"] = [p["coefficients"][i] for i in idx]
+    if not paz_stages and not digital_stages and not poly_stages:
         raise ValueError(
-            f"no invertible (B053/B054/B061) stages in {resp_path}"
+            f"no invertible (B053/B054/B061/B062) stages in {resp_path}"
         )
-    if sensitivity is None:
+    if sensitivity is None and not poly_stages:
+        # polynomial RESPs map counts to physical units inside the
+        # coefficients themselves; a B058 sensitivity is neither needed
+        # nor applied for them
         raise ValueError(f"no overall sensitivity (B058F04) in {resp_path}")
     units = next(
-        (s["input_units"] for s in paz_stages + digital_stages
+        (s["input_units"]
+         for s in paz_stages + digital_stages + poly_stages
          if s["input_units"]),
         None,
     )
     return {"paz_stages": paz_stages, "digital_stages": digital_stages,
+            "poly_stages": poly_stages,
             "sensitivity": sensitivity, "input_units": units}
 
 
@@ -616,6 +656,12 @@ def evaluate_response(resp_path, freqs, units: str = "DISP"):
         resp_path if isinstance(resp_path, dict)
         else parse_resp_stages(resp_path)
     )
+    if paz.get("poly_stages"):
+        raise ValueError(
+            "polynomial (B062) stages have no frequency-domain transfer "
+            "function; apply them sample-wise via "
+            "apply_polynomial_response / remove_response_native"
+        )
     freqs = np.asarray(freqs, np.float64)
     h = np.full(freqs.shape, paz["sensitivity"], np.complex128)
     for stage in paz["paz_stages"]:
@@ -694,6 +740,36 @@ def _invert_water_level(h, water_level_db: float):
     return 1.0 / out
 
 
+def apply_polynomial_response(data, stage: dict):
+    """Convert raw counts to physical units through a SEED polynomial
+    (blockette 062) response: physical = sum_i c_i * counts**i, evaluated
+    by Horner.
+
+    This is the IRIS convention for transducer channels (pressure,
+    temperature, wind, ...): unlike seismometer responses there is no
+    transfer function to divide out — the MacLaurin polynomial IS the
+    counts-to-units map, applied sample-wise in the time domain. Neither
+    the reference's external `evalresp` binary (environment.py:434-441)
+    nor obspy `remove_response`/`simulate` can handle these at all, so
+    the native path is the only one. No demeaning, tapering, or water
+    level applies: the conversion is exact per sample, and demeaning
+    would destroy the absolute calibration (e.g. a temperature offset).
+    """
+    import numpy as np
+
+    approx = (stage.get("approximation") or "M").upper()
+    if approx != "M":
+        raise ValueError(
+            f"unsupported polynomial approximation type {approx!r} "
+            "(only MacLaurin 'M' is defined for B062 conversion)"
+        )
+    x = np.asarray(data, np.float64)
+    acc = np.zeros_like(x)
+    for c in stage["coefficients"][::-1]:
+        acc = acc * x + c
+    return acc
+
+
 def remove_response_native(
     data,
     sampling_rate: float,
@@ -703,17 +779,40 @@ def remove_response_native(
     pre_filt: Optional[tuple] = None,
     taper_fraction: float = 0.05,
 ):
-    """Frequency-domain instrument-response removal, pure numpy.
+    """Instrument-response removal, pure numpy.
 
-    demean -> cosine taper -> rfft (zero-padded to 2x) -> optional
-    pre_filt cosine bandpass -> water-level regularized division by the
-    RESP's full stage-chain response (analog pole-zero + digital FIR/IIR)
-    -> irfft, trimmed to the input length.
-    Mirrors the evalresp + spectral-division pipeline of the reference
-    (environment.py:385-521) and obspy simulate's conventions, without
-    either dependency. Returns float64 ground motion in `units`.
+    Pole-zero / coefficient RESPs: demean -> cosine taper -> rfft
+    (zero-padded to 2x) -> optional pre_filt cosine bandpass ->
+    water-level regularized division by the RESP's full stage-chain
+    response (analog pole-zero + digital FIR/IIR) -> irfft, trimmed to
+    the input length. Mirrors the evalresp + spectral-division pipeline
+    of the reference (environment.py:385-521) and obspy simulate's
+    conventions, without either dependency. Returns float64 ground
+    motion in `units`.
+
+    Polynomial (B062) RESPs instead convert counts to physical units by
+    direct MacLaurin evaluation (`apply_polynomial_response`); `units` /
+    `water_level` / `pre_filt` / `taper_fraction` do not apply there.
     """
     import numpy as np
+
+    parsed = (
+        resp_path if isinstance(resp_path, dict)
+        else parse_resp_stages(resp_path)
+    )
+    if parsed.get("poly_stages"):
+        if parsed["paz_stages"] or parsed["digital_stages"]:
+            raise ValueError(
+                "RESP mixes a polynomial (B062) stage with pole-zero/"
+                "coefficient stages; neither spectral division nor "
+                "sample-wise polynomial conversion is sound for a hybrid"
+            )
+        if len(parsed["poly_stages"]) > 1:
+            raise ValueError(
+                "RESP carries multiple polynomial (B062) stages; SEED "
+                "defines one total-channel polynomial per epoch"
+            )
+        return apply_polynomial_response(data, parsed["poly_stages"][0])
 
     x = np.asarray(data, np.float64)
     n = x.shape[-1]
@@ -730,7 +829,7 @@ def remove_response_native(
     freqs = np.fft.rfftfreq(nfft, 1.0 / sampling_rate)
     if pre_filt is not None:
         spec = spec * cosine_sac_taper(freqs, pre_filt)
-    h = evaluate_response(resp_path, freqs, units=units)
+    h = evaluate_response(parsed, freqs, units=units)
     spec = spec * _invert_water_level(h, water_level)
     return np.fft.irfft(spec, nfft)[..., :n]
 
@@ -741,11 +840,11 @@ def remove_trace(
 ) -> None:
     """Deconvolve one trace's instrument response in place (reference
     remove_trace, environment.py:458-490): optional taper sized as
-    2*half_width / trace duration. Prefers the native full-stage-chain
-    spectral division (`remove_response_native` — no obspy/evalresp
-    needed); responses the native path cannot invert (polynomial B062,
-    malformed files) fall back to obspy simulate with the RESP
-    seedresp."""
+    2*half_width / trace duration. Prefers the native path — full
+    stage-chain spectral division for pole-zero/coefficient RESPs,
+    sample-wise MacLaurin conversion for polynomial (B062) RESPs — with
+    no obspy/evalresp needed; malformed or multi-epoch files fall back
+    to obspy simulate with the RESP seedresp."""
     if taper_half_width:
         duration = tr.stats.endtime - tr.stats.starttime
         if hasattr(duration, "total_seconds"):
@@ -765,8 +864,8 @@ def remove_trace(
             )
             return
         except (ValueError, AttributeError):
-            # uninvertible RESP (polynomial B062, no stages, multiple
-            # epochs) or a trace object without data/stats arrays ->
+            # unusable RESP (no stages, multiple epochs, hybrid
+            # poly+paz) or a trace object without data/stats arrays ->
             # obspy's evalresp bindings
             pass
     seedresp = {"filename": resp_path, "units": units[0:3].upper()}

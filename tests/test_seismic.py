@@ -742,14 +742,14 @@ class TestDigitalStages:
         err = np.abs(rec[core] - want[core]).max()
         assert err < 5e-3, f"roundtrip error {err:.2e}"
 
-    def test_polynomial_resp_rejected(self, tmp_path):
-        p = tmp_path / "RESP.poly"
-        p.write_text(
-            RESP_TEXT
-            + "B062F03     Polynomial approximation type:         M\n"
-        )
-        with pytest.raises(ValueError, match="polynomial"):
-            seismic.parse_resp_stages(str(p))
+    def test_hybrid_poly_paz_rejected(self, tmp_path):
+        """A RESP mixing a polynomial (B062) stage with pole-zero stages
+        is invertible by NEITHER spectral division nor sample-wise
+        polynomial conversion -> loud ValueError (obspy fallback)."""
+        p = tmp_path / "RESP.hybrid"
+        p.write_text(RESP_PAZ_TEXT + POLY_BLOCKETTE)
+        with pytest.raises(ValueError, match="hybrid"):
+            seismic.remove_response_native(np.ones(32), 10.0, str(p))
 
     def test_digital_stage_requires_rate(self, tmp_path):
         """A coefficient stage without a B057 input sample rate cannot be
@@ -870,3 +870,105 @@ def p_write(path, text):
     with open(q, "w") as fh:
         fh.write(text)
     return q
+
+
+# ---------------------------------------------------------------------------
+# polynomial (B062) responses: sample-wise MacLaurin conversion — the one
+# response family neither evalresp spectral division (reference
+# environment.py:434-441) nor obspy remove_response/simulate can handle
+
+POLY_BLOCKETTE = """\
+B062F03     Transfer function type:                P [Polynomial]
+B062F04     Stage sequence number:                 1
+B062F05     Response in units lookup:              C - Temperature in Degrees Celsius
+B062F06     Response out units lookup:             COUNTS - Digital Counts
+B062F07     Polynomial Approximation Type:         M [MacLaurin]
+B062F08     Valid Frequency Units:                 B [Hz]
+B062F09     Lower Valid Frequency Bound:           0.000000E+00
+B062F10     Upper Valid Frequency Bound:           1.000000E+01
+B062F14     Number of coefficients:                3
+B062F15-16     0  +2.00000E+00  +0.00000E+00
+B062F15-16     1  +5.00000E-01  +0.00000E+00
+B062F15-16     2  +1.00000E-03  +0.00000E+00
+"""
+
+POLY_RESP_TEXT = """\
+B050F03     Station:     KPTM
+B050F16     Network:     KP
+B052F03     Location:    ??
+B052F04     Channel:     LKO
+B052F22     Start date:  2014,001,00:00:00
+B052F23     End date:    2016,366,23:59:59
+""" + POLY_BLOCKETTE
+
+
+class TestPolynomialResponse:
+    @pytest.fixture
+    def resp_poly(self, tmp_path):
+        p = tmp_path / "RESP.KP.KPTM..LKO"
+        p.write_text(POLY_RESP_TEXT)
+        return str(p)
+
+    def test_parse_polynomial_stage(self, resp_poly):
+        parsed = seismic.parse_resp_stages(resp_poly)
+        assert parsed["paz_stages"] == []
+        assert parsed["digital_stages"] == []
+        [stage] = parsed["poly_stages"]
+        assert stage["approximation"] == "M"
+        assert stage["input_units"] == "C"
+        assert stage["coefficients"] == pytest.approx([2.0, 0.5, 1e-3])
+        # polynomial RESPs need no B058 sensitivity: the coefficients
+        # already map counts to physical units
+        assert parsed["sensitivity"] is None
+
+    def test_conversion_is_exact_maclaurin(self, resp_poly):
+        counts = np.asarray([-100.0, 0.0, 1.0, 50.0, 1000.0])
+        got = seismic.remove_response_native(counts, 1.0, resp_poly)
+        want = 2.0 + 0.5 * counts + 1e-3 * counts**2
+        # Horner vs naive power-sum order differ only in the last ulp
+        np.testing.assert_allclose(got, want, rtol=1e-14)
+
+    def test_remove_trace_native_polynomial(self, resp_poly):
+        """remove_trace handles B062 natively — it must NOT fall back to
+        obspy, whose evalresp bindings cannot process polynomials."""
+
+        class Tr:
+            data = np.arange(16.0)
+            stats = FakeStats(sampling_rate=1.0)
+
+            def __init__(self):
+                self.simulated = []
+
+            def simulate(self, **kw):
+                self.simulated.append(kw)
+
+        tr = Tr()
+        seismic.remove_trace(tr, resp_poly)
+        assert tr.simulated == []
+        np.testing.assert_allclose(
+            tr.data, 2.0 + 0.5 * np.arange(16.0) + 1e-3 * np.arange(16.0) ** 2
+        )
+
+    def test_evaluate_response_rejects_polynomial(self, resp_poly):
+        with pytest.raises(ValueError, match="frequency-domain"):
+            seismic.evaluate_response(resp_poly, np.asarray([1.0]))
+
+    def test_non_maclaurin_rejected(self, tmp_path):
+        p = tmp_path / "RESP.polyA"
+        p.write_text(POLY_RESP_TEXT.replace("M [MacLaurin]", "A [Other]"))
+        with pytest.raises(ValueError, match="approximation"):
+            seismic.remove_response_native(np.ones(8), 1.0, str(p))
+
+    def test_multi_epoch_polynomial_rejected(self, tmp_path):
+        p = tmp_path / "RESP.polytwice"
+        p.write_text(POLY_RESP_TEXT + POLY_BLOCKETTE)
+        with pytest.raises(ValueError, match="multiple response epochs"):
+            seismic.parse_resp_stages(str(p))
+
+    def test_gapped_coefficients_rejected(self, tmp_path):
+        p = tmp_path / "RESP.polygap"
+        p.write_text(POLY_RESP_TEXT.replace(
+            "B062F15-16     1  +5.00000E-01  +0.00000E+00\n", ""
+        ))
+        with pytest.raises(ValueError, match="contiguous"):
+            seismic.parse_resp_stages(str(p))
