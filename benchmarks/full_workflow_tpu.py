@@ -14,7 +14,11 @@ driven through the installed CLI surface (`cli.run_dc`), scoring the
 final labels against the cube's planted classes (NMI). Chunk geometry is
 the reference's 5758-row chunking.
 
-    python benchmarks/full_workflow_tpu.py [workdir]
+    python benchmarks/full_workflow_tpu.py [workdir] [--arch packed]
+
+--arch packed runs the same 5 stages on the MXU-packed AEC/DEC variants
+(models/packed.py, 1.42x the parity model's train throughput) to pin
+end-to-end NMI parity for the fast path, not just its unit tests.
 """
 
 import glob
@@ -81,12 +85,14 @@ def ini_for(workdir, cube_path, model, mode, extra_p, hp):
     return scc_utils.config_training(universal, params, hp)
 
 
-def main(workdir=None):
+def main(workdir=None, arch=None):
     workdir = workdir or tempfile.mkdtemp(prefix="full_workflow_")
     cube_path = os.path.join(workdir, "Cube_chunked_5758.zarr")
     t_all = time.perf_counter()
     truth = build_blosc_cube(cube_path)
-    print(f"blosc cube: {len(truth)} windows at {cube_path}", flush=True)
+    print(f"blosc cube: {len(truth)} windows at {cube_path}"
+          + (f" (arch={arch})" if arch else ""), flush=True)
+    arch_p = {"arch": arch} if arch else {}
 
     def stage(name, ini):
         t0 = time.perf_counter()
@@ -97,7 +103,7 @@ def main(workdir=None):
     # 1) AEC pretrain
     c = stage("AEC train", ini_for(
         workdir, cube_path, "AEC", "train",
-        {"n_epochs": 5, "early_stopping": "False"},
+        {"n_epochs": 5, "early_stopping": "False", **arch_p},
         {"batch_size": "512", "lr": "0.001"},
     ))
     [aec_run] = glob.glob(os.path.join(c.savepath_exp, "Run_*"))
@@ -105,7 +111,7 @@ def main(workdir=None):
 
     # 2) AEC predict -> Z_AEC.npy
     stage("AEC predict", ini_for(
-        workdir, cube_path, "AEC", "predict", {"saved_weights": aec_w},
+        workdir, cube_path, "AEC", "predict", {"saved_weights": aec_w, **arch_p},
         {"batch_size": "512", "lr": "0.001"},
     ))
 
@@ -119,7 +125,8 @@ def main(workdir=None):
     # 4) DEC refinement, initialized from the GMM artifacts (init=load)
     c = stage("DEC train", ini_for(
         workdir, cube_path, "DEC", "train",
-        {"n_epochs": 20, "saved_weights": aec_w, "init": "load"},
+        {"n_epochs": 20, "saved_weights": aec_w, "init": "load",
+         **arch_p},
         {"batch_size": "512", "lr": "0.001", "n_clusters": "5",
          "gamma": "0.001", "tol": "0.003"},
     ))
@@ -129,7 +136,7 @@ def main(workdir=None):
     # 5) DEC prediction + full artifact/figure tree
     c = stage("DEC predict", ini_for(
         workdir, cube_path, "DEC", "predict",
-        {"saved_weights": dec_w, "tsne_backend": "jax"},
+        {"saved_weights": dec_w, "tsne_backend": "jax", **arch_p},
         {"batch_size": "512", "lr": "0.001"},
     ))
     pred = c.savepath_exp
@@ -149,4 +156,10 @@ def main(workdir=None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else None)
+    argv = sys.argv[1:]
+    arch = None
+    if "--arch" in argv:
+        i = argv.index("--arch")
+        arch = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    main(argv[0] if argv else None, arch=arch)
