@@ -345,11 +345,14 @@ def _measure_set(args):
             "stream_train_samples_per_sec",
             # streaming reps dispatch per batch through the tunnel; short
             # (~2.5 s) reps let a single multi-second tunnel stall tank
-            # one rep (observed 103% spread in r3) — longer quick reps
-            # amortize stalls into the rate they actually cost
+            # one rep (observed 103% spread in r3, and 68% at full size
+            # with only 3 epochs/rep) — 8 epochs/rep at a bounded sample
+            # count amortizes stalls into the rate they actually cost,
+            # in BOTH modes, so the driver-visible number is stable
+            # enough to show real regressions
             lambda: measure_stream_throughput(
-                args.samples, args.batch,
-                epochs=8 if args.quick else 3, reps=args.reps,
+                min(args.samples, 65536), args.batch,
+                epochs=8, reps=args.reps,
             ),
         ),
     }

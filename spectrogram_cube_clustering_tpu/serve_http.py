@@ -268,7 +268,12 @@ class ServingServer(ThreadingHTTPServer):
         return meta
 
     def server_close(self) -> None:
-        self.batcher.close()
+        # getattr: reachable from __init__'s except path BEFORE
+        # self.batcher exists — an AttributeError here would mask the
+        # original failure and leak the bound socket
+        batcher = getattr(self, "batcher", None)
+        if batcher is not None:
+            batcher.close()
         super().server_close()
 
 

@@ -482,3 +482,22 @@ def test_scc_serve_main(tmp_path, predictor):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_batcher_failure_releases_socket(predictor, monkeypatch):
+    """If the MicroBatcher constructor fails, ServingServer must re-raise
+    the ORIGINAL error (not an AttributeError from server_close touching
+    the never-assigned self.batcher) and release the bound socket."""
+    pred, _ = predictor
+
+    def boom(*a, **k):
+        raise RuntimeError("batcher init failed")
+
+    monkeypatch.setattr(serve_http, "MicroBatcher", boom)
+    with pytest.raises(RuntimeError, match="batcher init failed"):
+        serve_http.make_server(pred, host="127.0.0.1", port=8479)
+    monkeypatch.undo()
+
+    # the port must be immediately rebindable: the socket was closed
+    srv = serve_http.make_server(pred, host="127.0.0.1", port=8479)
+    srv.server_close()
