@@ -448,6 +448,9 @@ def main(argv=None) -> int:
                     choices=["bfloat16", "float16"])
     ap.add_argument("--max-wait-ms", type=float, default=2.0,
                     help="micro-batching window (0 disables coalescing)")
+    ap.add_argument("--max-request-mb", type=float, default=256.0,
+                    help="reject request bodies above this size (413); "
+                    "clients should chunk windows instead")
     ap.add_argument("--mesh", action="store_true",
                     help="serve data-parallel over ALL local devices "
                     "(params replicate, request batches shard)")
@@ -497,7 +500,7 @@ def main(argv=None) -> int:
 
     server = make_server(
         predictor, host=args.host, port=args.port,
-        max_wait_ms=args.max_wait_ms,
+        max_wait_ms=args.max_wait_ms, max_request_mb=args.max_request_mb,
     )
     host, port = server.server_address[:2]
     mesh_note = f", mesh x{mesh.size}" if mesh is not None else ""
