@@ -229,11 +229,14 @@ def measure_stft_throughput(
 
 
 def measure_stream_throughput(
-    n_samples: int, batch_size: int, epochs: int = 3, reps: int = 1
+    n_samples: int, batch_size: int, epochs: int = 3, reps: int = 1,
+    transfer_dtype=None,
 ):
     """Streaming AEC training throughput (samples/sec): PrefetchLoader
     host IO overlapping the per-batch jitted step — the larger-than-HBM
-    tier (train/aec.py::train_aec_stream's hot path)."""
+    tier (train/aec.py::train_aec_stream's hot path). `transfer_dtype`
+    measures the half-width wire-cast variant
+    (config `stream_transfer_dtype`)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -251,6 +254,7 @@ def measure_stream_throughput(
         return scc.data.PrefetchLoader(
             lambda i: x[i * item : (i + 1) * item], n_items=n_items,
             batch_size=batch_size, num_workers=4,
+            transfer_dtype=transfer_dtype,
         )
 
     model = scc.models.AEC()
@@ -269,10 +273,17 @@ def measure_stream_throughput(
     state, loss = one_epoch(state)  # compile + warmup
     rates = []
     for _ in range(reps):
-        t0 = time.perf_counter()
+        # per-epoch rates, median within the rep: a multi-second tunnel
+        # stall (the dominant noise source here — each 4096-window batch
+        # ships ~6.6 MB host->device over an erratic remote link) lands
+        # in ONE epoch instead of poisoning the whole rep, so the
+        # reported number tracks steady-state streaming throughput
+        epoch_rates = []
         for _ in range(epochs):
+            t0 = time.perf_counter()
             state, loss = one_epoch(state)
-        rates.append(streamed * epochs / (time.perf_counter() - t0))
+            epoch_rates.append(streamed / (time.perf_counter() - t0))
+        rates.append(float(np.median(epoch_rates)))
     med, spread = _rep_stats(rates)
     return med, float(loss), spread
 
@@ -355,6 +366,16 @@ def _measure_set(args):
                 epochs=8, reps=args.reps,
             ),
         ),
+        "stream_bf16": (
+            "stream_bf16_train_samples_per_sec",
+            # half-width wire casts (stream_transfer_dtype=bfloat16):
+            # the streaming tier is transfer-bound, so this is the
+            # shipped fast path for bandwidth-limited links
+            lambda: measure_stream_throughput(
+                min(args.samples, 65536), args.batch,
+                epochs=8, reps=args.reps, transfer_dtype="bfloat16",
+            ),
+        ),
     }
 
 
@@ -372,7 +393,7 @@ def main():
         "--metric",
         choices=[
             "all", "aec", "aec_packed", "dec", "dec_packed", "stft",
-            "stft_pallas", "stream",
+            "stft_pallas", "stream", "stream_bf16",
         ],
         default="all",
         help="all: the full headline table in one JSON line (driver "

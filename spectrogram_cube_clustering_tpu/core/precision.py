@@ -50,3 +50,29 @@ PARITY64 = Precision(
     stat_dtype=jnp.float64,
     matmul_precision="highest",
 )
+
+
+def wire_dtype(transfer_dtype):
+    """Numpy dtype host arrays are cast to before a host->device copy,
+    or None for full-width f32.
+
+    Half-width transfer doubles throughput on wire-bound paths (serving
+    requests and the streaming larger-than-HBM tier both measure as
+    transfer-bound on bandwidth-limited links, RESULTS.md). Consumers
+    cast back to f32 on device, so the only effect is input
+    quantization: ~3 significant digits for bfloat16 (keeps f32's
+    range), ~4 for float16 (range-limited to ±65k)."""
+    if transfer_dtype is None:
+        return None
+    import numpy as np
+
+    if transfer_dtype == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    if transfer_dtype == "float16":
+        return np.dtype(np.float16)
+    raise ValueError(
+        f"transfer_dtype must be None, 'bfloat16' or 'float16', "
+        f"got {transfer_dtype!r}"
+    )

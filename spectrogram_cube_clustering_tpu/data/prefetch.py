@@ -48,6 +48,15 @@ class PrefetchLoader:
     needs — IO divides ~1/n_processes across the pod; without it, hosts
     read everything and slice at transfer time
     (train.layout.put_process_local).
+
+    `transfer_dtype` ('bfloat16' | 'float16') casts each assembled host
+    batch to half width before the host->device copy — the streaming
+    tier is transfer-bound on bandwidth-limited links, so halving the
+    wire bytes buys throughput directly (same knob and rationale as
+    serve.py's transfer_dtype). Consumers restore f32 on device inside
+    their jitted steps (train.aec.make_step_fns / train.dec.
+    make_stream_fns do this automatically), so the only effect is input
+    quantization of the raw windows.
     """
 
     def __init__(
@@ -61,7 +70,10 @@ class PrefetchLoader:
         indices: Optional[Sequence[int]] = None,
         item_windows=None,
         item_meta: Optional[tuple] = None,
+        transfer_dtype: Optional[str] = None,
     ):
+        from spectrogram_cube_clustering_tpu.core.precision import wire_dtype
+
         self.item_fn = item_fn
         self.indices = list(indices) if indices is not None else list(range(n_items))
         self.batch_size = batch_size
@@ -69,6 +81,7 @@ class PrefetchLoader:
         self.queue_depth = queue_depth
         self.sharding = sharding
         self.item_windows = item_windows
+        self._wire = wire_dtype(transfer_dtype)
         # (window_shape, dtype) when known up front — spares the
         # process-local path its read-item-0 shape probe
         if item_meta is not None:
@@ -214,6 +227,8 @@ class PrefetchLoader:
 
         pending = None
         for local, n_valid in local_batches():
+            if self._wire is not None:
+                local = local.astype(self._wire)
             dev = jax.make_array_from_process_local_data(
                 self.sharding, local, (bsz, *wshape)
             )
@@ -279,6 +294,8 @@ class PrefetchLoader:
 
             pending = None
             for host_batch, n_valid in batches_host():
+                if self._wire is not None:
+                    host_batch = host_batch.astype(self._wire)
                 if self.sharding is not None:
                     dev = put_process_local(host_batch, self.sharding, axis=0)
                 else:
@@ -298,6 +315,7 @@ def zarr_prefetch_loader(
     num_workers: int = 4,
     sharding=None,
     indices=None,
+    transfer_dtype=None,
 ) -> PrefetchLoader:
     """PrefetchLoader over a data.cube.ZarrCubeDataset."""
     return PrefetchLoader(
@@ -310,4 +328,5 @@ def zarr_prefetch_loader(
         # fixed windows per item -> multi-host runs divide IO per process
         item_windows=dataset.windows_per_item,
         item_meta=(dataset.window_shape, np.float32),
+        transfer_dtype=transfer_dtype,
     )

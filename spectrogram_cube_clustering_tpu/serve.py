@@ -33,28 +33,17 @@ from spectrogram_cube_clustering_tpu.ops.normalize import make_normalizer
 
 
 def _host_transfer_dtype(transfer_dtype: Optional[str]):
-    """Numpy dtype requests are cast to before the host->device copy.
+    """Numpy dtype requests are cast to before the host->device copy
+    (shared policy: core.precision.wire_dtype — the streaming loader
+    offers the same knob). Serving is transfer-bound on
+    bandwidth-limited links (measured: the sustained 4096-window rate
+    here tracks the wire, RESULTS.md "Serving latency"); half-width
+    transfer doubles it. The jitted path casts back to f32 before
+    normalization, so the only effect is input quantization — well
+    inside the noise floor for per-window-normalized spectrograms."""
+    from spectrogram_cube_clustering_tpu.core.precision import wire_dtype
 
-    Serving is transfer-bound on bandwidth-limited links (measured: the
-    sustained 4096-window rate here tracks the wire, RESULTS.md
-    "Serving latency"); half-width transfer doubles it. The jitted path
-    casts back to f32 before normalization, so the only effect is input
-    quantization: ~3 significant digits for bfloat16 (keeps f32's range),
-    ~4 for float16 (range-limited to ±65k). Raw spectrogram magnitudes
-    are normalized per window downstream, so this is well inside the
-    noise floor of the pipeline."""
-    if transfer_dtype is None:
-        return None
-    if transfer_dtype == "bfloat16":
-        import ml_dtypes
-
-        return np.dtype(ml_dtypes.bfloat16)
-    if transfer_dtype == "float16":
-        return np.dtype(np.float16)
-    raise ValueError(
-        f"transfer_dtype must be None, 'bfloat16' or 'float16', "
-        f"got {transfer_dtype!r}"
-    )
+    return wire_dtype(transfer_dtype)
 
 
 def _pad_to(x: np.ndarray, batch: int) -> tuple:

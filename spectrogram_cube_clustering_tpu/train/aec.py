@@ -179,6 +179,10 @@ def make_step_fns(model):
     batch fed by data.prefetch.PrefetchLoader."""
 
     def loss_fn(params, x, n_valid):
+        # restore full width on device when the loader shipped half-width
+        # wire batches (PrefetchLoader transfer_dtype) — free inside the
+        # jitted step, and keeps model/loss compute in f32
+        x = x.astype(jnp.float32)
         out = model.apply({"params": params}, x)
         per = _masked_mse_per_sample(out[0], x)
         mask = (jnp.arange(x.shape[0]) < n_valid).astype(x.dtype)

@@ -281,6 +281,9 @@ def make_stream_fns(model, gamma: float):
 
     @jax.jit
     def train_step(state, x, p, n_valid):
+        # restore full width on device when the loader shipped half-width
+        # wire batches (PrefetchLoader transfer_dtype)
+        x = x.astype(jnp.float32)
         mask = (jnp.arange(x.shape[0]) < n_valid).astype(x.dtype)
 
         def lf(params):
@@ -294,7 +297,7 @@ def make_stream_fns(model, gamma: float):
 
     @jax.jit
     def eval_step(params, x):
-        q, _, z = model.apply({"params": params}, x)
+        q, _, z = model.apply({"params": params}, x.astype(jnp.float32))
         return jnp.round(q, 5), z
 
     return train_step, eval_step

@@ -210,6 +210,11 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
             sharding=sharding,
             item_windows=ds.windows_per_item,
             item_meta=(ds.window_shape, np.float32),
+            # half-width wire casts for transfer-bound links; `step`
+            # below restores f32 on device
+            transfer_dtype=getattr(
+                config, "stream_transfer_dtype", None
+            ) or None,
         )
 
     model = make_model(config)
@@ -218,11 +223,13 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
     if config.model == "DEC":
         @jax.jit
         def step(x):
+            x = x.astype(jnp.float32)  # restore half-width wire batches
             q, xr, z = model.apply({"params": params}, x)
             return jnp.round(q, 5), xr, z
     else:
         @jax.jit
         def step(x):
+            x = x.astype(jnp.float32)  # restore half-width wire batches
             xr, z = model.apply({"params": params}, x)
             d = xr - x
             per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))

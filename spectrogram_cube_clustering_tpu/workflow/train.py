@@ -399,6 +399,11 @@ def _train_stream(config, mesh=None):
                 indices=indices,
                 item_windows=ds.windows_per_item,
                 item_meta=(ds.window_shape, np.float32),
+                # half-width wire casts for transfer-bound links; the
+                # jitted steps restore f32 on device
+                transfer_dtype=getattr(
+                    config, "stream_transfer_dtype", None
+                ) or None,
             )
 
         if config.model == "AEC":

@@ -196,3 +196,95 @@ def test_abandoned_iteration_does_not_wedge_reader():
     while new_threads() and time.time() < deadline:
         time.sleep(0.05)
     assert not new_threads(), f"leftover threads: {new_threads()}"
+
+
+class TestTransferDtype:
+    """Half-width wire casts (PrefetchLoader transfer_dtype): loader
+    yields bf16 device batches; jitted stream steps restore f32 and the
+    training outcome stays within quantization distance of the f32 run."""
+
+    def test_loader_yields_wire_dtype(self):
+        import jax.numpy as jnp
+
+        loader = PrefetchLoader(
+            _item_fn, n_items=5, batch_size=4, num_workers=2,
+            transfer_dtype="bfloat16",
+        )
+        batches = list(loader)
+        assert all(b[0].dtype == jnp.bfloat16 for b in batches)
+        flat = np.concatenate(
+            [np.asarray(b[0], np.float32) for b in batches], axis=0
+        )
+        want = np.repeat(np.arange(5, dtype=np.float32), 3)
+        # integer-valued items survive bf16 exactly
+        np.testing.assert_array_equal(flat[:15, 0, 0, 0], want)
+
+    def test_unknown_transfer_dtype_rejected(self):
+        with pytest.raises(ValueError, match="transfer_dtype"):
+            PrefetchLoader(
+                _item_fn, n_items=2, batch_size=4, transfer_dtype="int8"
+            )
+
+    def test_aec_stream_bf16_wire_matches_f32(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import spectrogram_cube_clustering_tpu as scc
+
+        x, _ = scc.data.synthetic_windows(96, n_classes=3, seed=1)
+        x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+
+        def make_loader(wire=None):
+            return lambda: scc.data.PrefetchLoader(
+                lambda i: x[i * 8 : (i + 1) * 8], n_items=12, batch_size=32,
+                num_workers=2, transfer_dtype=wire,
+            )
+
+        model = scc.models.AEC()
+
+        def run(wire):
+            state = scc.train.create_train_state(
+                model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+            )
+            return scc.train.train_aec_stream(
+                model, state, make_loader(wire),
+                scc.train.AECConfig(n_epochs=3, early_stopping=False),
+            )["history"]["train"]
+
+        h32 = run(None)
+        h16 = run("bfloat16")
+        assert h16[-1] < h16[0]  # still trains
+        # input quantization only: per-epoch losses track the f32 run
+        np.testing.assert_allclose(h16, h32, rtol=0.02)
+
+    def test_dec_stream_bf16_wire_label_parity(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import spectrogram_cube_clustering_tpu as scc
+        from sklearn.metrics import normalized_mutual_info_score as nmi
+
+        x, _ = scc.data.synthetic_windows(192, n_classes=3, seed=4)
+        x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+        model = scc.models.DEC(n_clusters=3)
+        cfg = scc.train.DECConfig(
+            n_clusters=3, n_epochs=2, tol=0.0, init="kmeans",
+            kmeans_n_init=4, kmeans_max_iter=50,
+        )
+
+        def run(wire):
+            state = scc.train.create_train_state(
+                model, jax.random.key(7), jnp.asarray(x[:2]), lr=5e-4
+            )
+            loader = lambda: scc.data.PrefetchLoader(  # noqa: E731
+                lambda i: x[i * 16 : (i + 1) * 16], n_items=12,
+                batch_size=64, num_workers=2, transfer_dtype=wire,
+            )
+            return scc.train.train_dec_stream(
+                model, state, loader, len(x), cfg
+            )["labels"]
+
+        l32, l16 = run(None), run("bfloat16")
+        # same init seed -> labels are directly comparable; allow a few
+        # boundary windows to flip under input quantization (the encoder
+        # is untrained here, so cluster boundaries are fragile)
+        assert np.mean(l32 == l16) > 0.97
+        assert nmi(l32, l16) > 0.9

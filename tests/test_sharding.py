@@ -121,6 +121,41 @@ class TestShardedStreaming:
             params_1, params_8,
         )
 
+    def test_aec_stream_bf16_wire_sharded_matches_unsharded(self, windows):
+        """transfer_dtype composes with mesh sharding: bf16 wire batches
+        arrive sharded and the sharded run matches the single-device bf16
+        run exactly (same quantization, same psum'd gradients)."""
+        x, _ = windows
+        mesh = scc.core.make_data_mesh()
+        model = scc.models.AEC()
+
+        def run(mesh_arg):
+            from spectrogram_cube_clustering_tpu.data import PrefetchLoader
+
+            sharding = (
+                scc.core.batch_sharding(mesh_arg, 4)
+                if mesh_arg is not None else None
+            )
+            items = [x[i : i + 32] for i in range(0, len(x), 32)]
+            state = scc.train.create_train_state(
+                model, jax.random.key(0), jnp.asarray(x[:2]), lr=1e-3
+            )
+            if mesh_arg is not None:
+                state = jax.device_put(
+                    state, scc.core.replicated_sharding(mesh_arg)
+                )
+            out = scc.train.train_aec_stream(
+                model, state,
+                lambda: PrefetchLoader(
+                    lambda i: items[i], len(items), 64, num_workers=2,
+                    sharding=sharding, transfer_dtype="bfloat16",
+                ),
+                scc.train.AECConfig(n_epochs=2, early_stopping=False),
+            )
+            return out["history"]["train"]
+
+        np.testing.assert_allclose(run(None), run(mesh), rtol=1e-4)
+
     def test_dec_stream_matches_single_device(self, windows):
         x, y = windows
         from sklearn.metrics import normalized_mutual_info_score as nmi

@@ -257,6 +257,24 @@ def test_stream_loadmode_aec(cube):
     assert hist[-1] < hist[0]
 
 
+def test_stream_transfer_dtype_bf16(cube):
+    """stream_transfer_dtype='bfloat16' ships half-width wire batches
+    through the prefetch loader; training still converges and writes the
+    same artifacts (the jitted steps restore f32 on device)."""
+    root, cube_path, _ = cube
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 3, "early_stopping": "False", "loadmode": "stream",
+         "workers": "2", "stream_transfer_dtype": "bfloat16"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [out] = workflow.train(config)
+    run_dir = out["savepath_run"]
+    assert os.path.isdir(os.path.join(run_dir, "AEC_Params_Final"))
+    hist = out["history"]["train"]
+    assert hist[-1] < hist[0]
+
+
 def test_stream_loadmode_predict(cube):
     """loadmode='stream' predict writes the same artifacts as the ram path
     (AEC mode: Z_AEC/Xr_AEC/MSE)."""
