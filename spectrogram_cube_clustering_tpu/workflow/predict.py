@@ -220,11 +220,22 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
     model = make_model(config)
     params = load_aec_params(config, model)
 
+    # Half-width wire casts cut BOTH directions of the streaming
+    # transfer: the loader ships bf16 batches up (see make_loader), and
+    # the reconstructions — the dominant fetch, as large as the dataset —
+    # come back half-width too, restored to f32 on host before the .npy
+    # memmap write. Compute stays f32 end to end; q/z (tiny) stay f32.
+    from spectrogram_cube_clustering_tpu.core.precision import wire_dtype
+
+    xr_wire = wire_dtype(getattr(config, "stream_transfer_dtype", None) or None)
+
     if config.model == "DEC":
         @jax.jit
         def step(x):
             x = x.astype(jnp.float32)  # restore half-width wire batches
             q, xr, z = model.apply({"params": params}, x)
+            if xr_wire is not None:
+                xr = xr.astype(xr_wire)
             return jnp.round(q, 5), xr, z
     else:
         @jax.jit
@@ -233,6 +244,8 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
             xr, z = model.apply({"params": params}, x)
             d = xr - x
             per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
+            if xr_wire is not None:
+                xr = xr.astype(xr_wire)
             return per, xr, z
 
     proc0 = jax.process_index() == 0
@@ -261,7 +274,8 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
         firsts.append(np.asarray(a[:take]))
         zs.append(np.asarray(z[:take], np.float32))
         if proc0:
-            block = _to_nchw_np(xr[:take])
+            # restore f32 on host when the fetch was half-width (xr_wire)
+            block = _to_nchw_np(xr[:take]).astype(np.float32, copy=False)
             if xr_mm is None:
                 xr_mm = np.lib.format.open_memmap(
                     os.path.join(savepath, xr_name), mode="w+",

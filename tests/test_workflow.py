@@ -309,6 +309,39 @@ def test_stream_loadmode_predict(cube):
     np.testing.assert_allclose(res["z"], res2["z"], atol=1e-5)
 
 
+def test_stream_predict_bf16_wire_artifact_parity(cube):
+    """stream_transfer_dtype on PREDICT halves both wire directions (bf16
+    input batches up, bf16 reconstructions down, f32 restored host-side);
+    the written artifacts must stay within quantization distance of the
+    f32-wire stream predict."""
+    root, cube_path, labels = cube
+    config = _make_config(
+        root, cube_path, "AEC", "train",
+        {"n_epochs": 2, "early_stopping": "False"},
+        {"batch_size": "64", "lr": "0.001"},
+    )
+    [out] = workflow.train(config)
+    weights = os.path.join(out["savepath_run"], "AEC_Params_Final")
+
+    def predict(extra):
+        cfg = _make_config(
+            root, cube_path, "AEC", "predict",
+            {"saved_weights": weights, "loadmode": "stream",
+             "workers": "2", **extra},
+        )
+        workflow.predict(cfg)
+        pred = cfg.savepath_exp
+        return (np.load(os.path.join(pred, "Z_AEC.npy")),
+                np.load(os.path.join(pred, "Xr_AEC.npy")))
+
+    z32, xr32 = predict({})
+    z16, xr16 = predict({"stream_transfer_dtype": "bfloat16"})
+    assert xr16.dtype == np.float32  # artifact contract: f32 on disk
+    # bf16 keeps ~3 significant digits; reconstructions are O(0.1)
+    np.testing.assert_allclose(z16, z32, atol=5e-3)
+    np.testing.assert_allclose(xr16, xr32, atol=5e-3)
+
+
 def test_dec_figure_snapshots(cube):
     """figures=True triggers the every-4-epochs snapshot figure set
     (reference models.py:1166-1192)."""
