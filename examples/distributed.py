@@ -71,11 +71,15 @@ def main():
         ),
         scc.core.replicated_sharding(mesh),
     )
+    #    transfer_dtype="bfloat16" halves host->device wire bytes (the
+    #    stream tier is transfer-bound; measured +95% on a v5e tunnel,
+    #    RESULTS.md) — f32 is restored on device inside the jitted steps.
     out = scc.train.train_aec_stream(
         model, state,
         lambda: PrefetchLoader(
             lambda i: items[i], len(items), 64, num_workers=2,
             sharding=scc.core.batch_sharding(mesh, 4),
+            transfer_dtype="bfloat16",
         ),
         scc.train.AECConfig(n_epochs=2, early_stopping=False),
     )
