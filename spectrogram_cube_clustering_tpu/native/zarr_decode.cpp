@@ -363,6 +363,16 @@ bool decode_one(const char* path, long chunk_bytes, char* out,
   std::fseek(f, 0, SEEK_END);
   long raw_len = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  // ftell failure (-1) or an absurd size (fopen on a directory succeeds
+  // on Linux and reports garbage) must fail THIS chunk, not feed a
+  // negative/huge count into the vector below — an exception escaping a
+  // worker thread would std::terminate the whole process. No legitimate
+  // compressed chunk exceeds its decoded size by more than framing
+  // overhead; 2x + 1 MiB is a generous bound.
+  if (raw_len < 0 || raw_len > 2 * chunk_bytes + (1L << 20)) {
+    std::fclose(f);
+    return false;
+  }
   bool ok = false;
   if (compressor == 0) {
     ok = (raw_len == chunk_bytes) &&

@@ -65,3 +65,19 @@ def test_getitem_parity_with_python_fallback(store, monkeypatch):
     python_read = arr[3:40, 1:5, :]
     np.testing.assert_array_equal(native_read, python_read)
     np.testing.assert_array_equal(python_read, data[3:40, 1:5, :])
+
+
+def test_directory_chunk_path_fails_loudly(store, tmp_path):
+    """A directory where a chunk file should be must report a failed
+    chunk (IOError), not feed garbage ftell sizes into the decoder — an
+    exception escaping a worker thread would terminate the process."""
+    if not native.available():
+        pytest.skip("no C++ toolchain in this environment")
+    path, _ = store
+    arr = zarrlite.open_array(path)
+    bogus = tmp_path / "iamadir.0.0"
+    bogus.mkdir()
+    with pytest.raises(IOError):
+        native.decode_chunks(
+            [str(bogus)], arr.chunks, arr.dtype, arr.compressor_id
+        )
