@@ -87,10 +87,10 @@ def gmm_fit(config, figures: bool = True, mesh=None) -> List[Dict]:
         labels = np.asarray(labels)
         centroids = np.asarray(centroids)
 
-        _utils.save_labels(
-            [{"idx": i, "label": int(labels[i])} for i in range(len(z))],
-            config.savepath_run,
-        )
+        # array fast path: streams idx,label rows without one dict per
+        # window (the predict paths already use it; a dict list at cube
+        # scale is a multi-GB host spike)
+        _utils.save_labels(labels, config.savepath_run)
         if primary:
             np.save(os.path.join(config.savepath_run, "labels"), labels)
             np.save(
