@@ -319,6 +319,19 @@ def _measure_set(args):
     # short chains measure the tunnel, not the chip
     n_wave = 2_000_000 if args.quick else 4_000_000
     chain = 30 if args.quick else 50
+    # streaming caps its sample count: at 8 epochs/rep every window
+    # crosses the host wire 8 times, so 262k+ full-mode runs take tens
+    # of minutes for no extra signal. Say so instead of silently
+    # shrinking a user-requested size.
+    stream_samples = min(args.samples, 65536)
+    if stream_samples < args.samples and args.metric in (
+        "all", "stream", "stream_bf16"
+    ):
+        print(
+            f"# stream metrics cap --samples at 65536 (requested "
+            f"{args.samples}); rates are still per-sample comparable",
+            file=sys.stderr,
+        )
     return {
         "aec": (
             "aec_train_samples_per_sec",
@@ -362,8 +375,7 @@ def _measure_set(args):
             # in BOTH modes, so the driver-visible number is stable
             # enough to show real regressions
             lambda: measure_stream_throughput(
-                min(args.samples, 65536), args.batch,
-                epochs=8, reps=args.reps,
+                stream_samples, args.batch, epochs=8, reps=args.reps,
             ),
         ),
         "stream_bf16": (
@@ -372,7 +384,7 @@ def _measure_set(args):
             # the streaming tier is transfer-bound, so this is the
             # shipped fast path for bandwidth-limited links
             lambda: measure_stream_throughput(
-                min(args.samples, 65536), args.batch,
+                stream_samples, args.batch,
                 epochs=8, reps=args.reps, transfer_dtype="bfloat16",
             ),
         ),
@@ -383,7 +395,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--samples", type=int, default=262144)
+    ap.add_argument(
+        "--samples", type=int, default=262144,
+        help="training-set size per rep (stream metrics cap this at "
+        "65536 — each window crosses the host wire every epoch)",
+    )
     ap.add_argument(
         "--reps", type=int, default=3,
         help="timed repetitions per metric; the JSON carries the median "

@@ -156,10 +156,10 @@ def main(workdir=None, arch=None):
 
 
 if __name__ == "__main__":
-    argv = sys.argv[1:]
-    arch = None
-    if "--arch" in argv:
-        i = argv.index("--arch")
-        arch = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
-    main(argv[0] if argv else None, arch=arch)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("workdir", nargs="?", default=None)
+    ap.add_argument("--arch", choices=("AEC", "packed", "UNet"), default=None)
+    ns = ap.parse_args()
+    main(ns.workdir, arch=ns.arch)

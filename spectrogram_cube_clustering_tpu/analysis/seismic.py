@@ -538,6 +538,8 @@ def parse_resp_stages(resp_path: str) -> dict:
                     pcurrent["input_units"] = _units_from(raw)
                 elif "approximation type" in low and pcurrent is not None:
                     pcurrent["approximation"] = _units_from(raw)
+                elif "number of coefficients" in low and pcurrent is not None:
+                    pcurrent["declared_n"] = int(line[-1])
                 elif (
                     pcurrent is not None and "-" in tag and len(line) >= 3
                 ):
@@ -552,6 +554,16 @@ def parse_resp_stages(resp_path: str) -> dict:
             raise ValueError(
                 f"{resp_path}: polynomial (B062) coefficient indices "
                 f"{idx} are not contiguous from 0 — corrupt blockette"
+            )
+        declared = p.pop("declared_n", None)
+        if declared is not None and declared != len(idx):
+            # a contiguous-from-0 index set can still be a truncated
+            # tail; the declared B062F14 count catches that silently
+            # wrong case (lower-order polynomial -> wrong physical units)
+            raise ValueError(
+                f"{resp_path}: polynomial (B062) declares {declared} "
+                f"coefficients but {len(idx)} rows present — truncated "
+                "blockette"
             )
         p["coefficients"] = [p["coefficients"][i] for i in idx]
     if not paz_stages and not digital_stages and not poly_stages:

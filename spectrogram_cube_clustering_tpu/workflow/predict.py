@@ -203,6 +203,10 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
 
     from spectrogram_cube_clustering_tpu.data import PrefetchLoader
 
+    # One read of the wire knob drives BOTH transfer directions (loader
+    # up-casts and xr fetch down-casts) so they can't diverge.
+    wire = getattr(config, "stream_transfer_dtype", None) or None
+
     def make_loader():
         return PrefetchLoader(
             item_fn, len(ds), batch,
@@ -212,9 +216,7 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
             item_meta=(ds.window_shape, np.float32),
             # half-width wire casts for transfer-bound links; `step`
             # below restores f32 on device
-            transfer_dtype=getattr(
-                config, "stream_transfer_dtype", None
-            ) or None,
+            transfer_dtype=wire,
         )
 
     model = make_model(config)
@@ -227,7 +229,7 @@ def _predict_stream(config, figures: bool, mesh=None) -> Dict:
     # memmap write. Compute stays f32 end to end; q/z (tiny) stay f32.
     from spectrogram_cube_clustering_tpu.core.precision import wire_dtype
 
-    xr_wire = wire_dtype(getattr(config, "stream_transfer_dtype", None) or None)
+    xr_wire = wire_dtype(wire)
 
     if config.model == "DEC":
         @jax.jit

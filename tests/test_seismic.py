@@ -965,6 +965,17 @@ class TestPolynomialResponse:
         with pytest.raises(ValueError, match="multiple response epochs"):
             seismic.parse_resp_stages(str(p))
 
+    def test_truncated_coefficient_tail_rejected(self, tmp_path):
+        """A missing TAIL row keeps indices contiguous-from-0, so only the
+        declared B062F14 count can catch it — silently dropping the
+        highest-order term would return wrong physical values."""
+        p = tmp_path / "RESP.polytrunc"
+        p.write_text(POLY_RESP_TEXT.replace(
+            "B062F15-16     2  +1.00000E-03  +0.00000E+00\n", ""
+        ))
+        with pytest.raises(ValueError, match="truncated"):
+            seismic.parse_resp_stages(str(p))
+
     def test_gapped_coefficients_rejected(self, tmp_path):
         p = tmp_path / "RESP.polygap"
         p.write_text(POLY_RESP_TEXT.replace(

@@ -493,11 +493,20 @@ def test_batcher_failure_releases_socket(predictor, monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("batcher init failed")
 
+    # rebinding the SAME port is the proof the failed attempt closed its
+    # socket, so port=0 won't do here — grab a free ephemeral port first
+    # (unlike a hardcoded port, this can't collide with parallel runs)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
     monkeypatch.setattr(serve_http, "MicroBatcher", boom)
     with pytest.raises(RuntimeError, match="batcher init failed"):
-        serve_http.make_server(pred, host="127.0.0.1", port=8479)
+        serve_http.make_server(pred, host="127.0.0.1", port=port)
     monkeypatch.undo()
 
     # the port must be immediately rebindable: the socket was closed
-    srv = serve_http.make_server(pred, host="127.0.0.1", port=8479)
+    srv = serve_http.make_server(pred, host="127.0.0.1", port=port)
     srv.server_close()
