@@ -34,12 +34,26 @@ def dec_loss(
     q: jnp.ndarray,
     p: jnp.ndarray,
     gamma: float,
+    mask: jnp.ndarray = None,
 ):
     """DEC total loss and its (reconstruction, clustering) parts.
 
     loss = MSE(x_rec, x) + gamma * KL(p||q) / batch  (models.py:1121-1126).
+
+    `mask` (float, 1.0 = valid row) drops padded rows out of BOTH terms
+    and normalizes by the valid count — the exact loss `train_dec`
+    optimizes on a ragged final batch (this is the single loss body the
+    training steps call; keep it that way so the exported API can never
+    drift from what training optimized). With mask=None every row is
+    valid, which reduces to the reference's full-batch formula above.
     """
-    batch = q.shape[0]
-    loss_rec = mse(x_rec, x)
-    loss_clust = gamma * kld_sum(p, q) / batch
+    if mask is None:
+        mask = jnp.ones(q.shape[0], x.dtype)
+    d = x_rec - x
+    per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
+    nvalid = jnp.maximum(jnp.sum(mask), 1.0)
+    loss_rec = jnp.sum(per * mask) / nvalid
+    log_q = jnp.log(jnp.maximum(q, jnp.finfo(q.dtype).tiny))
+    row_kld = jnp.sum(xlogy(p, p) - p * log_q, axis=-1)
+    loss_clust = gamma * jnp.sum(row_kld * mask) / nvalid
     return loss_rec + loss_clust, (loss_rec, loss_clust)

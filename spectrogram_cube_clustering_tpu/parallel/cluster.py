@@ -223,13 +223,23 @@ def _gmm_em_step_fn(mesh: Mesh, reg_covar: float):
             jax.vmap(centered_stat, in_axes=(1, 0))(resp, mu),  # (K, D, D)
             DATA_AXIS,
         )
-        new_means = first / nk[:, None]
+        # Same empty-component hazard as _gmm_init_covs_fn: zero
+        # responsibility mass would give new_means=0, dmu=-mu, and a
+        # covariance of -mu.mu^T — negative definite, NaN-poisoning the
+        # next Cholesky and with it EVERY component's responsibilities
+        # (and lb goes NaN so the tol check never fires). Freeze empty
+        # components at their incoming mean/covariance instead; their
+        # returned weight ~0 keeps them inert in later E-steps.
+        safe = nk > 1e-3
+        nk_div = jnp.where(safe, nk, 1.0)
+        new_means = jnp.where(safe[:, None], first / nk_div[:, None], mu)
         dmu = new_means - mu                               # (K, D)
         new_covs = (
-            second_c / nk[:, None, None]
+            second_c / nk_div[:, None, None]
             - dmu[:, :, None] * dmu[:, None, :]
             + reg_covar * jnp.eye(d, dtype=z_local.dtype)
         )
+        new_covs = jnp.where(safe[:, None, None], new_covs, cov)
         lb = (
             jax.lax.psum(jnp.sum(norm[:, 0] * mask_local), DATA_AXIS)
             / m_total

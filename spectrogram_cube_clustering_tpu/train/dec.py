@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.scipy.special import xlogy
 
 from spectrogram_cube_clustering_tpu.models.dec import replace_centroids
 from spectrogram_cube_clustering_tpu.ops.student_t import target_distribution
@@ -91,18 +90,16 @@ def _dec_loss(model, gamma: float, params, x, mask, p):
     """Masked DEC loss: per-sample MSE over valid rows + gamma * KL(p‖q)
     normalized by the valid count (reference models.py:1121-1128).
 
-    The single loss body shared by the segment-scan and streaming step
-    builders — their documented parity ("semantics match train_dec")
-    depends on this staying one definition."""
+    Delegates to the exported `ops.losses.dec_loss` — the single loss
+    body shared by the segment-scan and streaming step builders AND the
+    public API, so loss-reproduction built on the export can never drift
+    from what training optimized."""
+    from spectrogram_cube_clustering_tpu.ops.losses import dec_loss
+
     q, x_rec, _ = model.apply({"params": params}, x)
-    d = x_rec - x
-    per = jnp.mean(d * d, axis=tuple(range(1, x.ndim)))
+    loss, (rec, clust) = dec_loss(x_rec, x, q, p, gamma, mask=mask)
     nvalid = jnp.maximum(jnp.sum(mask), 1.0)
-    rec = jnp.sum(per * mask) / nvalid
-    log_q = jnp.log(jnp.maximum(q, jnp.finfo(q.dtype).tiny))
-    row_kld = jnp.sum(xlogy(p, p) - p * log_q, axis=-1)
-    clust = gamma * jnp.sum(row_kld * mask) / nvalid
-    return rec + clust, (rec, clust, nvalid)
+    return loss, (rec, clust, nvalid)
 
 
 def _dec_batch_step(model, gamma: float):
@@ -388,7 +385,17 @@ def train_dec_stream(
     # (models.py:1006-1012); the scan path captures the same point (jax
     # arrays are immutable — holding the pytree reference is a snapshot)
     initial_params = state.params
-    q, _, _ = full_eval_stream(eval_step, state.params, make_loader, m_total)
+    q, _, z0 = full_eval_stream(eval_step, state.params, make_loader, m_total)
+    # pre-refinement snapshot for the comparative figures' baseline side
+    # (reference models.py:1176-1181), same contract as the scan path
+    initial_snapshot = None
+    if snapshot_cb is not None:
+        initial_snapshot = (
+            np.asarray(z0),
+            np.asarray(labels_prev),
+            np.asarray(centroids),
+        )
+    del z0
     p = np.asarray(target_distribution(jnp.asarray(q)))
 
     return _train_dec_stream_loop(
@@ -403,6 +410,7 @@ def train_dec_stream(
         train_step=train_step, eval_step=eval_step,
         snapshot_cb=snapshot_cb, snapshot_every=snapshot_every,
         initial_params=initial_params,
+        initial_snapshot=initial_snapshot,
     )
 
 
@@ -410,7 +418,7 @@ def _train_dec_stream_loop(
     model, state, make_loader, m_total, config, labels_prev, p,
     *, start_epoch, history, deltas, n_iter, snapshot_path,
     train_step, eval_step, snapshot_cb=None, snapshot_every=4,
-    initial_params=None,
+    initial_params=None, initial_snapshot=None,
 ) -> Dict:
     from spectrogram_cube_clustering_tpu.train import checkpoint as ckpt
 
@@ -507,6 +515,7 @@ def _train_dec_stream_loop(
             snapshot_cb(
                 epoch + 1, labels_s, z_s,
                 np.asarray(state.params["centroids"]),
+                initial=initial_snapshot,
             )
         if snapshot_path is not None and not finished:
             ckpt.save_snapshot(
@@ -585,7 +594,7 @@ def train_dec(
         # the restored params are mid-training — NOT the pre-refinement
         # initialization; the original run saved the real one
         initial_params = None
-        z_initial = None
+        initial_snapshot = None
     else:
         labels_prev, centroids = initialize_clusters(
             model, state.params, data, config, initial
@@ -596,14 +605,23 @@ def train_dec(
         initial_params = state.params
 
         q, _, z0 = full_eval(model, state.params, data)
-        # pre-refinement latents (the reference t-SNEs them, models.py:
-        # 1019) — fetched to host NOW so the (M, D) buffer doesn't stay
-        # pinned in HBM for the whole refinement run
-        from spectrogram_cube_clustering_tpu.train.layout import (
-            fetch_global as _fg,
-        )
+        # pre-refinement snapshot (z0/labels0/centroids0) — the baseline
+        # side of every comparative snapshot figure (reference passes
+        # z_array0/labels_prev/centroids to plotter_mp at models.py:
+        # 1176-1181). Fetched to host NOW so the (M, D) buffer doesn't
+        # stay pinned in HBM for the whole refinement; skipped entirely
+        # when no figure hook wants it.
+        initial_snapshot = None
+        if snapshot_cb is not None:
+            from spectrogram_cube_clustering_tpu.train.layout import (
+                fetch_global as _fg,
+            )
 
-        z_initial = np.asarray(_fg(z0))
+            initial_snapshot = (
+                np.asarray(_fg(z0)),
+                np.asarray(labels_prev),
+                np.asarray(centroids),
+            )
         del z0
         p = target_distribution(q)
         p_all = _pad_p(p, nb, bsz)
@@ -711,6 +729,7 @@ def train_dec(
             snapshot_cb(
                 epoch + 1, np.asarray(labels_s), np.asarray(z_s),
                 np.asarray(state.params["centroids"]),
+                initial=initial_snapshot,
             )
         if snapshot_path is not None and not finished:
             ckpt.save_snapshot(
@@ -734,5 +753,4 @@ def train_dec(
         "centroids": np.asarray(state.params["centroids"]),
         "stopped_early": finished,
         "last_epoch": epoch + 1,
-        "z_initial": z_initial,
     }

@@ -673,7 +673,7 @@ def _train_dec_run(config, hp, tra_x, mesh):
     if bool(getattr(config, "figures", False)):
         from spectrogram_cube_clustering_tpu.analysis import plotting
 
-        def snapshot_cb(epoch, labels, z, centroids):
+        def snapshot_cb(epoch, labels, z, centroids, initial=None):
             # t-SNE + figure families on the training snapshot, persisted
             # off-thread (reference models.py:1166-1192); honors
             # `tsne_backend=jax` the same as fit/predict do. The callback
@@ -685,8 +685,16 @@ def _train_dec_run(config, hp, tra_x, mesh):
                 return
             from spectrogram_cube_clustering_tpu.workflow.fit import _tsne
 
+            # comparative figures baseline = the pre-refinement snapshot
+            # (reference passes z_array0/labels_prev/initial centroids,
+            # models.py:1176-1181); on a resumed run the original
+            # initialization is gone, so current-vs-current is the
+            # honest fallback
+            z0, labels0, cen0 = (
+                initial if initial is not None else (z, labels, centroids)
+            )
             figs = plotting.analyze_dec(
-                tra_x, z, z, labels, labels, centroids, centroids,
+                tra_x, z0, z, labels0, labels, cen0, centroids,
                 _tsne(config, z), epoch=epoch,
             )
             plotting.plotter_async(figs, config.savepath_run, epoch=epoch)

@@ -136,3 +136,20 @@ class TestLosses:
         total, (rec, clust) = ops.dec_loss(xr, x, q, p, gamma=0.001)
         assert float(total) == pytest.approx(float(rec) + float(clust), rel=1e-6)
         assert float(rec) == pytest.approx(0.01, rel=1e-4)
+
+    def test_dec_loss_mask_equals_unpadded(self, rng):
+        """dec_loss with a pad mask must equal dec_loss on the valid rows
+        alone — this is the loss train_dec optimizes on a ragged final
+        batch (train/dec.py:_dec_loss delegates here)."""
+        x = jnp.asarray(rng.normal(size=(16, 4, 101, 1)).astype(np.float32))
+        xr = jnp.asarray(rng.normal(size=(16, 4, 101, 1)).astype(np.float32))
+        q = jnp.asarray(rng.dirichlet(np.ones(5), size=16).astype(np.float32))
+        p = ops.target_distribution(q, round_decimals=None)
+        mask = jnp.asarray([1.0] * 10 + [0.0] * 6, jnp.float32)
+        got, (rec_m, clust_m) = ops.dec_loss(xr, x, q, p, 0.001, mask=mask)
+        want, (rec, clust) = ops.dec_loss(
+            xr[:10], x[:10], q[:10], p[:10], 0.001
+        )
+        assert float(got) == pytest.approx(float(want), rel=1e-6)
+        assert float(rec_m) == pytest.approx(float(rec), rel=1e-6)
+        assert float(clust_m) == pytest.approx(float(clust), rel=1e-6)

@@ -311,6 +311,51 @@ class TestShardedGMM:
         np.testing.assert_allclose(np.asarray(cov8), np.asarray(covd), rtol=2e-2, atol=2e-4)
         np.testing.assert_allclose(float(lb8), float(lb), rtol=1e-4)
 
+    def test_survives_empty_component(self, rng):
+        """K above the populated cluster count (the gmm_fit n_clusters
+        sweep does this) must not NaN-poison the fit: an empty component
+        once produced a -mu.mu^T covariance whose Cholesky turned every
+        responsibility NaN by the second iteration."""
+        mesh = make_data_mesh()
+        # two tight, well-separated blobs; ask for 4 components so the
+        # k-means init leaves at least one empty/near-empty (4 may also
+        # legitimately SPLIT a blob — so assert purity, not NMI)
+        m = 8 * 64
+        truth = np.arange(m) % 2
+        z = (rng.normal(size=(m, 5)) * 0.01 + truth[:, None] * 10.0).astype(
+            np.float32
+        )
+        labels, means = parallel.sharded_gmm(
+            z, 4, mesh, max_iter=20, n_init=4, kmeans_n_iter=20
+        )
+        labels = np.asarray(labels)
+        assert np.all(np.isfinite(np.asarray(means)))
+        # every found cluster must sit inside ONE true blob: a NaN-poisoned
+        # fit assigns rows of both blobs to the same (garbage) component
+        for k in np.unique(labels):
+            assert len(np.unique(truth[labels == k])) == 1
+
+    def test_em_step_freezes_empty_component(self, rng):
+        """Step-level check with a GUARANTEED-empty component (mean 1e4
+        away -> zero responsibility mass): two chained EM steps must stay
+        finite, and the empty component keeps its incoming mean/cov."""
+        mesh = make_data_mesh()
+        m, d = 8 * 32, 5
+        z = rng.normal(size=(m, d)).astype(np.float32)
+        means = np.vstack([z[:2], np.full((1, d), 1e4, np.float32)])
+        weights = np.asarray([0.5, 0.5, 0.0], np.float32)
+        covs = np.stack([np.eye(d, dtype=np.float32)] * 3)
+
+        w, mu, cov, lb = parallel.sharded_gmm_em_step(
+            z, weights, means, covs, mesh
+        )
+        w, mu, cov, lb = parallel.sharded_gmm_em_step(z, w, mu, cov, mesh)
+        for a in (w, mu, cov, lb):
+            assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(mu)[2], means[2])
+        np.testing.assert_allclose(np.asarray(cov)[2], covs[2])
+        assert float(np.asarray(w)[2]) < 1e-6
+
 
 def test_pallas_kernel_hop_at_lane_boundary(rng):
     # hop == 128 exactly: no lane padding in the hop-row layout

@@ -354,6 +354,59 @@ class TestDEC:
             h_scan["reconstruction"], h_stream["reconstruction"], rtol=1e-4
         )
 
+    def test_snapshot_cb_receives_initial_snapshot(self, windows):
+        """Comparative snapshot figures need the PRE-refinement baseline
+        (reference passes z_array0/labels_prev/initial centroids to
+        plotter_mp, models.py:1176-1181): both DEC paths must hand the
+        callback the init-time snapshot, not the current one twice."""
+        x, _ = windows
+        bsz = 40
+        dec_model = models.DEC(n_clusters=3)
+        cfg = train.DECConfig(n_clusters=3, n_epochs=2, tol=0.0, init="load")
+        init = (
+            np.arange(len(x), dtype=np.int64) % 3,
+            np.full((3, 9), 0.5, np.float32),
+        )
+        seen = []
+
+        def cb(epoch, labels, z, centroids, initial=None):
+            seen.append((epoch, labels, z, centroids, initial))
+
+        data = train.make_batched_data(x, batch_size=bsz)
+        state = train.create_train_state(
+            dec_model, jax.random.key(3), jnp.asarray(x[:4]), lr=1e-3
+        )
+        train.train_dec(
+            dec_model, state, data, cfg, initial=init,
+            snapshot_cb=cb, snapshot_every=2,
+        )
+
+        items = [x[i : i + bsz] for i in range(0, len(x), bsz)]
+        from spectrogram_cube_clustering_tpu.data import PrefetchLoader
+
+        state2 = train.create_train_state(
+            dec_model, jax.random.key(3), jnp.asarray(x[:4]), lr=1e-3
+        )
+        train.train_dec_stream(
+            dec_model, state2,
+            lambda: PrefetchLoader(
+                lambda i: items[i], len(items), bsz, num_workers=2
+            ),
+            len(x), cfg, initial=init,
+            snapshot_cb=cb, snapshot_every=2,
+        )
+
+        assert len(seen) == 2  # one snapshot per path
+        for epoch, labels, z, centroids, initial in seen:
+            assert epoch == 2
+            z0, labels0, cen0 = initial
+            np.testing.assert_array_equal(labels0, init[0])
+            np.testing.assert_allclose(cen0, init[1])
+            assert z0.shape == z.shape
+            # two optimizer epochs moved the latents: the baseline must
+            # be the init-time eval, not a re-eval of current params
+            assert not np.allclose(z0, z)
+
     def test_update_interval_counts_batches(self, windows):
         """An explicit update_interval is BATCHES between target refreshes
         (reference models.py:1093 gates batch_num % update_interval), not
