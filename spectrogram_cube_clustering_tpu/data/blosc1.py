@@ -133,6 +133,16 @@ def _lz4_decompress_block(src: memoryview, dst_len: int) -> bytearray:
     src = bytes(src)
     dst = bytearray(dst_len)
     si, di, n = 0, 0, len(src)
+    try:
+        return _lz4_loop(src, dst, si, di, n, dst_len)
+    except IndexError:
+        # a stream truncated inside a length-extension or offset read
+        # walks src[si] off the end; keep the ValueError corrupt-frame
+        # contract instead of leaking the raw IndexError
+        raise ValueError("corrupt lz4 block: truncated stream") from None
+
+
+def _lz4_loop(src, dst, si, di, n, dst_len):
     while si < n:
         token = src[si]
         si += 1
@@ -199,6 +209,14 @@ def _blosclz_decompress(src: memoryview, dst_len: int) -> bytearray:
         if dst_len:
             raise ValueError("corrupt blosclz stream: empty")
         return dst
+    try:
+        return _blosclz_loop(src, dst, si, di, n, dst_len)
+    except IndexError:
+        # same truncated-stream contract as the lz4 decoder above
+        raise ValueError("corrupt blosclz stream: truncated") from None
+
+
+def _blosclz_loop(src, dst, si, di, n, dst_len):
     ctrl = src[si] & 31
     si += 1
     while True:
@@ -355,6 +373,13 @@ def decompress_pure(frame: bytes) -> bytes:
         raise ValueError(f"unsupported blosc codec id {(flags >> 5) & 7}")
 
     nblocks = -(-nbytes // blocksize)
+    if len(frame) < 16 + 4 * nblocks:
+        # a tiny blocksize against a large nbytes claims more block-start
+        # entries than the frame holds — surface the corrupt-frame
+        # ValueError, not struct.error
+        raise ValueError(
+            f"corrupt blosc header: {nblocks} block starts exceed frame size"
+        )
     bstarts = struct.unpack_from(f"<{nblocks}i", frame, 16)
     mv = memoryview(frame)
     out = bytearray(nbytes)

@@ -418,6 +418,19 @@ def extract_h5_dataset(
             if path not in fs:
                 continue
             dset = fs[path]
+            if keep and keep[-1] >= len(dset):
+                # an auxiliary dataset SHORTER than Catalogue (lengths can
+                # differ — see the scan bound above) can't supply every
+                # kept row; skip it whole rather than crash mid-copy and
+                # leave a torn dest with half its datasets written
+                import warnings
+
+                warnings.warn(
+                    f"{path} has {len(dset)} rows < kept index "
+                    f"{keep[-1]}; omitting it from {dest}",
+                    stacklevel=2,
+                )
+                continue
             out = group.create_dataset(
                 name, (len(keep),) + dset.shape[1:], dtype=dset.dtype
             )

@@ -263,8 +263,14 @@ def write_array(
             "id": "blosc", "cname": "lz4", "clevel": 5,
             "shuffle": 1, "blocksize": 0,
         }
-    else:
+    elif compressor is None:
         comp_meta = None
+    else:
+        # 'gzip' (which the READ path accepts) or a typo must not silently
+        # fall through to an uncompressed store
+        raise ValueError(
+            f"unknown compressor {compressor!r} (None, 'zlib', or 'blosc')"
+        )
     meta = {
         "zarr_format": 2,
         "shape": list(data.shape),

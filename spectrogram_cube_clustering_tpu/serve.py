@@ -123,6 +123,32 @@ def _make_put(mesh):
     return lambda xb: jax.device_put(xb, batch_sharding(mesh, xb.ndim))
 
 
+def _build_model(
+    kind: str, arch: str, input_hw, attention_faithful: bool,
+    n_clusters: int = None,
+):
+    """Arch dispatch shared by __init__ and from_checkpoint of BOTH
+    predictor classes — the one place to extend when an arch is added
+    (four hand-kept copies drifted before)."""
+    hw = (int(input_hw[0]), int(input_hw[1]))
+    if arch == "packed":
+        if hw != (4, 101):
+            raise ValueError(
+                "arch='packed' serves only the (4, 101) geometry"
+            )
+        if kind == "DEC":
+            return _models.PackedDEC(n_clusters=n_clusters)
+        return _models.PackedAEC()
+    if arch != "AEC":
+        raise ValueError(f"unknown arch {arch!r} ('AEC' or 'packed')")
+    if kind == "DEC":
+        return _models.DEC(
+            n_clusters=n_clusters, input_hw=hw,
+            attention_faithful=attention_faithful,
+        )
+    return _models.AEC(input_hw=hw, attention_faithful=attention_faithful)
+
+
 def _run_chunked(fn, params, x: np.ndarray, sizes: tuple, put=jnp.asarray):
     """Run a fixed-shape jitted fn over a request of ANY length: chunks of
     the largest compiled size, the tail through the smallest bucket that
@@ -164,22 +190,15 @@ class DECPredictor:
         transfer_dtype: Optional[str] = None,
         mesh=None,
         attention_faithful: bool = True,
+        _model=None,
     ):
         self.input_hw = (int(input_hw[0]), int(input_hw[1]))
         self._wire_dtype = _host_transfer_dtype(transfer_dtype)
         self.mesh = mesh
         self._put = _make_put(mesh)
-        if arch == "packed":
-            if self.input_hw != (4, 101):
-                raise ValueError(
-                    "arch='packed' serves only the (4, 101) geometry"
-                )
-            self.model = _models.PackedDEC(n_clusters=n_clusters)
-        else:
-            self.model = _models.DEC(
-                n_clusters=n_clusters, input_hw=self.input_hw,
-                attention_faithful=attention_faithful,
-            )
+        self.model = _model if _model is not None else _build_model(
+            "DEC", arch, self.input_hw, attention_faithful, n_clusters
+        )
         self.params, self.sizes = _mesh_setup(
             params, mesh, max_batch, buckets
         )
@@ -211,11 +230,8 @@ class DECPredictor:
         )
 
         h, w = int(input_hw[0]), int(input_hw[1])
-        model = (
-            _models.PackedDEC(n_clusters=n_clusters)
-            if arch == "packed"
-            else _models.DEC(n_clusters=n_clusters, input_hw=(h, w),
-                             attention_faithful=attention_faithful)
+        model = _build_model(
+            "DEC", arch, (h, w), attention_faithful, n_clusters
         )
         template = model.init(
             jax.random.key(0), jnp.zeros((1, h, w, 1))
@@ -229,7 +245,7 @@ class DECPredictor:
             params, n_clusters, max_batch, transform,
             buckets=buckets, arch=arch, input_hw=(h, w),
             transfer_dtype=transfer_dtype, mesh=mesh,
-            attention_faithful=attention_faithful,
+            attention_faithful=attention_faithful, _model=model,
         )
 
     def warmup(self) -> None:
@@ -271,22 +287,15 @@ class AECEncoder:
         mesh=None,
         arch: str = "AEC",
         attention_faithful: bool = True,
+        _model=None,
     ):
         self.input_hw = (int(input_hw[0]), int(input_hw[1]))
         self._wire_dtype = _host_transfer_dtype(transfer_dtype)
         self.mesh = mesh
         self._put = _make_put(mesh)
-        if arch == "packed":
-            if self.input_hw != (4, 101):
-                raise ValueError(
-                    "arch='packed' serves only the (4, 101) geometry"
-                )
-            self.model = _models.PackedAEC()
-        else:
-            self.model = _models.AEC(
-                input_hw=self.input_hw,
-                attention_faithful=attention_faithful,
-            )
+        self.model = _model if _model is not None else _build_model(
+            "AEC", arch, self.input_hw, attention_faithful
+        )
         self.params, self.sizes = _mesh_setup(
             params, mesh, max_batch, buckets
         )
@@ -319,12 +328,7 @@ class AECEncoder:
         )
 
         h, w = int(input_hw[0]), int(input_hw[1])
-        model = (
-            _models.PackedAEC()
-            if arch == "packed"
-            else _models.AEC(input_hw=(h, w),
-                             attention_faithful=attention_faithful)
-        )
+        model = _build_model("AEC", arch, (h, w), attention_faithful)
         template = model.init(
             jax.random.key(0), jnp.zeros((1, h, w, 1))
         )["params"]
@@ -333,7 +337,7 @@ class AECEncoder:
         return cls(params, max_batch, transform,
                    buckets=buckets, input_hw=(h, w),
                    transfer_dtype=transfer_dtype, mesh=mesh, arch=arch,
-                   attention_faithful=attention_faithful)
+                   attention_faithful=attention_faithful, _model=model)
 
     def warmup(self) -> None:
         """Pay every bucket's compile before serving traffic."""

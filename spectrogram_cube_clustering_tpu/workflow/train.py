@@ -81,6 +81,14 @@ def make_model(config, n_clusters: Optional[int] = None):
         if arch == "packed":
             require_default_hw(arch)
             return _models.PackedDEC(n_clusters=k, **kw)
+        if arch != "AEC":
+            # reject rather than silently building the AEC-based DEC: a
+            # typo'd knob (or arch='UNet', which has no DEC variant — the
+            # reference's DEC is always AEC-encoder-based) must not pass
+            # unnoticed into predict/serve paths
+            raise ValueError(
+                f"DEC arch must be 'AEC' or 'packed', got {arch!r}"
+            )
         return _models.DEC(n_clusters=k, attention_faithful=faithful, **kw)
     if arch == "UNet":
         require_default_hw(arch)

@@ -137,6 +137,36 @@ class TestPureDecoder:
         with pytest.raises(ValueError, match="literal run overruns"):
             blosc1._blosclz_decompress(memoryview(b"\x05abc"), 6)
 
+    def test_truncated_streams_raise_valueerror(self):
+        """Streams truncated INSIDE a token (length extension, match
+        offset) must keep the ValueError corrupt-frame contract, not leak
+        IndexError (review r4)."""
+        # lz4: token lit==15 demands extension bytes; none follow
+        with pytest.raises(ValueError, match="truncated"):
+            blosc1._lz4_decompress_block(memoryview(b"\xf0"), 32)
+        # lz4: literals ok, then a match token with only 1 offset byte
+        with pytest.raises(ValueError, match="truncated"):
+            blosc1._lz4_decompress_block(memoryview(b"\x10a\x01"), 8)
+        # blosclz: one literal, then a match ctrl (>=32) whose extended
+        # length / offset bytes are cut off (the FIRST byte is masked
+        # &31, so the match ctrl must come second)
+        with pytest.raises(ValueError, match="truncated"):
+            blosc1._blosclz_decompress(memoryview(b"\x00a\xe0"), 16)
+
+    def test_block_start_table_overrun_raises_valueerror(self):
+        """blocksize tiny vs nbytes large claims more block-start entries
+        than the frame holds — ValueError, not struct.error (review r4)."""
+        import struct
+
+        good = blosc1.compress(b"z" * 1024, typesize=4)
+        hdr = bytearray(good[:16])
+        hdr[2] &= ~0x2  # clear memcpyed
+        struct.pack_into("<i", hdr, 4, 1 << 20)  # nbytes = 1 MiB
+        struct.pack_into("<i", hdr, 8, 16)       # blocksize = 16
+        struct.pack_into("<i", hdr, 12, len(good))
+        with pytest.raises(ValueError, match="corrupt blosc header"):
+            blosc1.decompress_pure(bytes(hdr) + good[16:])
+
     @pytest.mark.skipif(not HAVE_LIBBLOSC, reason="needs libblosc to compress")
     def test_differential_fuzz_vs_libblosc(self, rng):
         """Seeded differential fuzz: random sizes/typesizes/levels through

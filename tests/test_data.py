@@ -106,6 +106,15 @@ class TestZarrlite:
         with pytest.raises(FileNotFoundError, match="no arrays"):
             ZarrCubeDataset(empty, SPEC)
 
+    def test_write_array_rejects_unknown_compressor(self, tmp_path, rng):
+        """'gzip' (which the READ path accepts) or a typo must raise, not
+        silently write an uncompressed store (review r4)."""
+        data = rng.normal(size=(8, 4)).astype(np.float32)
+        with pytest.raises(ValueError, match="unknown compressor"):
+            zarrlite.write_array(
+                str(tmp_path / "g"), data, chunks=(4, 4), compressor="gzip"
+            )
+
     def test_missing_chunk_fill_value(self, tmp_path, rng):
         data = rng.normal(size=(8, 4)).astype(np.float32)
         path = str(tmp_path / "m")

@@ -215,6 +215,25 @@ class TestExtract:
             assert "/4.0/Trace" not in f
             assert f["/4.0/Spectrogram"].shape[0] == kept
 
+    def test_extract_skips_short_aux_dataset(self, catalog, tmp_path):
+        """An auxiliary dataset SHORTER than Catalogue (lengths can
+        legitimately differ) is omitted whole with a warning instead of
+        crashing mid-copy and leaving a torn dest (review r4)."""
+        path, _, stations = catalog
+        src = str(tmp_path / "shorttrace.h5")
+        with h5py.File(path, "r") as fs, h5py.File(src, "w") as fd:
+            g = fd.require_group("/4.0")
+            for name in ("Catalogue", "Spectrogram"):
+                g.create_dataset(name, data=fs[f"/4.0/{name}"][:])
+            g.create_dataset("Trace", data=fs["/4.0/Trace"][:2])
+        dest = str(tmp_path / "shorttrace_sub.h5")
+        with pytest.warns(UserWarning, match="omitting"):
+            kept = h5mod.extract_h5_dataset(src, dest, include=list(stations))
+        assert kept > 0
+        with h5py.File(dest, "r") as f:
+            assert "/4.0/Trace" not in f
+            assert f["/4.0/Spectrogram"].shape[0] == kept
+
 
 class TestH5StreamDataset:
     def test_blocks_match_rows(self, catalog):
