@@ -388,13 +388,21 @@ def view_class_pdf_paper(
     xlim = (0, 4, 10, 30)
     ylim = 0.3
 
-    def _hists(ax, dist, labs):
+    def _class_hists(dist, labs):
+        # computed once per (model, centroid); both broken-axis panes
+        # reuse the same curves (they differ only in xlim)
+        hists = []
         for ll in range(n_clusters):
             dsel = dist[labs == label_list[ll]]
             hist = np.histogram(dsel, bins=X)[0].astype(float)
             total = hist.sum()
             if total > 0:
                 hist /= total
+            hists.append(hist)
+        return hists
+
+    def _plot_hists(ax, hists):
+        for ll, hist in enumerate(hists):
             ax.plot(X[:-1], hist, color=colors[ll], label=f"{ll + 1}")
             ax.fill_between(X[:-1], 0, hist, color=colors[ll], alpha=0.2)
         ax.set_ylim(0, ylim)
@@ -407,11 +415,13 @@ def view_class_pdf_paper(
         dist_a = fractional_distance(centroids_a[l], data_a, p)
         dist_b = fractional_distance(centroids_b[l], data_b, p)
         axes = [fig.add_subplot(sub[i]) for i in range(4)]
-        for ax, dist, labs in (
-            (axes[0], dist_a, labels_a), (axes[1], dist_a, labels_a),
-            (axes[2], dist_b, labels_b), (axes[3], dist_b, labels_b),
+        hists_a = _class_hists(dist_a, labels_a)
+        hists_b = _class_hists(dist_b, labels_b)
+        for ax, hists in (
+            (axes[0], hists_a), (axes[1], hists_a),
+            (axes[2], hists_b), (axes[3], hists_b),
         ):
-            _hists(ax, dist, labs)
+            _plot_hists(ax, hists)
         axes[0].set_title(
             rf"Class PDFs relative to $\mu_{{{l + 1}}}$", loc="left", size=12
         )
@@ -1077,11 +1087,17 @@ def save_figures(figs: dict, base_dir: str, epoch=None, dpi: int = 300):
 def plotter_async(figs: dict, base_dir: str, epoch=None):
     """Run save_figures on a background thread (the reference's plotting
     thread is commented out because pyplot isn't thread-safe,
-    models.py:1041-1046; figure *saving* on Agg is)."""
+    models.py:1041-1046; figure *saving* on Agg is).
+
+    Non-daemon: the interpreter joins these at shutdown, so the
+    final-epoch snapshot PNGs (multi-second dpi-300 writes that are
+    typically still in flight when train_dec returns) can't be truncated
+    by process exit.
+    """
     import threading
 
     t = threading.Thread(
-        target=save_figures, args=(figs, base_dir, epoch), daemon=True
+        target=save_figures, args=(figs, base_dir, epoch), daemon=False
     )
     t.start()
     return t

@@ -290,7 +290,10 @@ def read_mseed(path) -> "Trace":
 
 class Trace:
     def __init__(self, data, stats=None):
-        self.data = np.asarray(data, np.float64)
+        # always copy: taper()/filter() mutate self.data in place, which
+        # must neither corrupt a float64 array the caller still holds
+        # nor raise on read-only buffers (mmap/frombuffer inputs)
+        self.data = np.array(data, np.float64)
         # copy the header like obspy's Trace does: mutating/aliasing the
         # caller's Stats would corrupt the sibling trace it came from
         # (its npts here, its starttime on any later trim)

@@ -189,8 +189,11 @@ def remove_response(
         pass
     _obspy()
     seedresp = {"filename": resp_file, "units": units}
+    # pitsasim=False matches the reference invocation (environment.py:
+    # 236-242); obspy's default True changes the taper/FFT conventions.
     trace.simulate(
-        paz_remove=None, pre_filt=pre_filt, seedresp=seedresp, sacsim=True
+        paz_remove=None, pre_filt=pre_filt, seedresp=seedresp,
+        pitsasim=False, sacsim=True,
     )
 
 

@@ -59,9 +59,17 @@ def load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_LIB) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-        ):
+        try:
+            # A prebuilt .so without its source (packaged deploys) is
+            # simply current: the staleness probe must not raise past
+            # the None-fallback contract.
+            stale = not os.path.exists(_LIB) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            )
+        except OSError:
+            stale = not os.path.exists(_LIB)
+        if stale:
             if not _build():
                 _failed = True
                 return None

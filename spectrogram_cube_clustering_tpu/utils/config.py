@@ -110,10 +110,55 @@ def parse_nclusters(line: str) -> int:
     return int(match.group("n_clusters"))
 
 
+def _agree_across_processes(micros: int) -> int:
+    """Return process 0's value on every process of a jax.distributed run.
+
+    Serials feed savepaths, and orbax snapshot saves require every
+    process to pass the SAME path (train/checkpoint.py — per-rank paths
+    deadlock the internal barrier). Wall-clock-local microsecond serials
+    are guaranteed to differ across processes, so broadcast rank 0's.
+    """
+    try:
+        # Probe WITHOUT initializing a backend: jax.process_count() would
+        # block on device bring-up (bad news when serials are minted on a
+        # host whose TPU tunnel is flaky). jax.distributed not being
+        # initialized means single-process by definition.
+        from jax._src import distributed
+
+        if distributed.global_state.client is None:
+            return micros
+        import jax
+
+        if jax.process_count() <= 1:
+            return micros
+        from jax.experimental import multihost_utils
+
+        import numpy as np
+
+        return int(
+            multihost_utils.broadcast_one_to_all(
+                np.asarray(micros, dtype=np.int64)
+            )
+        )
+    except Exception:
+        # jax absent or probing failed: fall back to the local clock.
+        return micros
+
+
 def _serial() -> str:
     # Microseconds appended: the reference's second-resolution serials
     # (utils.py:64) collide for sweep runs started within 1 s.
-    return datetime.now().strftime("%Y%m%dT%H%M%S%f")
+    stamp = datetime.now()
+    micros = _agree_across_processes(
+        stamp.microsecond
+        + 1_000_000 * int(stamp.replace(microsecond=0).timestamp())
+    )
+    sec, usec = divmod(micros, 1_000_000)
+    return (
+        datetime.fromtimestamp(sec)
+        .replace(microsecond=usec)
+        .strftime("%Y%m%dT%H%M%S%f")
+    )
 
 
 class Configuration:

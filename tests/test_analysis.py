@@ -331,6 +331,9 @@ class TestFigures:
         for p in paths:
             assert os.path.exists(p) and p.endswith("_004.png")
         t = plotting.plotter_async(figs, str(tmp_path / "async"))
+        # non-daemon: the interpreter must join the writer at shutdown so
+        # final-epoch PNGs can't be truncated by process exit
+        assert not t.daemon
         t.join(timeout=30)
         assert not t.is_alive()
 

@@ -147,6 +147,25 @@ eout = scc.train.train_aec(
 assert eout["history"]["epoch"] == [1, 2, 3, 4]
 
 from jax.experimental import multihost_utils
+
+# experiment serials feed orbax snapshot paths, which must be IDENTICAL
+# on every process (per-rank paths deadlock the save barrier): _serial()
+# broadcasts rank 0's wall clock, so even deliberately-skewed clocks
+# must agree
+import time
+if rank == 1:
+    time.sleep(0.05)  # force the local wall clocks apart
+from spectrogram_cube_clustering_tpu.utils.config import _serial
+with open(os.path.join(sys.argv[3], "serial_%d.txt" % rank), "w") as fh:
+    fh.write(_serial())
+multihost_utils.sync_global_devices("serials_written")
+if rank == 0:
+    with open(os.path.join(sys.argv[3], "serial_0.txt")) as fh:
+        s0 = fh.read()
+    with open(os.path.join(sys.argv[3], "serial_1.txt")) as fh:
+        s1 = fh.read()
+    assert s0 == s1 and len(s0) == 21, f"serials diverged: {s0} vs {s1}"
+
 scc.utils.save_labels(
     [{"idx": i, "label": 0} for i in range(8)], sys.argv[3]
 )

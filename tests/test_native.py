@@ -56,6 +56,18 @@ def test_raw_compressor(tmp_path):
     np.testing.assert_array_equal(arr[:, :], data)
 
 
+def test_prebuilt_lib_without_source_loads(monkeypatch):
+    """A shipped .so whose .cpp source is absent (packaged deploys) must
+    load as current — the staleness probe raising FileNotFoundError used
+    to escape load()'s None-fallback contract and crash cube loads."""
+    if not native.available():
+        pytest.skip("no C++ toolchain in this environment")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_failed", False)
+    monkeypatch.setattr(native, "_SRC", native._SRC + ".does-not-exist")
+    assert native.load() is not None
+
+
 def test_getitem_parity_with_python_fallback(store, monkeypatch):
     path, data = store
     arr = zarrlite.open_array(path)

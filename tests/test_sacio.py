@@ -213,6 +213,17 @@ class TestTraceOps:
         assert tr.data[50] == pytest.approx(0.5)  # hann midpoint
         np.testing.assert_allclose(tr.data[:100], tr.data[-100:][::-1])
 
+    def test_trace_owns_its_data(self):
+        # in-place ops (taper) must neither mutate the caller's float64
+        # array nor raise on read-only buffers (mmap/frombuffer inputs)
+        src = np.ones(64, np.float64)
+        tr = sacio.Trace(src)
+        tr.taper(max_percentage=0.5, type="hann")
+        assert np.all(src == 1.0)
+        ro = np.ones(64, np.float64)
+        ro.setflags(write=False)
+        sacio.Trace(ro).taper(max_percentage=0.5, type="hann")
+
     def test_zerophase_lowpass_attenuates(self):
         fs, n = 100.0, 8192
         t = np.arange(n) / fs

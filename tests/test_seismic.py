@@ -317,6 +317,28 @@ class TestRemoveStream:
         # taper_fraction = 2*half_width / duration
         assert op1[1]["taper_fraction"] == pytest.approx(360.0 / 3600.0)
 
+    def test_remove_response_fallback_kwargs(self, tmp_path, monkeypatch):
+        """The sac2mseed obspy fallback must mirror the reference's exact
+        simulate invocation (environment.py:236-242) — notably
+        pitsasim=False, which obspy defaults to True."""
+        p = tmp_path / "RESP.KP.KPDR..HDH"
+        p.write_text(RESP_TEXT)
+        monkeypatch.setattr(
+            seismic, "remove_response_native",
+            lambda *a, **k: (_ for _ in ()).throw(ValueError("forced")),
+        )
+        monkeypatch.setattr(seismic, "_obspy", lambda: None)
+        tr = FakeTrace()
+        tr.data = np.zeros(16)
+        seismic.remove_response(tr, str(p), units="VEL",
+                                pre_filt=(0.01, 0.02, 8.0, 9.0))
+        (op,) = tr.ops
+        assert op[0] == "simulate"
+        assert op[1]["pitsasim"] is False
+        assert op[1]["sacsim"] is True
+        assert op[1]["paz_remove"] is None
+        assert op[1]["seedresp"] == {"filename": str(p), "units": "VEL"}
+
     def test_remove_trace_without_taper(self, tmp_path):
         p1 = tmp_path / "RESP.KP.KPDR..HDH"
         p1.write_text(RESP_TEXT)
