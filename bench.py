@@ -181,16 +181,24 @@ def measure_dec_throughput(
 
 
 def measure_stft_throughput(
-    n_wave_samples: int = 4_000_000, chain_len: int = 10, reps: int = 1
+    n_wave_samples: int = 4_000_000, chain_len: int = 100, reps: int = 3
 ):
     """Fused Pallas STFT throughput (waveform samples/sec) on this chip
-    (ops/pallas_stft.py).
+    (ops/pallas_stft.py), low-overhead two-point dependency-chain timing.
 
-    Executions are serialized through a scan dependency chain inside one
-    jit and the result value is fetched — remote-TPU clients can memoize
-    repeated identical execute calls, which makes naive timing loops
-    report physically impossible numbers. Each rep uses a fresh salt for
-    the same reason.
+    Two hazards shape this harness (validated on-chip,
+    benchmarks/stft_harness_tpu.py / stft_isolate_tpu.py):
+    1. remote-TPU clients can memoize repeated identical execute calls,
+       so executions serialize through a scan whose carry IS the
+       waveform, perturbed in place by an epsilon of the previous step's
+       output (O(1) — a full-array `x + carry` add plus a full-output
+       mean costs ~641us/rep, 4x the 161us kernel, and used to hide 75%
+       of the kernel's real rate); the per-step dependency reads a tiny
+       output slice (the pallas_call is opaque to XLA, so the whole
+       spectrogram still executes). Fresh salt per call.
+    2. the tunnel's per-dispatch fixed cost (~30-40ms on bad days) is
+       removed exactly by a two-point fit: time chains of length L and
+       2L, per-rep rate = n*L / (t2 - t1).
     """
     import jax
     import jax.numpy as jnp
@@ -203,27 +211,44 @@ def measure_stft_throughput(
 
     stft = spectrogram_pallas if jax.default_backend() == "tpu" else spectrogram
 
-    @jax.jit
-    def chain(x, salt):
-        def body(carry, _):
-            out = stft(x + carry + salt)
-            return jnp.mean(out) * 1e-6, None
+    def make_chain(length):
+        @jax.jit
+        def chain(x, salt):
+            def body(carry, _):
+                xc, acc = carry
+                out = stft(xc)
+                dep = jnp.sum(out[..., :1, :8]) * 1e-30
+                # +1.0+salt keeps the perturbation representable in f32 (a
+                # bare epsilon would round away, leaving xc bit-identical)
+                xc = xc.at[0].add(dep + salt + 1.0)
+                return (xc, acc + dep), None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=chain_len)
-        return c
+            (xc, acc), _ = jax.lax.scan(
+                body, (x, jnp.float32(0.0)), None, length=length
+            )
+            return acc + xc[0]
+
+        return chain
 
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(n_wave_samples,)).astype(
             np.float32
         )
     )
-    float(chain(x, jnp.float32(0.0)))  # compile + warm
+    c1 = make_chain(chain_len)
+    c2 = make_chain(2 * chain_len)
+    float(c1(x, jnp.float32(0.0)))  # compile + warm
+    float(c2(x, jnp.float32(0.0)))
     rates, v = [], 0.0
     for r in range(reps):
+        salt = jnp.float32(1.0 + r)
         t0 = time.perf_counter()
-        v = float(chain(x, jnp.float32(1.0 + r)))  # fresh arg, value fetch
-        dt = (time.perf_counter() - t0) / chain_len
-        rates.append(n_wave_samples / dt)
+        float(c1(x, salt))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        v = float(c2(x, salt + 0.5))
+        t2 = time.perf_counter() - t0
+        rates.append(n_wave_samples * chain_len / max(t2 - t1, 1e-9))
     med, spread = _rep_stats(rates)
     return med, v, spread
 
@@ -315,10 +340,13 @@ def _measure_set(args):
     # high-latency days (observed 2.1 vs 3.3 M across rounds); 64 epochs
     # pushes the RTT fraction under ~25%
     aec_epochs = 64 if args.quick else 16
-    # same RTT math for the STFT: the kernel does 4M samples in ~4 ms, so
-    # short chains measure the tunnel, not the chip
+    # STFT: two-point chain fit (L vs 2L) cancels the tunnel's fixed
+    # per-dispatch cost exactly; L must still be long enough that the
+    # timed difference (L x ~70-280us/rep) dwarfs tunnel jitter — a
+    # quick-mode chain of 40 left only ~6ms of timed work and read 160%
+    # spread; 240 reps is still <70ms of device time per dispatch
     n_wave = 2_000_000 if args.quick else 4_000_000
-    chain = 30 if args.quick else 50
+    chain = 240 if args.quick else 160
     # streaming caps its sample count: at 8 epochs/rep every window
     # crosses the host wire 8 times, so 262k+ full-mode runs take tens
     # of minutes for no extra signal. Say so instead of silently
@@ -363,7 +391,13 @@ def _measure_set(args):
         ),
         "stft_pallas": (
             "stft_wave_samples_per_sec",
-            lambda: measure_stft_throughput(n_wave, chain, reps=args.reps),
+            # each rep is ~2s, so afford extra reps: a single multi-100ms
+            # tunnel stall inside one rep's ~40ms timed window skews that
+            # rep ~10x — the median over >=5 reps stays put (observed:
+            # median stable at 14.5-14.9 G while min reps read 0.2-1.2 G)
+            lambda: measure_stft_throughput(
+                n_wave, chain, reps=max(args.reps, 5)
+            ),
         ),
         "stream": (
             "stream_train_samples_per_sec",

@@ -7,8 +7,9 @@ the unsharded `spectrogram_pallas` flagship number. Validates that routing
 the fused kernel through the sharded path keeps Pallas-class per-device
 throughput (VERDICT r2 missing #1).
 
-Timing uses a scan dependency chain + value fetch (the remote tunnel
-memoizes repeated identical executes; bench.py measure_stft_throughput).
+Timing uses the two-point O(1)-dependency chain harness (chains of L
+and 2L reps, rate = n*L/(t2-t1) — cancels the tunnel's per-dispatch
+fixed cost and adds no per-rep work; bench.py measure_stft_throughput).
 
 Run from /root/repo:  python benchmarks/sharded_stft_tpu.py
 """
@@ -40,7 +41,6 @@ def main():
     from spectrogram_cube_clustering_tpu.signal.stft import spectrogram
 
     n = 4_000_000
-    reps = 50  # long chain: short ones measure tunnel RTT, not the chip
     mesh = make_data_mesh()
     print(f"mesh: {mesh.devices.size} device(s), backend {jax.default_backend()}")
 
@@ -50,25 +50,43 @@ def main():
 
     results = {}
 
-    def timed(name, fn):
-        @jax.jit
-        def chain(x, salt):
-            def body(carry, _):
-                out = fn(x + carry + salt)
-                return jnp.mean(out) * 1e-6, None
+    def timed(name, fn, chain_len=100):
+        def make_chain(length):
+            @jax.jit
+            def chain(x, salt):
+                def body(carry, _):
+                    xc, acc = carry
+                    out = fn(xc)
+                    dep = jnp.sum(out[..., :1, :8]) * 1e-30
+                    xc = xc.at[0].add(dep + salt + 1.0)
+                    return (xc, acc + dep), None
 
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-            return c
+                (xc, acc), _ = jax.lax.scan(
+                    body, (x, jnp.float32(0.0)), None, length=length
+                )
+                return acc + xc[0]
 
+            return chain
+
+        c1, c2 = make_chain(chain_len), make_chain(2 * chain_len)
         t0 = time.perf_counter()
-        float(chain(x, jnp.float32(0.0)))  # compile + warm
+        float(c1(x, jnp.float32(0.0)))  # compile + warm
+        float(c2(x, jnp.float32(0.0)))
         print(f"{name}: compile+warm {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        float(chain(x, jnp.float32(1.0)))
-        dt = (time.perf_counter() - t0) / reps
-        rate = n / dt
-        results[name] = rate
-        print(f"{name}: {rate / 1e6:.0f} Msamples/s")
+        rates = []
+        for r in range(3):
+            salt = jnp.float32(1.0 + r)
+            t0 = time.perf_counter()
+            float(c1(x, salt))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(c2(x, salt + 0.5))
+            t2 = time.perf_counter() - t0
+            rates.append(n * chain_len / max(t2 - t1, 1e-9))
+        rates.sort()
+        results[name] = rates[1]
+        print(f"{name}: {rates[1] / 1e6:.0f} Msamples/s "
+              f"(spread {100 * (rates[2] - rates[0]) / rates[1]:.0f}%)")
 
     timed("unsharded_pallas", lambda v: spectrogram_pallas(v))
     timed(

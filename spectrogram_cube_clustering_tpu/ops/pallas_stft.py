@@ -19,13 +19,19 @@ manual DMA — all three are Mosaic compile hazards (miscompiles or
 pathological compile times, found empirically on v5e).
 
 Measured on one v5e chip (4M-sample waveform, nperseg=200, hop=100):
-~3,435 Msamples/s vs ~71 Msamples/s for the XLA rfft path — ~46x —
-(chain-50 dependency timing, benchmarks/RESULTS.md; shorter chains
-under-report by folding in the remote tunnel's per-dispatch RTT) with
-numerics matching signal.stft.spectrogram to 1.2e-4 absolute on the log10
-scale (f32-precision matmuls; the MXU's default reduced precision is NOT
-acceptable here — the windowed DFT cancels catastrophically at near-zero
-DC/Nyquist bins and shows O(1) log-scale errors).
+13.0–14.8 Gsamples/s vs ~71 Msamples/s for the XLA rfft path — ~200x —
+(two-point dependency-chain timing that cancels the remote tunnel's
+per-dispatch cost; benchmarks/RESULTS.md "STFT interior" section. Three
+interior rules bought ~4.4x over the first version: write only the
+nfreq lanes from the kernel so the padded output never re-streams
+through HBM; skip the vmap wrapper for single waveforms; stage the row
+planes strictly 2-D — a unit batch axis threaded through the staging
+pads/stack costs 2.5x the whole op.) Numerics match
+signal.stft.spectrogram to ~3e-4 (1-D) / ~6e-4 (batched) absolute on the
+log10 scale
+(f32-precision matmuls; the MXU's default reduced precision is NOT
+acceptable here — the windowed DFT cancels catastrophically at
+near-zero DC/Nyquist bins and shows O(1) log-scale errors).
 """
 
 from __future__ import annotations
@@ -74,12 +80,16 @@ def _windowed_dft_bases(nperseg: int, hop: int, nfreq_pad: int):
 
 def _stft_kernel(planes_ref, cos_ref, sin_ref, out_ref, *, ratio, eps):
     # planes_ref: (ratio, F, LANE) — plane j holds frame rows shifted by j;
-    # cos/sin: (ratio, LANE, nfreq_pad); out: (F, nfreq_pad).
+    # cos/sin: (ratio, LANE, nfreq_pad); out: (F, nfreq) — NARROW: the HBM
+    # output keeps only the nfreq real bins, so the padded lanes never
+    # leave the kernel and no host-side lane-slice copy remains (the
+    # standalone slice cost as much as the whole kernel, RESULTS.md).
     # HIGHEST: the DFT cancels catastrophically at near-zero bins
     # (DC/Nyquist under a Hann window), where the MXU's default bf16
     # multiplies show up as O(1) errors on the log10 scale.
-    c = jnp.zeros(out_ref.shape, jnp.float32)
-    s = jnp.zeros(out_ref.shape, jnp.float32)
+    nf = out_ref.shape[1]
+    c = jnp.zeros((planes_ref.shape[1], cos_ref.shape[2]), jnp.float32)
+    s = jnp.zeros_like(c)
     for j in range(ratio):
         rows = planes_ref[j]
         c += jnp.dot(
@@ -90,7 +100,7 @@ def _stft_kernel(planes_ref, cos_ref, sin_ref, out_ref, *, ratio, eps):
             rows, sin_ref[j], preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    out_ref[:] = jnp.log10(c * c + s * s + eps)
+    out_ref[:] = jnp.log10(c * c + s * s + eps)[:, :nf]
 
 
 @functools.partial(
@@ -138,15 +148,19 @@ def spectrogram_pallas(
     # samples past it (t > rows_needed * hop) — drop those, never pad by
     # a negative width
     need = rows_needed * hop
-    x2 = x.reshape(-1, t).astype(jnp.float32)
-    x2 = jnp.pad(x2[:, :need], ((0, 0), (0, max(0, need - t))))
-    x2 = x2.reshape(-1, rows_needed, hop)
-    if hop < LANE:
-        x2 = jnp.pad(x2, ((0, 0), (0, 0), (0, LANE - hop)))
-    # ratio shifted row planes: planes[:, j, f] = rows[f + j]
-    planes = jnp.stack(
-        [x2[:, j : j + rows_padded, :] for j in range(ratio)], axis=1
-    )  # (B, ratio, rows_padded, LANE)
+
+    def _stage(x1):
+        # (t,) -> (ratio, rows_padded, LANE) shifted row planes:
+        # planes[j, f] = rows[f + j]. Staged strictly in 2-D/3-D — threading
+        # a unit batch axis through these pads/stacks instead costs ~2.5x
+        # the whole op on v5e (benchmarks/stft_outslice_tpu.py A/B).
+        x2 = jnp.pad(x1[:need], (0, max(0, need - t)))
+        x2 = x2.reshape(rows_needed, hop)
+        if hop < LANE:
+            x2 = jnp.pad(x2, ((0, 0), (0, LANE - hop)))
+        return jnp.stack([x2[j : j + rows_padded] for j in range(ratio)])
+
+    flat = x.reshape(-1, t).astype(jnp.float32)
 
     kernel = functools.partial(_stft_kernel, ratio=ratio, eps=eps)
 
@@ -168,19 +182,26 @@ def spectrogram_pallas(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (frames_per_block, nfreq_pad), lambda i: (i, 0),
+            (frames_per_block, nfreq), lambda i: (i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_blocks * frames_per_block, nfreq_pad), jnp.float32
+            (n_blocks * frames_per_block, nfreq), jnp.float32
         ),
         interpret=interpret,  # CPU test path; compiled Mosaic on TPU
     )
 
-    # vmap folds the batch/channel axis into the kernel grid as one
-    # pallas_call (lax.map would lower to a scan of C dependent calls,
-    # repeating the grid prologue per channel with no cross-channel
-    # pipelining)
-    out = jax.vmap(call, in_axes=(0, None, None))(planes, cos, sin)
-    out = out[:, :n_frames, :nfreq]
+    if flat.shape[0] == 1:
+        # single waveform: skip the vmap wrapper and batch-axis staging
+        # entirely — together with the narrow output this is worth ~3x
+        # standalone (RESULTS.md, benchmarks/stft_outslice_tpu.py)
+        out = call(_stage(flat[0]), cos, sin)[:n_frames][None]
+    else:
+        # vmap folds the batch/channel axis into the kernel grid as one
+        # pallas_call (lax.map would lower to a scan of C dependent calls,
+        # repeating the grid prologue per channel with no cross-channel
+        # pipelining)
+        planes = jax.vmap(_stage)(flat)
+        out = jax.vmap(call, in_axes=(0, None, None))(planes, cos, sin)
+        out = out[:, :n_frames]
     return out.reshape(*batch_shape, n_frames, nfreq)
