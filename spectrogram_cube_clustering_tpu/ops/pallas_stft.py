@@ -9,29 +9,33 @@ and its log-factor advantage is irrelevant at nperseg ~ 200. (The same
 GEMM-native NDFT argument for accelerator frontends appears publicly in
 MelT, arXiv:2606.01009.)
 
-Layout: the waveform is staged as `ratio = nperseg/hop` row planes of
-hop-sample rows padded to the 128-lane tile, plane j shifted by j rows —
-so frame f's j-th hop-chunk is plane[j][f] and the kernel is pure aligned
-BlockSpec pipelining: per grid step it reads a (ratio, F, 128) block and
-accumulates `ratio` (F, 128) @ (128, nfreq) MXU matmuls against
-hop-chunked windowed DFT bases. No sublane-shifted slices, rolls, or
-manual DMA — all three are Mosaic compile hazards (miscompiles or
-pathological compile times, found empirically on v5e).
+Layout (round-3 "rawread" rewrite): the kernel reads the waveform's
+NATURAL (rows, hop) reshape directly — no staged shifted planes, so the
+former ratio-fold HBM staging blowup (~60% of the op, RESULTS.md "STFT
+interior") is gone. Each grid step gets its (fpb, hop) row block plus a
+halo block of the next `halo >= ratio-1` rows from the SAME array via a
+second BlockSpec (index map (i+1)*fpb/halo); in VMEM it computes
+Y_j = rows_cat @ basis_j over fpb+halo rows per hop-chunk j and
+accumulates the frame sum as shifted slices of the dot VALUES:
+c = sum_j Y_j[j : j+fpb]. The v5e Mosaic hazards this repo documented
+are sublane-shifted slices as MATMUL OPERANDS (miscompile) and lane-axis
+concats of shifted views (compile error) — here shifts touch only dot
+outputs feeding adds, and the one concat (rowsA ++ rowsB) is a
+sublane-axis concat of unshifted refs. Ragged tail frames (the < fpb
+remainder plus the halo's overhang) run through a second, tiny pallas
+call on a zero-padded tail slice — NOT the XLA rfft path, whose
+worst-case ~fpb-frame tail would cost more than the whole kernel.
 
 Measured on one v5e chip (4M-sample waveform, nperseg=200, hop=100):
-13.0–14.8 Gsamples/s vs ~71 Msamples/s for the XLA rfft path — ~200x —
-(two-point dependency-chain timing that cancels the remote tunnel's
-per-dispatch cost; benchmarks/RESULTS.md "STFT interior" section. Three
-interior rules bought ~4.4x over the first version: write only the
-nfreq lanes from the kernel so the padded output never re-streams
-through HBM; skip the vmap wrapper for single waveforms; stage the row
-planes strictly 2-D — a unit batch axis threaded through the staging
-pads/stack costs 2.5x the whole op.) Numerics match
-signal.stft.spectrogram to ~3e-4 (1-D) / ~6e-4 (batched) absolute on the
-log10 scale
-(f32-precision matmuls; the MXU's default reduced precision is NOT
-acceptable here — the windowed DFT cancels catastrophically at
-near-zero DC/Nyquist bins and shows O(1) log-scale errors).
+16.5 Gsamples/s vs 10.3 for the previous staged-plane kernel same hour
+(benchmarks/stft_rawread_tpu.py; two-point dependency-chain timing that
+cancels the remote tunnel's per-dispatch cost) and ~71 Msamples/s for
+the XLA rfft path — ~230x. Numerics match signal.stft.spectrogram to
+the same worst-case error as the staged kernel (2.2e-3 at one near-zero
+DC bin, p99.9 = 3.5e-6, f32-precision matmuls; the MXU's default
+reduced precision is NOT acceptable here — the windowed DFT cancels
+catastrophically at near-zero DC/Nyquist bins and shows O(1) log-scale
+errors).
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
+SUBLANE = 8  # f32 sublane tile; halo heights and block rows align to it
 
 
 def _round_up(x: int, m: int) -> int:
@@ -54,8 +59,8 @@ def _round_up(x: int, m: int) -> int:
 def _windowed_dft_bases(nperseg: int, hop: int, nfreq_pad: int):
     """Hann-windowed rDFT bases laid out per hop-chunk:
     (ratio, LANE, nfreq_pad); chunk j rows [0, hop) hold windowed basis
-    rows [j*hop, (j+1)*hop), pad rows are zero (they meet the waveform's
-    pad lanes)."""
+    rows [j*hop, (j+1)*hop), pad rows are zero (the kernel only reads
+    the [:hop] slice)."""
     # window + DFT convention come from signal.stft's numpy singletons —
     # the jnp spectrogram there is this kernel's parity oracle, and a
     # second copy of either formula could silently diverge from it
@@ -78,29 +83,70 @@ def _windowed_dft_bases(nperseg: int, hop: int, nfreq_pad: int):
     return jnp.asarray(cos), jnp.asarray(sin)
 
 
-def _stft_kernel(planes_ref, cos_ref, sin_ref, out_ref, *, ratio, eps):
-    # planes_ref: (ratio, F, LANE) — plane j holds frame rows shifted by j;
-    # cos/sin: (ratio, LANE, nfreq_pad); out: (F, nfreq) — NARROW: the HBM
+def _stft_kernel(rowsA_ref, rowsB_ref, cos_ref, sin_ref, out_ref, *,
+                 ratio, hop, eps):
+    # rowsA: (fpb, hop) hop-sample waveform rows; rowsB: (halo, hop) the
+    # next halo rows of the SAME array (frame f spans rows f..f+ratio-1,
+    # so the block's last frames read past its own rows); cos/sin:
+    # (ratio, LANE, nfreq_pad); out: (fpb, nfreq) — NARROW: the HBM
     # output keeps only the nfreq real bins, so the padded lanes never
     # leave the kernel and no host-side lane-slice copy remains (the
     # standalone slice cost as much as the whole kernel, RESULTS.md).
     # HIGHEST: the DFT cancels catastrophically at near-zero bins
     # (DC/Nyquist under a Hann window), where the MXU's default bf16
     # multiplies show up as O(1) errors on the log10 scale.
-    nf = out_ref.shape[1]
-    c = jnp.zeros((planes_ref.shape[1], cos_ref.shape[2]), jnp.float32)
+    fpb, nf = out_ref.shape
+    rows_cat = jnp.concatenate([rowsA_ref[:], rowsB_ref[:]], axis=0)
+    c = jnp.zeros((fpb, cos_ref.shape[2]), jnp.float32)
     s = jnp.zeros_like(c)
     for j in range(ratio):
-        rows = planes_ref[j]
-        c += jnp.dot(
-            rows, cos_ref[j], preferred_element_type=jnp.float32,
+        yc = jnp.dot(
+            rows_cat, cos_ref[j, :hop, :],
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        s += jnp.dot(
-            rows, sin_ref[j], preferred_element_type=jnp.float32,
+        ys = jnp.dot(
+            rows_cat, sin_ref[j, :hop, :],
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        c += yc[j : j + fpb]
+        s += ys[j : j + fpb]
     out_ref[:] = jnp.log10(c * c + s * s + eps)[:, :nf]
+
+
+def _make_call(kernel, n_blocks, fpb, halo, hop, ratio, nfreq, nfreq_pad,
+               interpret):
+    """pallas_call over (n_blocks,) grid; step i reads waveform rows
+    [i*fpb, (i+1)*fpb + halo) as two aligned blocks and writes frames
+    [i*fpb, (i+1)*fpb). Requires fpb % halo == 0 (the halo block's index
+    map counts in halo-row units)."""
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (fpb, hop), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (halo, hop), lambda i: ((i + 1) * (fpb // halo), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ratio, LANE, nfreq_pad), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ratio, LANE, nfreq_pad), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (fpb, nfreq), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * fpb, nfreq), jnp.float32),
+        interpret=interpret,  # CPU test path; compiled Mosaic on TPU
+    )
 
 
 @functools.partial(
@@ -115,7 +161,7 @@ def spectrogram_pallas(
     hop: int = 100,
     log: bool = True,
     eps: float = 1e-12,
-    frames_per_block: int = 256,
+    frames_per_block: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused log-power spectrogram: (..., T) -> (..., n_frames, nfreq).
@@ -140,68 +186,62 @@ def spectrogram_pallas(
     cos, sin = _windowed_dft_bases(nperseg, hop, nfreq_pad)
 
     ratio = nperseg // hop
-    n_blocks = -(-n_frames // frames_per_block)
-    rows_padded = n_blocks * frames_per_block
-    rows_needed = rows_padded + ratio - 1
-    # hop-row layout, each row padded to the 128-lane tile; rows_needed
-    # always covers the last full frame, but the signal may carry leftover
-    # samples past it (t > rows_needed * hop) — drop those, never pad by
-    # a negative width
-    need = rows_needed * hop
+    # halo rows each block reads past its own: enough for the last
+    # frame's ratio-1 overhang, aligned to the f32 sublane tile (non-8-
+    # multiple sublane DMA lengths fault at runtime on v5e)
+    halo = _round_up(max(ratio - 1, 1), SUBLANE)
+    fpb = _round_up(frames_per_block, halo)
+    kernel = functools.partial(_stft_kernel, ratio=ratio, hop=hop, eps=eps)
 
-    def _stage(x1):
-        # (t,) -> (ratio, rows_padded, LANE) shifted row planes:
-        # planes[j, f] = rows[f + j]. Staged strictly in 2-D/3-D — threading
-        # a unit batch axis through these pads/stacks instead costs ~2.5x
-        # the whole op on v5e (benchmarks/stft_outslice_tpu.py A/B).
-        x2 = jnp.pad(x1[:need], (0, max(0, need - t)))
-        x2 = x2.reshape(rows_needed, hop)
-        if hop < LANE:
-            x2 = jnp.pad(x2, ((0, 0), (0, LANE - hop)))
-        return jnp.stack([x2[j : j + rows_padded] for j in range(ratio)])
+    rows_avail = t // hop
+    n_main = max((rows_avail - halo) // fpb, 0)
+    frames_main = n_main * fpb  # always <= n_frames (halo >= ratio-1)
+    tail_frames = n_frames - frames_main
+
+    main_call = tail_call = None
+    if n_main:
+        main_call = _make_call(
+            kernel, n_main, fpb, halo, hop, ratio, nfreq, nfreq_pad,
+            interpret,
+        )
+    if tail_frames:
+        # the < fpb + halo remaining frames run as one tiny grid step on
+        # a zero-padded tail slice; fpb_t is halo-aligned so the halo
+        # block's index map stays in whole blocks
+        fpb_t = _round_up(tail_frames, halo)
+        need_t = (fpb_t + halo) * hop
+        tail_start = frames_main * hop
+        tail_call = _make_call(
+            kernel, 1, fpb_t, halo, hop, ratio, nfreq, nfreq_pad, interpret
+        )
+
+    def _one(x1):
+        # staging is strictly per-waveform 2-D: the main grid reads the
+        # natural (rows, hop) reshape with NO pad/stack copies (threading
+        # a unit batch axis through staging ops costs ~2.5x the whole op
+        # on v5e — benchmarks/stft_outslice_tpu.py A/B)
+        parts = []
+        if main_call is not None:
+            x2 = x1[: rows_avail * hop].reshape(rows_avail, hop)
+            parts.append(main_call(x2, x2, cos, sin))
+        if tail_call is not None:
+            seg = x1[tail_start : min(tail_start + need_t, t)]
+            seg = jnp.pad(seg, (0, need_t - seg.shape[0]))
+            xt = seg.reshape(fpb_t + halo, hop)
+            parts.append(tail_call(xt, xt, cos, sin)[:tail_frames])
+        return (
+            jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        )
 
     flat = x.reshape(-1, t).astype(jnp.float32)
-
-    kernel = functools.partial(_stft_kernel, ratio=ratio, eps=eps)
-
-    call = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (ratio, frames_per_block, LANE), lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (ratio, LANE, nfreq_pad), lambda i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (ratio, LANE, nfreq_pad), lambda i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (frames_per_block, nfreq), lambda i: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_blocks * frames_per_block, nfreq), jnp.float32
-        ),
-        interpret=interpret,  # CPU test path; compiled Mosaic on TPU
-    )
-
     if flat.shape[0] == 1:
-        # single waveform: skip the vmap wrapper and batch-axis staging
-        # entirely — together with the narrow output this is worth ~3x
-        # standalone (RESULTS.md, benchmarks/stft_outslice_tpu.py)
-        out = call(_stage(flat[0]), cos, sin)[:n_frames][None]
+        # single waveform: skip the vmap wrapper entirely — worth ~3x
+        # standalone next to the narrow output (RESULTS.md)
+        out = _one(flat[0])[None]
     else:
         # vmap folds the batch/channel axis into the kernel grid as one
         # pallas_call (lax.map would lower to a scan of C dependent calls,
         # repeating the grid prologue per channel with no cross-channel
         # pipelining)
-        planes = jax.vmap(_stage)(flat)
-        out = jax.vmap(call, in_axes=(0, None, None))(planes, cos, sin)
-        out = out[:, :n_frames]
+        out = jax.vmap(_one)(flat)
     return out.reshape(*batch_shape, n_frames, nfreq)

@@ -95,13 +95,16 @@ def dft_matrices(nperseg: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndar
 def pallas_eligible(nperseg: int, hop: int, platform: str = None) -> bool:
     """True when the backend + STFT geometry can use the fused Pallas
     kernel: its hop-chunk layout needs nperseg % hop == 0, hop <= 128
-    lanes (ops/pallas_stft.py preconditions), and a bounded staging
-    inflation — the layout stacks ratio = nperseg/hop shifted planes of
-    128-lane-padded hop rows, a ratio*(128/hop) memory factor over the
-    raw waveform; small hops (e.g. nperseg=512, hop=8 -> ~1024x) would
-    OOM HBM on inputs the XLA path handles trivially. Other configs fall
-    back to the XLA path, which handles them fine. `platform` overrides
-    the process default backend (pass the target mesh's device platform
+    lanes (ops/pallas_stft.py preconditions), and the resident
+    hop-chunked DFT bases — 2 * ratio * 128 * round_up(nfreq, 128) f32,
+    pinned in VMEM for every grid step — must leave room for the row
+    blocks and accumulators in the ~16 MiB v5e VMEM (e.g. nperseg=512 /
+    hop=8 needs ~25 MiB of bases alone). The round-3 rawread layout
+    reads the waveform's natural (rows, hop) reshape directly, so the
+    old staged-plane HBM inflation is gone and small-ratio geometries
+    that bound used to reject are now fine. Other configs fall back to
+    the XLA path, which handles them fine. `platform` overrides the
+    process default backend (pass the target mesh's device platform
     when the devices differ from the default, e.g. a CPU mesh in a
     TPU-default process)."""
     if not (
@@ -110,8 +113,9 @@ def pallas_eligible(nperseg: int, hop: int, platform: str = None) -> bool:
         and hop <= 128
     ):
         return False
-    inflation = (nperseg // hop) * (128.0 / hop)
-    return inflation <= 16.0
+    nfreq_pad = -(-(nperseg // 2 + 1) // 128) * 128
+    bases_bytes = 2 * (nperseg // hop) * 128 * nfreq_pad * 4
+    return bases_bytes <= 4 * 1024 * 1024
 
 
 def spectrogram_windows(

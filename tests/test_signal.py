@@ -115,18 +115,20 @@ class TestSTFT:
         )
         np.testing.assert_allclose(got, ref, atol=2e-3)
 
-    def test_pallas_eligible_bounds_staging_inflation(self):
-        """Small hops inflate the hop-chunk staging by ratio*(128/hop);
-        nperseg=512/hop=8 (~1024x, an HBM OOM on inputs the XLA path
-        handles trivially) must fall back (review r3)."""
+    def test_pallas_eligible_bounds_basis_vmem(self):
+        """The resident hop-chunked bases (2*ratio*128*nfreq_pad f32)
+        must fit the VMEM budget; nperseg=512/hop=8 needs ~25 MiB of
+        bases and must fall back. nperseg=128/hop=16 (2 MiB) was
+        rejected by the old staged-plane HBM bound but is fine under
+        the round-3 rawread layout (no staging copies at all)."""
         from spectrogram_cube_clustering_tpu.signal.stft import (
             pallas_eligible,
         )
 
-        assert pallas_eligible(200, 100, platform="tpu")   # flagship: 2.56x
-        assert pallas_eligible(256, 128, platform="tpu")   # 2x
-        assert not pallas_eligible(512, 8, platform="tpu")  # ~1024x
-        assert not pallas_eligible(128, 16, platform="tpu")  # 64x
+        assert pallas_eligible(200, 100, platform="tpu")   # 512 KiB
+        assert pallas_eligible(256, 128, platform="tpu")   # 1 MiB
+        assert pallas_eligible(128, 16, platform="tpu")    # 2 MiB
+        assert not pallas_eligible(512, 8, platform="tpu")  # ~25 MiB
 
 
 class TestShardedSpectrogram:
