@@ -73,6 +73,35 @@ class TestSTFT:
         assert got.shape == ref.shape == (8, 101)
         np.testing.assert_allclose(got, ref, atol=2e-3)
 
+    def test_pallas_kernel_high_ratio_geometry(self, rng):
+        """nperseg=128/hop=16 (ratio 8) — rejected by the old staged-plane
+        eligibility bound, admitted by the rawread layout; the halo here
+        (round_up(7, 8) = 8) exactly equals ratio-1+1, exercising frames
+        whose overhang touches the halo block's last row."""
+        x = rng.normal(size=(20_000,)).astype(np.float32)
+        ref = np.asarray(signal.spectrogram(jnp.asarray(x), nperseg=128, hop=16))
+        got = np.asarray(
+            spectrogram_pallas(
+                jnp.asarray(x), nperseg=128, hop=16, interpret=True,
+                frames_per_block=256,
+            )
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_pallas_kernel_all_tail(self, rng):
+        """t small enough that n_main=0: every frame runs through the
+        tail call on the zero-padded slice (rawread layout)."""
+        x = rng.normal(size=(1_100,)).astype(np.float32)
+        ref = np.asarray(signal.spectrogram(jnp.asarray(x)))
+        got = np.asarray(
+            spectrogram_pallas(
+                jnp.asarray(x), interpret=True, frames_per_block=512
+            )
+        )
+        assert got.shape == ref.shape == (10, 101)
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
     def test_spectrogram_windows_pallas_autoselect_fallback(self, rng, monkeypatch):
         """use_pallas=None on a TPU backend must NOT route configs the
         Pallas kernel rejects (nperseg % hop != 0, hop > 128) into it."""
