@@ -73,6 +73,32 @@ class TestSTFT:
         assert got.shape == ref.shape == (8, 101)
         np.testing.assert_allclose(got, ref, atol=2e-3)
 
+    @pytest.mark.parametrize(
+        "nperseg,hop,t",
+        [
+            (100, 100, 5_003),   # ratio 1: frames never span rows
+            (120, 40, 7_919),    # ratio 3, odd prime-ish t
+            (192, 32, 6_144),    # ratio 6, t an exact row multiple
+            (200, 100, 200),     # exactly one frame
+            (160, 80, 9_760),    # tail lands exactly on a block edge
+        ],
+    )
+    def test_pallas_kernel_geometry_fuzz(self, rng, nperseg, hop, t):
+        """Rawread layout across ratio/tail alignments (interpret mode):
+        main-grid vs all-tail splits, halo-aligned and ragged tails."""
+        x = rng.normal(size=(t,)).astype(np.float32)
+        ref = np.asarray(
+            signal.spectrogram(jnp.asarray(x), nperseg=nperseg, hop=hop)
+        )
+        got = np.asarray(
+            spectrogram_pallas(
+                jnp.asarray(x), nperseg=nperseg, hop=hop, interpret=True,
+                frames_per_block=32,
+            )
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
     def test_pallas_kernel_high_ratio_geometry(self, rng):
         """nperseg=128/hop=16 (ratio 8) — rejected by the old staged-plane
         eligibility bound, admitted by the rawread layout; the halo here
