@@ -991,6 +991,81 @@ def test_h5_stream_loadmode(h5_catalog):
     )
 
 
+def test_waveform_workflow(tmp_path):
+    """datafiletype='waveform' end-to-end: raw .npy waveform -> on-device
+    STFT windows (signal.stft.spectrogram_windows; the Pallas kernel on
+    TPU backends, XLA here) -> AEC train/predict -> GMM -> DEC recovers
+    planted band-limited-noise classes. On-chip twin:
+    benchmarks/waveform_workflow_tpu.py (NMI 1.0000)."""
+    seg, n_seg, k = 4_000, 30, 3
+    rng = np.random.default_rng(11)
+    segs, seg_labels = [], []
+    for s in range(n_seg):
+        c = s % k
+        spec = np.zeros(seg // 2 + 1, np.complex128)
+        lo, hi = (10 + 25 * c) * seg // 200, (10 + 25 * c + 15) * seg // 200
+        spec[lo:hi] = rng.normal(size=hi - lo) + 1j * rng.normal(size=hi - lo)
+        w = np.fft.irfft(spec, n=seg).astype(np.float32)
+        segs.append(w / (np.abs(w).max() + 1e-9))
+        seg_labels.append(c)
+    wave = np.concatenate(segs)
+    wave_path = str(tmp_path / "wave.npy")
+    np.save(wave_path, wave)
+    n_windows = ((len(wave) - 200) // 100 + 1) // 4
+    truth = np.asarray([seg_labels[(400 * w) // seg] for w in range(n_windows)])
+
+    def mk(model, mode, parameters=None, hp=None):
+        params = dict(parameters or {})
+        params["datafiletype"] = "waveform"
+        universal = {
+            "fname_dataset": wave_path,
+            "savepath": str(tmp_path / "Outputs"),
+            "configpath": str(tmp_path / "Config"),
+            "transform": "sample_norm_cent",
+        }
+        p = {"model": model, "mode": mode, "tb": "False", "show": "False"}
+        p.update(params)
+        ini = scc_utils.config_training(universal, p, hp)
+        config = scc_utils.load_config(ini)
+        config.init_exp_env()
+        return config
+
+    config = mk(
+        "AEC", "train",
+        {"n_epochs": 10, "early_stopping": "False"},
+        {"batch_size": "32", "lr": "0.001"},
+    )
+    [aec] = workflow.train(config)
+    assert tuple(config.input_hw) == (4, 101)
+    assert aec["history"]["train"][-1] < aec["history"]["train"][0]
+    weights = os.path.join(aec["savepath_run"], "AEC_Params_Final")
+
+    config = mk("AEC", "predict", {"saved_weights": weights})
+    workflow.predict(config)
+    pred = os.path.join(aec["savepath_run"], "Prediction")
+    assert np.load(os.path.join(pred, "Z_AEC.npy")).shape == (n_windows, 9)
+
+    config = mk(
+        "GMM", "fit",
+        {"saved_weights": weights, "km_n_init": 4, "km_max_iter": 100},
+        {"n_clusters": str(k)},
+    )
+    workflow.gmm_fit(config, figures=False)
+
+    config = mk(
+        "DEC", "train",
+        {"n_epochs": 3, "saved_weights": weights, "init": "load",
+         "update_interval": -1},
+        {"batch_size": "32", "lr": "0.0005", "n_clusters": str(k),
+         "gamma": "0.01", "tol": "0.0"},
+    )
+    [dec] = workflow.train(config)
+    from sklearn.metrics import normalized_mutual_info_score
+
+    nmi = normalized_mutual_info_score(truth, dec["labels"])
+    assert nmi > 0.9, f"waveform DEC NMI vs planted bands too low: {nmi:.3f}"
+
+
 def test_gallery_traces_np_catalog_returns_none():
     """h5_ftype='np' sources are .npy dumps with no /4.0/Trace — the
     gallery must omit the waveform row instead of crashing predict after
