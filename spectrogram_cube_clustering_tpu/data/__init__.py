@@ -14,6 +14,7 @@ from spectrogram_cube_clustering_tpu.data.prefetch import (
     PrefetchLoader,
     zarr_prefetch_loader,
 )
+from spectrogram_cube_clustering_tpu.data.waveform import WaveformStreamDataset
 
 __all__ = [
     "synthetic_windows",
@@ -26,4 +27,5 @@ __all__ = [
     "train_val_split",
     "PrefetchLoader",
     "zarr_prefetch_loader",
+    "WaveformStreamDataset",
 ]

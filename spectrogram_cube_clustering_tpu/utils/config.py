@@ -63,6 +63,7 @@ DATATYPES: Dict[str, str] = {
     "batch_size_predict": "int",
     "sync_every": "int",
     "attention_faithful": "bool",
+    "waveform_stream_block": "int",
 }
 
 _BOOL_TRUE = {"1", "yes", "true", "on"}

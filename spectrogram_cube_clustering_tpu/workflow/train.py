@@ -342,19 +342,31 @@ def _stream_sharding(config, mesh, batch_size: int):
 
 def _stream_dataset(config):
     """The streaming item source for loadmode='stream': the Zarr cube by
-    default, or the H5 event catalog (`datafiletype='h5'`,
-    data.h5.H5StreamDataset block reader). Sets `config.input_hw` so
-    make_model builds the matching geometry (same contract as
-    workflow.data.load_windows)."""
+    default, the H5 event catalog (`datafiletype='h5'`,
+    data.h5.H5StreamDataset block reader), or a raw memory-mapped
+    waveform (`datafiletype='waveform'`, data.waveform's host-STFT
+    block reader). Sets `config.input_hw` so make_model builds the
+    matching geometry (same contract as workflow.data.load_windows)."""
     from spectrogram_cube_clustering_tpu.data import ZarrCubeDataset
     from spectrogram_cube_clustering_tpu.workflow.data import _cube_spec
 
-    if getattr(config, "datafiletype", None) == "h5":
+    ftype = getattr(config, "datafiletype", None)
+    if ftype == "h5":
         from spectrogram_cube_clustering_tpu.data.h5 import H5StreamDataset
 
         ds = H5StreamDataset(
             config.fname_dataset,
             block=int(getattr(config, "h5_stream_block", None) or 256),
+        )
+    elif ftype == "waveform":
+        from spectrogram_cube_clustering_tpu.data import WaveformStreamDataset
+
+        ds = WaveformStreamDataset(
+            config.fname_dataset,
+            nperseg=int(getattr(config, "nperseg", None) or 200),
+            hop=int(getattr(config, "hop", None) or 100),
+            window_rows=int(getattr(config, "window_rows", None) or 4),
+            block=int(getattr(config, "waveform_stream_block", None) or 256),
         )
     else:
         ds = ZarrCubeDataset(config.fname_dataset, spec=_cube_spec(config))

@@ -628,6 +628,58 @@ class TestShardedKMeansFull:
         assert nmi(np.asarray(labels_1), np.asarray(labels)) > 0.99
 
 
+class TestWaveformStreamDataset:
+    def test_item_parity_with_spectrogram_windows(self, rng, tmp_path):
+        """The host-STFT streaming items, concatenated, equal the ram
+        path's spectrogram_windows output (transform=None) — same
+        convention singletons, same window ordering — incl. a ragged
+        last block."""
+        from spectrogram_cube_clustering_tpu.data import WaveformStreamDataset
+
+        wave = rng.normal(size=(20_100,)).astype(np.float32)
+        path = str(tmp_path / "w.npy")
+        np.save(path, wave)
+        ds = WaveformStreamDataset(path, block=13)
+        want = np.asarray(
+            signal.spectrogram_windows(
+                jnp.asarray(wave), transform=None, use_pallas=False
+            )
+        )
+        got = np.concatenate([ds.item(i) for i in range(len(ds))], axis=0)
+        assert got.shape == want.shape == (ds.n_windows, 4, 101, 1)
+        assert sum(ds.windows_per_item) == ds.n_windows
+        assert ds.windows_per_item[-1] == ds.n_windows % 13
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_multichannel_channel_major_order(self, rng, tmp_path):
+        from spectrogram_cube_clustering_tpu.data import WaveformStreamDataset
+
+        wave = rng.normal(size=(3, 6_000)).astype(np.float32)
+        path = str(tmp_path / "wmc.npy")
+        np.save(path, wave)
+        ds = WaveformStreamDataset(path, block=7)
+        want = np.asarray(
+            signal.spectrogram_windows(
+                jnp.asarray(wave), transform=None, use_pallas=False
+            )
+        )
+        got = np.concatenate([ds.item(i) for i in range(len(ds))], axis=0)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_rejects_bad_shapes(self, tmp_path):
+        from spectrogram_cube_clustering_tpu.data import WaveformStreamDataset
+
+        path = str(tmp_path / "bad.npy")
+        np.save(path, np.zeros((2, 3, 4), np.float32))
+        with pytest.raises(ValueError, match="waveform must be"):
+            WaveformStreamDataset(path)
+        short = str(tmp_path / "short.npy")
+        np.save(short, np.zeros((250,), np.float32))
+        with pytest.raises(ValueError, match="window_rows"):
+            WaveformStreamDataset(short)
+
+
 def test_load_data_waveform_multichannel(rng, tmp_path):
     import types
 

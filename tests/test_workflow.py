@@ -1066,6 +1066,49 @@ def test_waveform_workflow(tmp_path):
     assert nmi > 0.9, f"waveform DEC NMI vs planted bands too low: {nmi:.3f}"
 
 
+def test_waveform_stream_loadmode_matches_ram(tmp_path):
+    """loadmode='stream' over a raw waveform (WaveformStreamDataset's
+    host-STFT items) trains AEC to losses matching the ram path's
+    on-device-STFT windows. Window values are bit-level-pinned by
+    TestWaveformStreamDataset's item-parity test; here the train/val
+    SPLITS differ by design (ram permutes windows, stream permutes
+    stream items — same as the zarr tier), so losses agree at the
+    few-percent level, not bitwise."""
+    rng = np.random.default_rng(5)
+    wave = rng.normal(size=(60_000,)).astype(np.float32)
+    wave_path = str(tmp_path / "wave.npy")
+    np.save(wave_path, wave)
+
+    def run(loadmode, sub):
+        universal = {
+            "fname_dataset": wave_path,
+            "savepath": str(tmp_path / sub / "Outputs"),
+            "configpath": str(tmp_path / sub / "Config"),
+            "transform": "sample_norm_cent",
+        }
+        params = {
+            "model": "AEC", "mode": "train", "tb": "False", "show": "False",
+            "datafiletype": "waveform", "n_epochs": 3,
+            "early_stopping": "False", "loadmode": loadmode,
+        }
+        if loadmode == "stream":
+            params["workers"] = "2"
+            params["waveform_stream_block"] = "32"
+        ini = scc_utils.config_training(
+            universal, params, {"batch_size": "32", "lr": "0.001"}
+        )
+        config = scc_utils.load_config(ini)
+        config.init_exp_env()
+        [out] = workflow.train(config)
+        return out["history"]["train"]
+
+    ram = run("ram", "ram")
+    stream = run("stream", "stream")
+    assert len(ram) == len(stream) == 3
+    assert stream[-1] <= stream[0]
+    np.testing.assert_allclose(stream, ram, rtol=0.02)
+
+
 def test_gallery_traces_np_catalog_returns_none():
     """h5_ftype='np' sources are .npy dumps with no /4.0/Trace — the
     gallery must omit the waveform row instead of crashing predict after
