@@ -353,3 +353,120 @@ class AECEncoder:
             self._fn, self.params, x, self.sizes, put=self._put
         )
         return np.concatenate([np.asarray(z[:n]) for z, n in chunks])
+
+
+class WaveformFrontend:
+    """Raw waveform -> windows front-stage for a serving predictor.
+
+    A deployed DAS/seismic model receives raw samples, not precomputed
+    spectrogram windows; this wraps a `DECPredictor`/`AECEncoder` (or a
+    `MicroBatcher` around one) so requests are `(T,)` or `(channels, T)`
+    waveforms. Windows are computed ON DEVICE (the fused Pallas kernel on
+    TPU backends, `signal.stft.spectrogram_windows`) in fixed-size
+    chunks: every request, whatever its length, runs the SAME compiled
+    STFT program — chunk c covers samples [c*chunk, c*chunk + chunk +
+    nperseg - hop) (the hop-overlap halo, so no frame straddles a chunk),
+    the zero-padded tail's surplus windows are sliced off, and the
+    resulting window stack feeds the predictor's own bucket ladder.
+    Normalization stays inside the predictor's jit, identical to
+    window-payload requests.
+    """
+
+    def __init__(
+        self,
+        predictor,
+        nperseg: int = 200,
+        hop: int = 100,
+        window_rows: int = 4,
+        chunk_samples: int = 1 << 20,
+        input_hw=None,
+    ):
+        if nperseg % hop or nperseg < hop:
+            # the window span below assumes the frame grid tiles chunks
+            raise ValueError(
+                f"waveform serving requires nperseg % hop == 0 "
+                f"(got {nperseg}/{hop})"
+            )
+        self.predictor = predictor
+        self.nperseg, self.hop = int(nperseg), int(hop)
+        self.window_rows = int(window_rows)
+        span = self.window_rows * self.hop
+        self.chunk = max(_round_up_int(int(chunk_samples), span), span)
+        self._seg_len = self.chunk + self.nperseg - self.hop
+        self._win_per_chunk = self.chunk // span
+        nfreq = self.nperseg // 2 + 1
+        hw = tuple(input_hw) if input_hw is not None else tuple(
+            getattr(predictor, "input_hw", (self.window_rows, nfreq))
+        )
+        if hw != (self.window_rows, nfreq):
+            raise ValueError(
+                f"STFT geometry produces ({self.window_rows}, {nfreq}) "
+                f"windows but the served model expects input_hw {hw}"
+            )
+
+        from spectrogram_cube_clustering_tpu.signal.stft import (
+            spectrogram_windows,
+        )
+
+        self._window_fn = lambda seg: spectrogram_windows(
+            seg, nperseg=self.nperseg, hop=self.hop,
+            window_rows=self.window_rows, transform=None,
+        )
+
+    def warmup(self) -> None:
+        """Pay the STFT chunk compile (and the predictor's buckets)."""
+        self.windows(np.zeros(self._seg_len, np.float32))
+        if hasattr(self.predictor, "warmup"):
+            self.predictor.warmup()
+
+    def n_windows(self, t: int) -> int:
+        """Windows one channel of length-t samples yields."""
+        n_frames = (t - self.nperseg) // self.hop + 1
+        return max(n_frames, 0) // self.window_rows
+
+    def windows(self, wave: np.ndarray) -> np.ndarray:
+        """(T,) | (C, T) -> (total_windows, window_rows, nfreq, 1) f32,
+        channel-major like `spectrogram_windows` and the streaming tier."""
+        w = np.asarray(wave, np.float32)
+        if w.ndim == 1:
+            w = w[None]
+        if w.ndim != 2:
+            raise ValueError(
+                f"waveform must be (T,) or (channels, T); got {wave.shape}"
+            )
+        n_win = self.n_windows(w.shape[1])
+        if n_win < 1:
+            raise ValueError(
+                f"waveform length {w.shape[1]} yields no complete "
+                f"({self.window_rows}, nfreq) window (needs >= "
+                f"{(self.window_rows - 1) * self.hop + self.nperseg} samples)"
+            )
+        parts = []
+        for ch in range(w.shape[0]):
+            remaining = n_win
+            for c in range(-(-n_win // self._win_per_chunk)):
+                seg = w[ch, c * self.chunk : c * self.chunk + self._seg_len]
+                if seg.shape[0] < self._seg_len:
+                    seg = np.pad(seg, (0, self._seg_len - seg.shape[0]))
+                got = np.asarray(self._window_fn(seg))
+                parts.append(got[: min(remaining, self._win_per_chunk)])
+                remaining -= self._win_per_chunk
+        return np.concatenate(parts, axis=0)
+
+    def __call__(self, wave: np.ndarray) -> Dict[str, np.ndarray]:
+        """Predictor outputs over the waveform's windows, plus
+        `windows_per_channel` so clients map labels back to time/channel
+        (window i of channel c starts at sample i*window_rows*hop)."""
+        w = np.asarray(wave, np.float32)
+        channels = 1 if w.ndim == 1 else w.shape[0]
+        out = self.predictor(self.windows(w))
+        if not isinstance(out, dict):
+            out = {"z": out}  # AECEncoder returns the latent array
+        out["windows_per_channel"] = np.full(
+            channels, self.n_windows(w.shape[-1]), np.int64
+        )
+        return out
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return -(-x // m) * m

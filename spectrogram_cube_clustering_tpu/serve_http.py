@@ -235,8 +235,14 @@ class ServingServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, address, predictor, max_wait_ms: float = 2.0,
-                 max_request_mb: float = 256.0):
+                 max_request_mb: float = 256.0, waveform_frontend=None):
         self.predictor = predictor
+        # serve.WaveformFrontend (or None): enables POST /predict_waveform
+        # with raw (T,)/(C, T) sample payloads windowed on device; the
+        # model pass still goes through the shared MicroBatcher, so
+        # waveform and window clients coalesce into the same device
+        # batches
+        self.waveform_frontend = waveform_frontend
         self.latency = _LatencyRing()
         self.max_request_bytes = int(max_request_mb * (1 << 20))
         self.started = time.time()
@@ -265,6 +271,12 @@ class ServingServer(ThreadingHTTPServer):
         n_clusters = getattr(getattr(p, "model", None), "n_clusters", None)
         if n_clusters is not None:
             meta["n_clusters"] = int(n_clusters)
+        wf = self.waveform_frontend
+        if wf is not None:
+            meta["waveform"] = {
+                "nperseg": wf.nperseg, "hop": wf.hop,
+                "window_rows": wf.window_rows,
+            }
         return meta
 
     def server_close(self) -> None:
@@ -310,9 +322,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802 — http.server API
         url = urlparse(self.path)
-        if url.path != "/predict":
+        if url.path not in ("/predict", "/predict_waveform"):
             self.close_connection = True  # body left unread
             self._send_json(404, {"error": f"unknown path {url.path!r}"})
+            return
+        is_waveform = url.path == "/predict_waveform"
+        if is_waveform and self.server.waveform_frontend is None:
+            self.close_connection = True  # body left unread
+            self._send_json(404, {
+                "error": "waveform serving is not enabled; start the "
+                "server with a WaveformFrontend (scc-serve --waveform)",
+            })
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
@@ -348,11 +368,14 @@ class _Handler(BaseHTTPRequestHandler):
                 "the request is .npy)",
             })
             return
-        err = self._shape_error(x)
+        if is_waveform:
+            err = self._waveform_shape_error(x)
+        else:
+            err = self._shape_error(x)
         if err:
             self._send_json(400, {"error": err})
             return
-        if x.ndim == 3:
+        if not is_waveform and x.ndim == 3:
             x = x[..., None]
 
         fields = None
@@ -371,6 +394,24 @@ class _Handler(BaseHTTPRequestHandler):
                 return
 
         t0 = time.monotonic()
+        extra = {}
+        if is_waveform:
+            wf = self.server.waveform_frontend
+            try:
+                # device STFT in the handler thread; the MODEL pass below
+                # still coalesces with window clients in the MicroBatcher
+                windows = wf.windows(x)
+            except ValueError as e:  # too-short waveform etc.
+                self._send_json(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — 500, keep serving
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            channels = 1 if x.ndim == 1 else x.shape[0]
+            extra["windows_per_channel"] = np.full(
+                channels, wf.n_windows(x.shape[-1]), np.int64
+            )
+            x = windows
         try:
             out = self.server.batcher(x)
         except Exception as e:  # noqa: BLE001 — surface as 500, keep serving
@@ -380,9 +421,21 @@ class _Handler(BaseHTTPRequestHandler):
 
         if fields:
             out = {k: out[k] for k in fields if k in out}
+        out.update(extra)
         buf = io.BytesIO()
         np.savez(buf, **out)
         self._send(200, buf.getvalue(), "application/octet-stream")
+
+    def _waveform_shape_error(self, x: np.ndarray) -> Optional[str]:
+        if not np.issubdtype(x.dtype, np.number) or np.issubdtype(
+                x.dtype, np.complexfloating):
+            return f"waveform must be real-numeric; got dtype {x.dtype}"
+        if x.ndim not in (1, 2):
+            return (
+                f"waveform must have shape (T,) or (channels, T); "
+                f"got {x.shape}"
+            )
+        return None
 
     def _shape_error(self, x: np.ndarray) -> Optional[str]:
         hw = tuple(getattr(self.server.predictor, "input_hw", ()))
@@ -408,13 +461,16 @@ def make_server(
     port: int = 0,
     max_wait_ms: float = 2.0,
     max_request_mb: float = 256.0,
+    waveform_frontend=None,
 ) -> ServingServer:
     """A ready-to-run ServingServer (port 0 = ephemeral; the bound port is
     `server.server_address[1]`). Call `serve_forever()` (blocking) or run
-    it on a thread; `server_close()` tears down the batcher too."""
+    it on a thread; `server_close()` tears down the batcher too. Passing
+    a `serve.WaveformFrontend` enables POST /predict_waveform (raw
+    (T,)/(channels, T) sample payloads, windowed on device)."""
     return ServingServer(
         (host, port), predictor, max_wait_ms=max_wait_ms,
-        max_request_mb=max_request_mb,
+        max_request_mb=max_request_mb, waveform_frontend=waveform_frontend,
     )
 
 
@@ -454,6 +510,14 @@ def main(argv=None) -> int:
     ap.add_argument("--mesh", action="store_true",
                     help="serve data-parallel over ALL local devices "
                     "(params replicate, request batches shard)")
+    ap.add_argument("--waveform", action="store_true",
+                    help="also accept raw-sample payloads on "
+                    "/predict_waveform (windowed on device; geometry from "
+                    "--nperseg/--hop and --input-hw's window_rows)")
+    ap.add_argument("--nperseg", type=int, default=200,
+                    help="waveform-mode STFT segment length")
+    ap.add_argument("--hop", type=int, default=100,
+                    help="waveform-mode STFT hop")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8477)
     args = ap.parse_args(argv)
@@ -495,12 +559,21 @@ def main(argv=None) -> int:
             arch=args.arch,
             attention_faithful=args.attention_faithful,
         )
-    if hasattr(predictor, "warmup"):
+    frontend = None
+    if args.waveform:
+        frontend = _serve.WaveformFrontend(
+            predictor, nperseg=args.nperseg, hop=args.hop,
+            window_rows=int(args.input_hw[0]),
+        )
+    if frontend is not None:
+        frontend.warmup()  # covers the predictor's buckets too
+    elif hasattr(predictor, "warmup"):
         predictor.warmup()  # pay every bucket's compile before traffic
 
     server = make_server(
         predictor, host=args.host, port=args.port,
         max_wait_ms=args.max_wait_ms, max_request_mb=args.max_request_mb,
+        waveform_frontend=frontend,
     )
     host, port = server.server_address[:2]
     mesh_note = f", mesh x{mesh.size}" if mesh is not None else ""

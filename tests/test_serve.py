@@ -310,3 +310,69 @@ class TestServeArchVariants:
             serve.DECPredictor.from_checkpoint(
                 path, n_clusters=2, max_batch=4, attention_faithful=True
             )
+
+
+class TestWaveformFrontend:
+    def test_windows_match_spectrogram_windows(self, trained):
+        """Chunked on-device windowing == one-shot spectrogram_windows
+        (transform=None), incl. a ragged tail chunk and multichannel
+        channel-major order."""
+        from spectrogram_cube_clustering_tpu.signal.stft import (
+            spectrogram_windows,
+        )
+
+        path, _, _, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16
+        )
+        # tiny chunk (rounded up to the 400-sample window span) forces
+        # many chunks + a padded tail
+        wf = serve.WaveformFrontend(pred, chunk_samples=1)
+        rng = np.random.default_rng(3)
+        wave = rng.normal(size=(5, 2_345)).astype(np.float32)
+        want = np.asarray(
+            spectrogram_windows(jnp.asarray(wave), transform=None)
+        )
+        got = wf.windows(wave)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_call_routes_through_predictor(self, trained):
+        path, _, _, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16
+        )
+        wf = serve.WaveformFrontend(pred)
+        wf.warmup()
+        wave = np.random.default_rng(0).normal(size=(2, 3_000)).astype(
+            np.float32
+        )
+        out = wf(wave)
+        n = wf.n_windows(3_000)
+        assert out["labels"].shape == (2 * n,)
+        assert out["q"].shape == (2 * n, 3)
+        np.testing.assert_array_equal(
+            out["windows_per_channel"], [n, n]
+        )
+        # parity with the window-payload path
+        direct = pred(wf.windows(wave))
+        np.testing.assert_array_equal(out["labels"], direct["labels"])
+
+    def test_geometry_mismatch_fails_loudly(self, trained):
+        path, _, _, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16
+        )
+        with pytest.raises(ValueError, match="input_hw"):
+            serve.WaveformFrontend(pred, nperseg=128, hop=64)
+        with pytest.raises(ValueError, match="nperseg"):
+            serve.WaveformFrontend(pred, nperseg=250, hop=100)
+
+    def test_too_short_waveform_fails_loudly(self, trained):
+        path, _, _, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16
+        )
+        wf = serve.WaveformFrontend(pred)
+        with pytest.raises(ValueError, match="no complete"):
+            wf.windows(np.zeros(450, np.float32))  # < 500-sample span

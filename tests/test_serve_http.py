@@ -510,3 +510,61 @@ def test_batcher_failure_releases_socket(predictor, monkeypatch):
     # the port must be immediately rebindable: the socket was closed
     srv = serve_http.make_server(pred, host="127.0.0.1", port=port)
     srv.server_close()
+
+
+class TestWaveformEndpoint:
+    @pytest.fixture()
+    def wf_server(self, predictor):
+        pred, _ = predictor
+        frontend = serve.WaveformFrontend(pred)
+        srv = serve_http.make_server(
+            pred, max_wait_ms=5.0, waveform_frontend=frontend
+        )
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv, frontend
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
+
+    def test_predict_waveform_roundtrip(self, wf_server, predictor):
+        srv, frontend = wf_server
+        pred, _ = predictor
+        wave = np.random.default_rng(1).normal(size=(2, 2_500)).astype(
+            np.float32
+        )
+        with _post(srv, "/predict_waveform", wave) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+            got = {k: out[k] for k in out.files}
+        n = frontend.n_windows(2_500)
+        np.testing.assert_array_equal(got["windows_per_channel"], [n, n])
+        direct = pred(frontend.windows(wave))
+        np.testing.assert_array_equal(got["labels"], direct["labels"])
+        np.testing.assert_allclose(got["q"], direct["q"], rtol=1e-5)
+        # metadata advertises the STFT geometry
+        meta = _get_json(srv, "/healthz")
+        assert meta["waveform"] == {
+            "nperseg": 200, "hop": 100, "window_rows": 4,
+        }
+
+    def test_disabled_endpoint_404(self, server):
+        wave = np.zeros(1_000, np.float32)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, "/predict_waveform", wave)
+        assert e.value.code == 404
+        assert "not enabled" in json.loads(e.value.read())["error"]
+
+    def test_too_short_waveform_400(self, wf_server):
+        srv, _ = wf_server
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/predict_waveform", np.zeros(450, np.float32))
+        assert e.value.code == 400
+        assert "no complete" in json.loads(e.value.read())["error"]
+
+    def test_bad_waveform_shape_400(self, wf_server):
+        srv, _ = wf_server
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/predict_waveform",
+                  np.zeros((2, 3, 600), np.float32))
+        assert e.value.code == 400
+        assert "(T,) or (channels, T)" in json.loads(e.value.read())["error"]
