@@ -1109,6 +1109,46 @@ def test_waveform_stream_loadmode_matches_ram(tmp_path):
     np.testing.assert_allclose(stream, ram, rtol=0.02)
 
 
+def test_waveform_stream_predict_matches_ram(tmp_path):
+    """Stream predict over a raw waveform: identical latents and window
+    count to the ram path (the host-STFT items equal the on-device
+    windows, so PREDICT — no split involved — must match bitwise-close)."""
+    rng = np.random.default_rng(6)
+    wave = rng.normal(size=(40_000,)).astype(np.float32)
+    wave_path = str(tmp_path / "wave.npy")
+    np.save(wave_path, wave)
+
+    def mk(mode, parameters):
+        universal = {
+            "fname_dataset": wave_path,
+            "savepath": str(tmp_path / "Outputs"),
+            "configpath": str(tmp_path / "Config"),
+            "transform": "sample_norm_cent",
+        }
+        p = {"model": "AEC", "mode": mode, "tb": "False", "show": "False",
+             "datafiletype": "waveform"}
+        p.update(parameters)
+        ini = scc_utils.config_training(
+            universal, p, {"batch_size": "32", "lr": "0.001"}
+        )
+        config = scc_utils.load_config(ini)
+        config.init_exp_env()
+        return config
+
+    config = mk("train", {"n_epochs": 2, "early_stopping": "False"})
+    [out] = workflow.train(config)
+    weights = os.path.join(out["savepath_run"], "AEC_Params_Final")
+
+    res_stream = workflow.predict(mk("predict", {
+        "saved_weights": weights, "loadmode": "stream", "workers": "2",
+        "waveform_stream_block": "16",
+    }))
+    res_ram = workflow.predict(mk("predict", {"saved_weights": weights}))
+    n_windows = ((40_000 - 200) // 100 + 1) // 4
+    assert res_stream["z"].shape == (n_windows, 9)
+    np.testing.assert_allclose(res_stream["z"], res_ram["z"], atol=1e-4)
+
+
 def test_gallery_traces_np_catalog_returns_none():
     """h5_ftype='np' sources are .npy dumps with no /4.0/Trace — the
     gallery must omit the waveform row instead of crashing predict after
