@@ -1,0 +1,61 @@
+"""Raw-waveform serving latency on the real chip.
+
+Per-request wall latency (p50/p95) of `serve.WaveformFrontend` around a
+DECPredictor at several request lengths — each request pays the
+on-device STFT (the Pallas kernel) plus the model pass. Fresh samples
+per request (the tunnel memoizes identical executes, CLAUDE.md); wall
+numbers include the tunnel's ~100 ms dispatch RTT like
+serve_latency_tpu.py, so read the deltas, not the absolutes.
+
+Run from /root/repo: `python benchmarks/serve_waveform_tpu.py`
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    import spectrogram_cube_clustering_tpu as scc
+    from spectrogram_cube_clustering_tpu import serve
+
+    rng = np.random.default_rng(0)
+    model = scc.models.DEC(n_clusters=5)
+    params = model.init(
+        jax.random.key(0), np.zeros((1, 4, 101, 1), np.float32)
+    )["params"]
+    pred = serve.DECPredictor(params, n_clusters=5, max_batch=4096,
+                              buckets=True)
+    wf = serve.WaveformFrontend(pred, chunk_samples=1 << 20)
+    wf.warmup()
+
+    out = {"platform": jax.devices()[0].platform,
+           "chunk_samples": wf.chunk}
+    # 8k samples = 19 windows (one sensor-second-ish), 400k = 999,
+    # 4M = 9,999 (a multi-chunk request: 4 STFT chunks + 3 model buckets)
+    for t in (8_000, 400_000, 4_000_000):
+        reqs = [rng.normal(size=(t,)).astype(np.float32) for _ in range(12)]
+        wf(reqs[0])  # touch the path
+        lats = []
+        for x in reqs:
+            t0 = time.perf_counter()
+            r = wf(x)
+            assert r["labels"].shape[0] == wf.n_windows(t)
+            lats.append((time.perf_counter() - t0) * 1e3)
+        lats.sort()
+        out[f"wave{t}"] = {
+            "windows": wf.n_windows(t),
+            "p50_ms": round(lats[len(lats) // 2], 1),
+            "p95_ms": round(lats[int(len(lats) * 0.95) - 1], 1),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

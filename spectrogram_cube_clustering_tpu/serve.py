@@ -370,6 +370,13 @@ class WaveformFrontend:
     resulting window stack feeds the predictor's own bucket ladder.
     Normalization stays inside the predictor's jit, identical to
     window-payload requests.
+
+    Direct calls on a bare single-device predictor take the FUSED path
+    (`fuse=None` auto): STFT + normalize + model compiled as one program
+    per chunk, so raw samples cross host->device once and windows never
+    leave the device. The two-pass path (`windows()` + predictor) remains
+    for mesh predictors and for the HTTP server, whose MicroBatcher
+    coalesces the host window stacks of concurrent clients.
     """
 
     def __init__(
@@ -380,6 +387,7 @@ class WaveformFrontend:
         window_rows: int = 4,
         chunk_samples: int = 1 << 20,
         input_hw=None,
+        fuse: Optional[bool] = None,
     ):
         if nperseg % hop or nperseg < hop:
             # the window span below assumes the frame grid tiles chunks
@@ -413,9 +421,35 @@ class WaveformFrontend:
             window_rows=self.window_rows, transform=None,
         )
 
+        # Fused direct path: STFT + normalize + model in ONE jitted
+        # program per chunk — raw samples cross host->device once and the
+        # windows never leave the device (the two-pass `windows()` +
+        # predictor path round-trips them D2H then H2D, which through a
+        # remote attachment costs a full extra request's worth of wire).
+        # Auto-on for bare single-device predictors; mesh predictors and
+        # MicroBatcher wrappers (no ._fn) keep the two-pass path, whose
+        # host windows are what the batcher coalesces across clients.
+        if fuse is None:
+            fuse = (
+                hasattr(predictor, "_fn")
+                and hasattr(predictor, "params")
+                and getattr(predictor, "mesh", None) is None
+            )
+        self.fused = bool(fuse)
+        if self.fused:
+            self._fused_fn = jax.jit(
+                lambda params, seg: predictor._fn(
+                    params, self._window_fn(seg)
+                )
+            )
+
     def warmup(self) -> None:
         """Pay the STFT chunk compile (and the predictor's buckets)."""
         self.windows(np.zeros(self._seg_len, np.float32))
+        if self.fused:
+            jax.block_until_ready(self._fused_fn(
+                self.predictor.params, jnp.zeros(self._seg_len, jnp.float32)
+            ))
         if hasattr(self.predictor, "warmup"):
             self.predictor.warmup()
 
@@ -441,27 +475,65 @@ class WaveformFrontend:
                 f"({self.window_rows}, nfreq) window (needs >= "
                 f"{(self.window_rows - 1) * self.hop + self.nperseg} samples)"
             )
-        parts = []
+        parts = [
+            np.asarray(self._window_fn(seg))[:n]
+            for seg, n in self._iter_segments(w, n_win)
+        ]
+        return np.concatenate(parts, axis=0)
+
+    def _iter_segments(self, w: np.ndarray, n_win: int):
+        """(channel-major) fixed-length zero-padded chunk segments plus
+        the count of REAL windows each carries."""
         for ch in range(w.shape[0]):
             remaining = n_win
             for c in range(-(-n_win // self._win_per_chunk)):
                 seg = w[ch, c * self.chunk : c * self.chunk + self._seg_len]
                 if seg.shape[0] < self._seg_len:
                     seg = np.pad(seg, (0, self._seg_len - seg.shape[0]))
-                got = np.asarray(self._window_fn(seg))
-                parts.append(got[: min(remaining, self._win_per_chunk)])
+                yield seg, min(remaining, self._win_per_chunk)
                 remaining -= self._win_per_chunk
-        return np.concatenate(parts, axis=0)
 
     def __call__(self, wave: np.ndarray) -> Dict[str, np.ndarray]:
         """Predictor outputs over the waveform's windows, plus
         `windows_per_channel` so clients map labels back to time/channel
         (window i of channel c starts at sample i*window_rows*hop)."""
         w = np.asarray(wave, np.float32)
+        if w.ndim not in (1, 2):
+            raise ValueError(
+                f"waveform must be (T,) or (channels, T); got {wave.shape}"
+            )
         channels = 1 if w.ndim == 1 else w.shape[0]
-        out = self.predictor(self.windows(w))
-        if not isinstance(out, dict):
-            out = {"z": out}  # AECEncoder returns the latent array
+        if self.fused:
+            w2 = w[None] if w.ndim == 1 else w
+            n_win = self.n_windows(w2.shape[1])
+            if n_win < 1:
+                raise ValueError(
+                    f"waveform length {w2.shape[1]} yields no complete "
+                    f"({self.window_rows}, nfreq) window (needs >= "
+                    f"{(self.window_rows - 1) * self.hop + self.nperseg} "
+                    f"samples)"
+                )
+            params = self.predictor.params
+            chunks = [
+                (self._fused_fn(params, seg), n)
+                for seg, n in self._iter_segments(w2, n_win)
+            ]
+            first = chunks[0][0]
+            if isinstance(first, tuple):  # DEC: (q, labels, z)
+                out = {
+                    k: np.concatenate(
+                        [np.asarray(o[i][:n]) for o, n in chunks]
+                    )
+                    for i, k in enumerate(("q", "labels", "z"))
+                }
+            else:  # AEC encoder: latents only
+                out = {"z": np.concatenate(
+                    [np.asarray(o[:n]) for o, n in chunks]
+                )}
+        else:
+            out = self.predictor(self.windows(w))
+            if not isinstance(out, dict):
+                out = {"z": out}  # AECEncoder returns the latent array
         out["windows_per_channel"] = np.full(
             channels, self.n_windows(w.shape[-1]), np.int64
         )

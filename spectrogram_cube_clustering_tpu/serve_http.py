@@ -351,7 +351,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(413, {
                 "error": f"request of {length} bytes exceeds the "
                 f"{self.server.max_request_bytes}-byte limit; chunk the "
-                "windows client-side",
+                "payload client-side",
             })
             return
         body = self.rfile.read(length)
@@ -561,9 +561,12 @@ def main(argv=None) -> int:
         )
     frontend = None
     if args.waveform:
+        # fuse=False: the HTTP handler uses frontend.windows() and routes
+        # the model pass through the shared MicroBatcher; the fused
+        # program would be compiled but never called
         frontend = _serve.WaveformFrontend(
             predictor, nperseg=args.nperseg, hop=args.hop,
-            window_rows=int(args.input_hw[0]),
+            window_rows=int(args.input_hw[0]), fuse=False,
         )
     if frontend is not None:
         frontend.warmup()  # covers the predictor's buckets too

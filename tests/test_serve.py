@@ -376,3 +376,47 @@ class TestWaveformFrontend:
         wf = serve.WaveformFrontend(pred)
         with pytest.raises(ValueError, match="no complete"):
             wf.windows(np.zeros(450, np.float32))  # < 500-sample span
+
+    def test_fused_path_matches_two_pass(self, trained):
+        """fuse=auto (on for bare single-device predictors) computes
+        STFT+normalize+model in one program; outputs must match the
+        two-pass windows()+predictor route."""
+        path, aec_path, _, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16
+        )
+        wave = np.random.default_rng(2).normal(size=(2, 3_400)).astype(
+            np.float32
+        )
+        wf_fused = serve.WaveformFrontend(pred, chunk_samples=1)
+        assert wf_fused.fused
+        wf_two = serve.WaveformFrontend(pred, chunk_samples=1, fuse=False)
+        a, b = wf_fused(wave), wf_two(wave)
+        np.testing.assert_array_equal(
+            a["windows_per_channel"], b["windows_per_channel"]
+        )
+        np.testing.assert_allclose(a["q"], b["q"], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(a["z"], b["z"], rtol=1e-5, atol=1e-6)
+        # AEC encoder: fused path returns {"z"} too
+        enc = serve.AECEncoder.from_checkpoint(aec_path, max_batch=16)
+        wf_enc = serve.WaveformFrontend(enc, chunk_samples=1)
+        assert wf_enc.fused
+        z = wf_enc(wave)["z"]
+        np.testing.assert_allclose(
+            z, enc(wf_enc.windows(wave)), rtol=1e-5, atol=1e-6
+        )
+
+    def test_mesh_predictor_falls_back_to_two_pass(self, trained):
+        path, _, _, _, _ = trained
+        from spectrogram_cube_clustering_tpu.core import make_data_mesh
+
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16, mesh=make_data_mesh()
+        )
+        wf = serve.WaveformFrontend(pred)
+        assert not wf.fused
+        wave = np.random.default_rng(4).normal(size=(1_000,)).astype(
+            np.float32
+        )
+        out = wf(wave)
+        assert out["labels"].shape == (wf.n_windows(1_000),)
