@@ -37,6 +37,21 @@ def main():
 
     out = {"platform": jax.devices()[0].platform,
            "chunk_samples": wf.chunk}
+
+    # fused (default for direct calls) vs two-pass (the HTTP route) at
+    # one representative length — the delta is the D2H/H2D window bounce
+    # plus one tunnel RTT
+    assert wf.fused
+    wf2 = serve.WaveformFrontend(pred, chunk_samples=1 << 20, fuse=False)
+    for name, front in (("fused", wf), ("two_pass", wf2)):
+        lats = []
+        for _ in range(10):
+            x = rng.normal(size=(40_000,)).astype(np.float32)
+            t0 = time.perf_counter()
+            front(x)
+            lats.append((time.perf_counter() - t0) * 1e3)
+        lats.sort()
+        out[f"route_{name}_p50_ms"] = round(lats[len(lats) // 2], 1)
     # 8k samples = 19 windows (one sensor-second-ish), 400k = 999,
     # 4M = 9,999 (a multi-chunk request: 4 STFT chunks + 3 model buckets)
     for t in (8_000, 400_000, 4_000_000):

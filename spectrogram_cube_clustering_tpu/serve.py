@@ -363,11 +363,14 @@ class WaveformFrontend:
     `MicroBatcher` around one) so requests are `(T,)` or `(channels, T)`
     waveforms. Windows are computed ON DEVICE (the fused Pallas kernel on
     TPU backends, `signal.stft.spectrogram_windows`) in fixed-size
-    chunks: every request, whatever its length, runs the SAME compiled
-    STFT program — chunk c covers samples [c*chunk, c*chunk + chunk +
-    nperseg - hop) (the hop-overlap halo, so no frame straddles a chunk),
-    the zero-padded tail's surplus windows are sliced off, and the
-    resulting window stack feeds the predictor's own bucket ladder.
+    chunks drawn from a compiled LADDER (/8 steps from `chunk_samples`
+    down to one window span, all paid by `warmup()`): each request runs
+    through the smallest rung that covers it, so short requests don't
+    ship a zero-padded full chunk over the wire — chunk c covers samples
+    [c*chunk, c*chunk + chunk + nperseg - hop) (the hop-overlap halo, so
+    no frame straddles a chunk), the zero-padded tail's surplus windows
+    are sliced off, and the resulting window stack feeds the predictor's
+    own bucket ladder.
     Normalization stays inside the predictor's jit, identical to
     window-payload requests.
 
@@ -399,9 +402,24 @@ class WaveformFrontend:
         self.nperseg, self.hop = int(nperseg), int(hop)
         self.window_rows = int(window_rows)
         span = self.window_rows * self.hop
+        self._span = span
         self.chunk = max(_round_up_int(int(chunk_samples), span), span)
         self._seg_len = self.chunk + self.nperseg - self.hop
         self._win_per_chunk = self.chunk // span
+        # Chunk ladder: a request smaller than the full chunk would still
+        # ship the whole zero-padded chunk over the wire (a 19-window
+        # request under the default 2^20 chunk pays a ~4 MB transfer for
+        # 160 kB of samples — measured 2x the p50 of a 999-window request
+        # through the tunnel, RESULTS.md). Like the predictor's window
+        # buckets, compile a few chunk sizes (/8 steps down to one window
+        # span) and run each request through the smallest rung that
+        # covers it; multi-chunk requests keep the full rung.
+        rungs = {self._win_per_chunk}
+        w = self._win_per_chunk
+        while w > 1:
+            w = max(1, w // 8)
+            rungs.add(w)
+        self._rung_wins = sorted(rungs)  # window counts, ascending
         nfreq = self.nperseg // 2 + 1
         hw = tuple(input_hw) if input_hw is not None else tuple(
             getattr(predictor, "input_hw", (self.window_rows, nfreq))
@@ -444,14 +462,28 @@ class WaveformFrontend:
             )
 
     def warmup(self) -> None:
-        """Pay the STFT chunk compile (and the predictor's buckets)."""
-        self.windows(np.zeros(self._seg_len, np.float32))
-        if self.fused:
-            jax.block_until_ready(self._fused_fn(
-                self.predictor.params, jnp.zeros(self._seg_len, jnp.float32)
-            ))
+        """Pay every chunk rung's STFT compile (and, on the fused path,
+        the fused programs; plus the predictor's buckets)."""
+        for w in self._rung_wins:
+            seg = np.zeros(self._rung_seg_len(w), np.float32)
+            np.asarray(self._window_fn(seg))
+            if self.fused:
+                jax.block_until_ready(
+                    self._fused_fn(self.predictor.params, jnp.asarray(seg))
+                )
         if hasattr(self.predictor, "warmup"):
             self.predictor.warmup()
+
+    def _rung_seg_len(self, rung_wins: int) -> int:
+        return rung_wins * self._span + self.nperseg - self.hop
+
+    def _pick_rung(self, n_win: int) -> int:
+        """Smallest ladder rung (window count) covering the request; the
+        full chunk for anything larger (multi-chunk requests)."""
+        for w in self._rung_wins:
+            if w >= n_win:
+                return w
+        return self._rung_wins[-1]
 
     def n_windows(self, t: int) -> int:
         """Windows one channel of length-t samples yields."""
@@ -483,15 +515,18 @@ class WaveformFrontend:
 
     def _iter_segments(self, w: np.ndarray, n_win: int):
         """(channel-major) fixed-length zero-padded chunk segments plus
-        the count of REAL windows each carries."""
+        the count of REAL windows each carries. The segment length is the
+        smallest compiled ladder rung covering the request."""
+        rung = self._pick_rung(n_win)
+        chunk, seg_len = rung * self._span, self._rung_seg_len(rung)
         for ch in range(w.shape[0]):
             remaining = n_win
-            for c in range(-(-n_win // self._win_per_chunk)):
-                seg = w[ch, c * self.chunk : c * self.chunk + self._seg_len]
-                if seg.shape[0] < self._seg_len:
-                    seg = np.pad(seg, (0, self._seg_len - seg.shape[0]))
-                yield seg, min(remaining, self._win_per_chunk)
-                remaining -= self._win_per_chunk
+            for c in range(-(-n_win // rung)):
+                seg = w[ch, c * chunk : c * chunk + seg_len]
+                if seg.shape[0] < seg_len:
+                    seg = np.pad(seg, (0, seg_len - seg.shape[0]))
+                yield seg, min(remaining, rung)
+                remaining -= rung
 
     def __call__(self, wave: np.ndarray) -> Dict[str, np.ndarray]:
         """Predictor outputs over the waveform's windows, plus

@@ -377,6 +377,38 @@ class TestWaveformFrontend:
         with pytest.raises(ValueError, match="no complete"):
             wf.windows(np.zeros(450, np.float32))  # < 500-sample span
 
+    def test_chunk_ladder_rung_selection(self, trained):
+        """Short requests run through the smallest covering rung (no
+        full-chunk zero-pad over the wire) with outputs identical to a
+        frontend whose chunk is exactly that small; oversized requests
+        keep the full rung (multi-chunk)."""
+        path, _, _, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16
+        )
+        wf = serve.WaveformFrontend(pred, chunk_samples=400 * 64)
+        assert wf._rung_wins == [1, 8, 64]
+        assert wf._pick_rung(1) == 1
+        assert wf._pick_rung(7) == 8
+        assert wf._pick_rung(64) == 64
+        assert wf._pick_rung(200) == 64  # multi-chunk keeps the full rung
+        segs = list(wf._iter_segments(np.zeros((1, 3_000), np.float32), 7))
+        assert len(segs) == 1
+        assert segs[0][0].shape[0] == wf._rung_seg_len(8)
+        # output parity with a frontend built at the small chunk size
+        wf_small = serve.WaveformFrontend(pred, chunk_samples=400 * 8)
+        wave = np.random.default_rng(7).normal(size=(2, 3_000)).astype(
+            np.float32
+        )
+        np.testing.assert_allclose(
+            wf.windows(wave), wf_small.windows(wave), atol=1e-5
+        )
+        a, b = wf(wave), wf_small(wave)
+        np.testing.assert_allclose(a["q"], b["q"], rtol=1e-5, atol=1e-7)
+        np.testing.assert_array_equal(
+            np.asarray(a["labels"]), np.asarray(b["labels"])
+        )
+
     def test_fused_path_matches_two_pass(self, trained):
         """fuse=auto (on for bare single-device predictors) computes
         STFT+normalize+model in one program; outputs must match the
