@@ -507,11 +507,16 @@ class WaveformFrontend:
                 f"({self.window_rows}, nfreq) window (needs >= "
                 f"{(self.window_rows - 1) * self.hop + self.nperseg} samples)"
             )
-        parts = [
-            np.asarray(self._window_fn(seg))[:n]
+        # dispatch every chunk before fetching any: jax dispatch is
+        # async, so chunk c+1 computes while chunk c's windows cross
+        # device->host (a per-chunk asarray would serialize the two)
+        staged = [
+            (self._window_fn(seg), n)
             for seg, n in self._iter_segments(w, n_win)
         ]
-        return np.concatenate(parts, axis=0)
+        return np.concatenate(
+            [np.asarray(g)[:n] for g, n in staged], axis=0
+        )
 
     def _iter_segments(self, w: np.ndarray, n_win: int):
         """(channel-major) fixed-length zero-padded chunk segments plus
