@@ -69,6 +69,43 @@ def main():
             "p50_ms": round(lats[len(lats) // 2], 1),
             "p95_ms": round(lats[int(len(lats) * 0.95) - 1], 1),
         }
+
+    # over REAL localhost HTTP: the two-pass server (default, coalesces
+    # across clients) vs --fuse-waveform (one host->device crossing)
+    import io
+    import threading
+    import urllib.request
+
+    from spectrogram_cube_clustering_tpu import serve_http
+
+    for name, front in (("fused", wf), ("two_pass", wf2)):
+        srv = serve_http.make_server(
+            pred, host="127.0.0.1", port=0, waveform_frontend=front
+        )
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        try:
+            host, port = srv.server_address[:2]
+            lats = []
+            for i in range(10):
+                x = rng.normal(size=(40_000,)).astype(np.float32)
+                buf = io.BytesIO()
+                np.save(buf, x)
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/predict_waveform",
+                    data=buf.getvalue(), method="POST",
+                )
+                t0 = time.perf_counter()
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    resp.read()
+                if i:  # first request warms the HTTP/bucket path
+                    lats.append((time.perf_counter() - t0) * 1e3)
+            lats.sort()
+            out[f"http_{name}_p50_ms"] = round(lats[len(lats) // 2], 1)
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            thread.join(timeout=10)
     print(json.dumps(out))
 
 

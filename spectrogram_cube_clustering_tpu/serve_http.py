@@ -238,10 +238,12 @@ class ServingServer(ThreadingHTTPServer):
                  max_request_mb: float = 256.0, waveform_frontend=None):
         self.predictor = predictor
         # serve.WaveformFrontend (or None): enables POST /predict_waveform
-        # with raw (T,)/(C, T) sample payloads windowed on device; the
-        # model pass still goes through the shared MicroBatcher, so
-        # waveform and window clients coalesce into the same device
-        # batches
+        # with raw (T,)/(C, T) sample payloads windowed on device. A
+        # frontend built with fuse=False routes the model pass through
+        # the shared MicroBatcher (waveform and window clients coalesce
+        # into the same device batches); a fused frontend serves waveform
+        # requests through its single-program STFT+model path instead
+        # (lower latency, no cross-client coalescing)
         self.waveform_frontend = waveform_frontend
         self.latency = _LatencyRing()
         self.max_request_bytes = int(max_request_mb * (1 << 20))
@@ -395,28 +397,48 @@ class _Handler(BaseHTTPRequestHandler):
 
         t0 = time.monotonic()
         extra = {}
-        if is_waveform:
-            wf = self.server.waveform_frontend
+        if is_waveform and self.server.waveform_frontend.fused:
+            # fused route (scc-serve --fuse-waveform): STFT + normalize +
+            # model run as ONE device program per chunk, so raw samples
+            # cross host->device once — measured ~2x lower p50 than the
+            # two-pass bounce (RESULTS.md). The trade: it bypasses the
+            # MicroBatcher, so the model pass cannot coalesce with other
+            # clients' windows.
             try:
-                # device STFT in the handler thread; the MODEL pass below
-                # still coalesces with window clients in the MicroBatcher
-                windows = wf.windows(x)
+                out = self.server.waveform_frontend(x)
             except ValueError as e:  # too-short waveform etc.
                 self._send_json(400, {"error": str(e)})
                 return
             except Exception as e:  # noqa: BLE001 — 500, keep serving
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            channels = 1 if x.ndim == 1 else x.shape[0]
-            extra["windows_per_channel"] = np.full(
-                channels, wf.n_windows(x.shape[-1]), np.int64
-            )
-            x = windows
-        try:
-            out = self.server.batcher(x)
-        except Exception as e:  # noqa: BLE001 — surface as 500, keep serving
-            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
-            return
+            extra["windows_per_channel"] = out.pop("windows_per_channel")
+        else:
+            if is_waveform:
+                wf = self.server.waveform_frontend
+                try:
+                    # device STFT in the handler thread; the MODEL pass
+                    # below still coalesces with window clients in the
+                    # MicroBatcher
+                    windows = wf.windows(x)
+                except ValueError as e:  # too-short waveform etc.
+                    self._send_json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001 — 500, keep serving
+                    self._send_json(
+                        500, {"error": f"{type(e).__name__}: {e}"}
+                    )
+                    return
+                channels = 1 if x.ndim == 1 else x.shape[0]
+                extra["windows_per_channel"] = np.full(
+                    channels, wf.n_windows(x.shape[-1]), np.int64
+                )
+                x = windows
+            try:
+                out = self.server.batcher(x)
+            except Exception as e:  # noqa: BLE001 — 500, keep serving
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
         self.server.latency.add(time.monotonic() - t0)
 
         if fields:
@@ -514,6 +536,12 @@ def main(argv=None) -> int:
                     help="also accept raw-sample payloads on "
                     "/predict_waveform (windowed on device; geometry from "
                     "--nperseg/--hop and --input-hw's window_rows)")
+    ap.add_argument("--fuse-waveform", action="store_true",
+                    help="serve /predict_waveform through the fused "
+                    "STFT+model program (one host->device crossing, "
+                    "~2x lower p50) instead of the shared MicroBatcher; "
+                    "waveform requests then no longer coalesce with "
+                    "other clients (single-device predictors only)")
     ap.add_argument("--nperseg", type=int, default=200,
                     help="waveform-mode STFT segment length")
     ap.add_argument("--hop", type=int, default=100,
@@ -560,14 +588,21 @@ def main(argv=None) -> int:
             attention_faithful=args.attention_faithful,
         )
     frontend = None
-    if args.waveform:
-        # fuse=False: the HTTP handler uses frontend.windows() and routes
-        # the model pass through the shared MicroBatcher; the fused
-        # program would be compiled but never called
+    if args.waveform or args.fuse_waveform:
+        # default fuse=False: the HTTP handler uses frontend.windows()
+        # and routes the model pass through the shared MicroBatcher so
+        # waveform and window clients coalesce. --fuse-waveform opts into
+        # the single-program STFT+model route instead (fuse=None lets the
+        # frontend auto-disable it for mesh predictors, which cannot
+        # fuse — the handler then falls back to the two-pass route).
         frontend = _serve.WaveformFrontend(
             predictor, nperseg=args.nperseg, hop=args.hop,
-            window_rows=int(args.input_hw[0]), fuse=False,
+            window_rows=int(args.input_hw[0]),
+            fuse=None if args.fuse_waveform else False,
         )
+        if args.fuse_waveform and not frontend.fused:
+            print("scc-serve: --fuse-waveform ignored (mesh predictors "
+                  "serve waveforms through the two-pass route)")
     if frontend is not None:
         frontend.warmup()  # covers the predictor's buckets too
     elif hasattr(predictor, "warmup"):

@@ -443,7 +443,7 @@ def test_scc_serve_main(tmp_path, predictor):
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "from spectrogram_cube_clustering_tpu import serve_http\n"
         f"serve_http.main([{ckpt!r}, '--n-clusters', '3', "
-        "'--max-batch', '64', '--port', '0'])\n"
+        "'--max-batch', '64', '--port', '0', '--fuse-waveform'])\n"
     )
     proc = subprocess.Popen(
         [sys.executable, "-c", code],
@@ -479,6 +479,27 @@ def test_scc_serve_main(tmp_path, predictor):
         )
         out = np.load(io.BytesIO(urllib.request.urlopen(req, timeout=60).read()))
         np.testing.assert_array_equal(out["labels"], pred(x[:5])["labels"])
+
+        # --fuse-waveform implies waveform serving through the fused route
+        assert meta["waveform"] == {
+            "nperseg": 200, "hop": 100, "window_rows": 4,
+        }
+        wave = np.random.default_rng(3).normal(size=2_500).astype(
+            np.float32
+        )
+        buf = io.BytesIO()
+        np.save(buf, wave)
+        req = urllib.request.Request(
+            f"{url}/predict_waveform", data=buf.getvalue(), method="POST"
+        )
+        out = np.load(
+            io.BytesIO(urllib.request.urlopen(req, timeout=60).read())
+        )
+        direct = serve.WaveformFrontend(pred, fuse=None)(wave)
+        np.testing.assert_array_equal(out["labels"], direct["labels"])
+        np.testing.assert_array_equal(
+            out["windows_per_channel"], direct["windows_per_channel"]
+        )
     finally:
         proc.kill()
         proc.wait()
@@ -513,10 +534,14 @@ def test_batcher_failure_releases_socket(predictor, monkeypatch):
 
 
 class TestWaveformEndpoint:
-    @pytest.fixture()
-    def wf_server(self, predictor):
+    # both HTTP routes: two-pass (windows -> MicroBatcher, what
+    # scc-serve uses by default) and fused (STFT+model in one program,
+    # scc-serve --fuse-waveform)
+    @pytest.fixture(params=[False, None], ids=["twopass", "fused"])
+    def wf_server(self, request, predictor):
         pred, _ = predictor
-        frontend = serve.WaveformFrontend(pred)
+        frontend = serve.WaveformFrontend(pred, fuse=request.param)
+        assert frontend.fused == (request.param is None)
         srv = serve_http.make_server(
             pred, max_wait_ms=5.0, waveform_frontend=frontend
         )
@@ -546,6 +571,110 @@ class TestWaveformEndpoint:
         assert meta["waveform"] == {
             "nperseg": 200, "hop": 100, "window_rows": 4,
         }
+
+    def test_concurrent_waveform_clients(self, wf_server, predictor):
+        """Concurrent waveform posts (both routes; the fused one runs the
+        jitted STFT+model program from several handler threads at once)
+        each get exactly their own windows' outputs."""
+        srv, frontend = wf_server
+        pred, _ = predictor
+        rng = np.random.default_rng(11)
+        waves = [
+            rng.normal(size=(1_500 + 700 * i,)).astype(np.float32)
+            for i in range(6)
+        ]
+        results = {}
+        errors = []
+
+        def client(i):
+            try:
+                with _post(srv, "/predict_waveform", waves[i]) as r:
+                    z = np.load(io.BytesIO(r.read()))
+                    results[i] = {k: z[k] for k in z.files}
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        for i, wave in enumerate(waves):
+            ref = pred(frontend.windows(wave))
+            np.testing.assert_array_equal(
+                results[i]["labels"], ref["labels"]
+            )
+            np.testing.assert_array_equal(
+                results[i]["windows_per_channel"],
+                [frontend.n_windows(wave.shape[0])],
+            )
+
+    def test_fused_route_matches_two_pass_over_http(self, predictor):
+        """The two HTTP routes return identical outputs for the same
+        waveform (same device backend; only the program structure and
+        batching differ)."""
+        pred, _ = predictor
+        wave = np.random.default_rng(7).normal(size=(2, 2_500)).astype(
+            np.float32
+        )
+        outs = {}
+        for fuse in (False, None):
+            frontend = serve.WaveformFrontend(pred, fuse=fuse)
+            srv = serve_http.make_server(
+                pred, max_wait_ms=5.0, waveform_frontend=frontend
+            )
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            try:
+                with _post(srv, "/predict_waveform", wave) as resp:
+                    z = np.load(io.BytesIO(resp.read()))
+                    outs[fuse] = {k: z[k] for k in z.files}
+            finally:
+                srv.shutdown()
+                srv.server_close()
+                t.join(timeout=10)
+        assert set(outs[False]) == set(outs[None])
+        np.testing.assert_array_equal(
+            outs[False]["labels"], outs[None]["labels"]
+        )
+        np.testing.assert_allclose(
+            outs[False]["q"], outs[None]["q"], rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_array_equal(
+            outs[False]["windows_per_channel"],
+            outs[None]["windows_per_channel"],
+        )
+
+    def test_fused_route_fields_filter(self, predictor):
+        pred, _ = predictor
+        frontend = serve.WaveformFrontend(pred, fuse=None)
+        assert frontend.fused
+        srv = serve_http.make_server(
+            pred, max_wait_ms=5.0, waveform_frontend=frontend
+        )
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            wave = np.zeros(2_500, np.float32)
+            host, port = srv.server_address[:2]
+            buf = io.BytesIO()
+            np.save(buf, wave)
+            req = urllib.request.Request(
+                f"http://{host}:{port}/predict_waveform?fields=labels",
+                data=buf.getvalue(), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                z = np.load(io.BytesIO(resp.read()))
+                files = set(z.files)
+        finally:
+            srv.shutdown()
+            srv.server_close()
+            t.join(timeout=10)
+        # filtered to labels; windows_per_channel always rides along
+        assert files == {"labels", "windows_per_channel"}
 
     def test_disabled_endpoint_404(self, server):
         wave = np.zeros(1_000, np.float32)
