@@ -313,6 +313,32 @@ def measure_stream_throughput(
     return med, float(loss), spread
 
 
+def measure_wire_rate(mbytes: float = 8.0, reps: int = 5):
+    """Host<->device roundtrip wire rate (Mbytes/s, median of reps):
+    device_put a fresh random buffer, run one elementwise op, fetch the
+    same-size result back. The streaming and serving tiers are
+    transfer-bound (RESULTS.md), so recording the link rate next to
+    their throughputs makes cross-day comparisons interpretable — the
+    remote tunnel here has been observed anywhere from ~15 to ~90
+    Mbytes/s. Fresh data per rep: the tunnel memoizes identical
+    executes (CLAUDE.md)."""
+    import jax
+    import numpy as np
+
+    n = int(mbytes * (1 << 20) // 4)
+    rng = np.random.default_rng(0)
+    rates = []
+    for _ in range(reps):
+        x = rng.standard_normal(n).astype(np.float32)
+        t0 = time.perf_counter()
+        y = np.asarray(jax.device_put(x) + 1.0)  # fetch forces execution
+        dt = time.perf_counter() - t0
+        assert y.shape == x.shape
+        rates.append(2 * x.nbytes / dt / (1 << 20))
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
 def _with_retry(measure):
     """The remote-TPU tunnel occasionally throws transient backend errors;
     one retry after a short pause rides them out."""
@@ -499,6 +525,12 @@ def main():
         out["extras"] = {
             n: r for n, r in results.items() if r["metric"] != head["metric"]
         }
+    if any(n.startswith("stream") for n in names):
+        # the stream metrics scale with the host<->device link; record it
+        # so a 2x swing between rounds reads as wire, not regression
+        out["wire_mbytes_per_sec"] = round(
+            _with_retry(measure_wire_rate), 1
+        )
     print(json.dumps(out))
     return 0
 

@@ -59,3 +59,10 @@ def test_measure_stream_throughput_runs():
     assert tput > 0
     assert np.isfinite(loss)
     assert spread["reps"] == 1
+
+
+def test_measure_wire_rate_runs():
+    from bench import measure_wire_rate
+
+    rate = measure_wire_rate(mbytes=0.5, reps=2)
+    assert rate > 0
