@@ -198,9 +198,16 @@ def cluster_metrics(
         x_mae[j] = np.mean(np.abs(diff), axis=0)
         x_mse_avg[j] = float(np.mean(x_mse[j]))
         x_mae_avg[j] = float(np.mean(x_mae[j]))
-        with np.errstate(invalid="ignore"):
-            class_silh_z[j] = float(np.nanmean(silh_z[sel]))
-            class_silh_x[j] = float(np.nanmean(silh_x[sel]))
+        # all-NaN class silhouettes (degenerate labelings) degrade to NaN
+        # without numpy's empty-slice RuntimeWarning
+        class_silh_z[j] = (
+            float(np.nanmean(silh_z[sel]))
+            if np.isfinite(silh_z[sel]).any() else float("nan")
+        )
+        class_silh_x[j] = (
+            float(np.nanmean(silh_x[sel]))
+            if np.isfinite(silh_x[sel]).any() else float("nan")
+        )
 
     df = pd.DataFrame(
         data={
@@ -215,8 +222,14 @@ def cluster_metrics(
     )
     df.loc["mean"] = df.mean(numeric_only=True)
     df.loc["mean", ["class", "N"]] = None
-    df.loc["mean", "silh_score_Z"] = float(np.nanmean(silh_z))
-    df.loc["mean", "silh_score_X"] = float(np.nanmean(silh_x))
+    # all-NaN silhouettes (degenerate single-class labelings) degrade to
+    # NaN without tripping numpy's empty-slice RuntimeWarning
+    df.loc["mean", "silh_score_Z"] = (
+        float(np.nanmean(silh_z)) if np.isfinite(silh_z).any() else float("nan")
+    )
+    df.loc["mean", "silh_score_X"] = (
+        float(np.nanmean(silh_x)) if np.isfinite(silh_x).any() else float("nan")
+    )
 
     if save:
         if path is None:

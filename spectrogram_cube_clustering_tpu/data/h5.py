@@ -61,7 +61,7 @@ def get_datetime(datetime_index: int):
     (reference utils.py:916-925)."""
     import pandas as pd
 
-    return pd.date_range("20141202T000000", "20161129T000000", freq="d")[
+    return pd.date_range("20141202T000000", "20161129T000000", freq="D")[
         datetime_index
     ]
 
