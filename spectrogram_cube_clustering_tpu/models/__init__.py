@@ -8,7 +8,11 @@ artifact boundaries so saved arrays keep the reference layout.
 import jax.numpy as jnp
 
 from spectrogram_cube_clustering_tpu.models.aec import Encoder, Decoder, AEC
-from spectrogram_cube_clustering_tpu.models.dec import DEC
+from spectrogram_cube_clustering_tpu.models.dec import (
+    DEC,
+    load_encoder_decoder_from_aec,
+    replace_centroids,
+)
 from spectrogram_cube_clustering_tpu.models.packed import PackedAEC, PackedDEC
 from spectrogram_cube_clustering_tpu.models.unet import UNet
 from spectrogram_cube_clustering_tpu.models.layers import SpatialAttention, xavier_init, bias_init
@@ -31,7 +35,7 @@ def to_nchw(x: jnp.ndarray) -> jnp.ndarray:
 
 __all__ = [
     "Encoder", "Decoder", "AEC", "DEC", "UNet", "PackedAEC", "PackedDEC",
-    "SpatialAttention",
+    "SpatialAttention", "load_encoder_decoder_from_aec", "replace_centroids",
     "xavier_init", "bias_init", "from_nchw", "to_nchw",
     "INPUT_HEIGHT", "INPUT_WIDTH", "LATENT_DIM", "UNET_LATENT_DIM",
 ]

@@ -278,6 +278,9 @@ class ServingServer(ThreadingHTTPServer):
             meta["waveform"] = {
                 "nperseg": wf.nperseg, "hop": wf.hop,
                 "window_rows": wf.window_rows,
+                # which route serves /predict_waveform: fused STFT+model
+                # (--fuse-waveform) or two-pass through the MicroBatcher
+                "fused": wf.fused,
             }
         return meta
 

@@ -482,7 +482,7 @@ def test_scc_serve_main(tmp_path, predictor):
 
         # --fuse-waveform implies waveform serving through the fused route
         assert meta["waveform"] == {
-            "nperseg": 200, "hop": 100, "window_rows": 4,
+            "nperseg": 200, "hop": 100, "window_rows": 4, "fused": True,
         }
         wave = np.random.default_rng(3).normal(size=2_500).astype(
             np.float32
@@ -566,10 +566,11 @@ class TestWaveformEndpoint:
         direct = pred(frontend.windows(wave))
         np.testing.assert_array_equal(got["labels"], direct["labels"])
         np.testing.assert_allclose(got["q"], direct["q"], rtol=1e-5)
-        # metadata advertises the STFT geometry
+        # metadata advertises the STFT geometry and the active route
         meta = _get_json(srv, "/healthz")
         assert meta["waveform"] == {
             "nperseg": 200, "hop": 100, "window_rows": 4,
+            "fused": frontend.fused,
         }
 
     def test_concurrent_waveform_clients(self, wf_server, predictor):
