@@ -86,22 +86,55 @@ def main():
         thread.start()
         try:
             host, port = srv.server_address[:2]
-            lats = []
-            for i in range(10):
-                x = rng.normal(size=(40_000,)).astype(np.float32)
+
+            def post(x):
                 buf = io.BytesIO()
                 np.save(buf, x)
                 req = urllib.request.Request(
                     f"http://{host}:{port}/predict_waveform",
                     data=buf.getvalue(), method="POST",
                 )
-                t0 = time.perf_counter()
-                with urllib.request.urlopen(req, timeout=120) as resp:
+                with urllib.request.urlopen(req, timeout=300) as resp:
                     resp.read()
+
+            lats = []
+            for i in range(10):
+                x = rng.normal(size=(40_000,)).astype(np.float32)
+                t0 = time.perf_counter()
+                post(x)
                 if i:  # first request warms the HTTP/bucket path
                     lats.append((time.perf_counter() - t0) * 1e3)
             lats.sort()
             out[f"http_{name}_p50_ms"] = round(lats[len(lats) // 2], 1)
+
+            # 8 concurrent clients x 4 small (8k-sample, 19-window)
+            # requests: where the MicroBatcher's cross-client coalescing
+            # should earn its keep vs per-request fused programs
+            reqs = [
+                [rng.normal(size=(8_000,)).astype(np.float32)
+                 for _ in range(4)]
+                for _ in range(8)
+            ]
+            errs = []
+
+            def client(items):
+                try:
+                    for x in items:
+                        post(x)
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+
+            threads = [
+                threading.Thread(target=client, args=(r,)) for r in reqs
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            assert not errs, errs[:1]
+            out[f"http_{name}_8client_reqs_per_sec"] = round(32 / wall, 1)
         finally:
             srv.shutdown()
             srv.server_close()

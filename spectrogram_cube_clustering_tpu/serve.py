@@ -374,12 +374,15 @@ class WaveformFrontend:
     Normalization stays inside the predictor's jit, identical to
     window-payload requests.
 
-    Direct calls on a bare single-device predictor take the FUSED path
+    Calls on a bare single-device predictor take the FUSED path
     (`fuse=None` auto): STFT + normalize + model compiled as one program
     per chunk, so raw samples cross host->device once and windows never
-    leave the device. The two-pass path (`windows()` + predictor) remains
-    for mesh predictors and for the HTTP server, whose MicroBatcher
-    coalesces the host window stacks of concurrent clients.
+    leave the device — measured faster than two-pass both solo and
+    under concurrent HTTP clients (RESULTS.md). The two-pass path
+    (`windows()` + predictor) remains for mesh predictors and for
+    `fuse=False` deployments (scc-serve --no-fuse-waveform) where the
+    MicroBatcher should coalesce waveform model passes with window
+    clients' batches.
     """
 
     def __init__(

@@ -539,12 +539,16 @@ def main(argv=None) -> int:
                     help="also accept raw-sample payloads on "
                     "/predict_waveform (windowed on device; geometry from "
                     "--nperseg/--hop and --input-hw's window_rows)")
-    ap.add_argument("--fuse-waveform", action="store_true",
+    ap.add_argument("--fuse-waveform",
+                    action=argparse.BooleanOptionalAction, default=True,
                     help="serve /predict_waveform through the fused "
-                    "STFT+model program (one host->device crossing, "
-                    "~2x lower p50) instead of the shared MicroBatcher; "
-                    "waveform requests then no longer coalesce with "
-                    "other clients (single-device predictors only)")
+                    "STFT+model program (one host->device crossing; "
+                    "measured ~2x lower p50 AND ~8x higher throughput "
+                    "under 8 concurrent clients through a remote "
+                    "attachment — RESULTS.md). --no-fuse-waveform "
+                    "restores the two-pass route, whose model pass "
+                    "coalesces with window clients in the MicroBatcher; "
+                    "mesh predictors always use two-pass")
     ap.add_argument("--nperseg", type=int, default=200,
                     help="waveform-mode STFT segment length")
     ap.add_argument("--hop", type=int, default=100,
@@ -591,21 +595,22 @@ def main(argv=None) -> int:
             attention_faithful=args.attention_faithful,
         )
     frontend = None
-    if args.waveform or args.fuse_waveform:
-        # default fuse=False: the HTTP handler uses frontend.windows()
-        # and routes the model pass through the shared MicroBatcher so
-        # waveform and window clients coalesce. --fuse-waveform opts into
-        # the single-program STFT+model route instead (fuse=None lets the
-        # frontend auto-disable it for mesh predictors, which cannot
-        # fuse — the handler then falls back to the two-pass route).
+    if args.waveform:
+        # fused by default: one STFT+model program per chunk, one
+        # host->device crossing per request — measured faster than the
+        # two-pass route both solo and under concurrent clients
+        # (RESULTS.md "fused vs two-pass over HTTP"). fuse=None lets the
+        # frontend auto-disable it for mesh predictors (which cannot
+        # fuse); --no-fuse-waveform forces the two-pass route, whose
+        # model pass coalesces with window clients in the MicroBatcher.
         frontend = _serve.WaveformFrontend(
             predictor, nperseg=args.nperseg, hop=args.hop,
             window_rows=int(args.input_hw[0]),
             fuse=None if args.fuse_waveform else False,
         )
         if args.fuse_waveform and not frontend.fused:
-            print("scc-serve: --fuse-waveform ignored (mesh predictors "
-                  "serve waveforms through the two-pass route)")
+            print("scc-serve: mesh predictors serve waveforms through "
+                  "the two-pass route (fusion is single-device only)")
     if frontend is not None:
         frontend.warmup()  # covers the predictor's buckets too
     elif hasattr(predictor, "warmup"):

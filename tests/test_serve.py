@@ -409,6 +409,40 @@ class TestWaveformFrontend:
             np.asarray(a["labels"]), np.asarray(b["labels"])
         )
 
+    def test_ladder_geometry_fuzz(self, trained):
+        """Random request lengths x chunk sizes x channel counts: the
+        laddered, chunked, zero-padded windows() always equals one-shot
+        spectrogram_windows (rung selection, multi-chunk splits, ragged
+        tails, per-channel ordering)."""
+        from spectrogram_cube_clustering_tpu.signal.stft import (
+            spectrogram_windows,
+        )
+
+        path, _, _, _, _ = trained
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16
+        )
+        rng = np.random.default_rng(2026)
+        span = 4 * 100  # window span at the default nperseg=200/hop=100
+        for _ in range(12):
+            chunk = int(rng.integers(1, 12)) * span
+            wf = serve.WaveformFrontend(pred, chunk_samples=chunk)
+            channels = int(rng.integers(1, 4))
+            t = int(rng.integers(500, 12_000))
+            wave = rng.normal(size=(channels, t)).astype(np.float32)
+            if wf.n_windows(t) < 1:
+                with pytest.raises(ValueError, match="no complete"):
+                    wf.windows(wave)
+                continue
+            want = np.asarray(
+                spectrogram_windows(jnp.asarray(wave), transform=None)
+            )
+            got = wf.windows(wave)
+            assert got.shape == want.shape, (chunk, channels, t)
+            np.testing.assert_allclose(
+                got, want, atol=1e-4, err_msg=f"{(chunk, channels, t)}"
+            )
+
     def test_fused_path_matches_two_pass(self, trained):
         """fuse=auto (on for bare single-device predictors) computes
         STFT+normalize+model in one program; outputs must match the

@@ -443,7 +443,7 @@ def test_scc_serve_main(tmp_path, predictor):
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "from spectrogram_cube_clustering_tpu import serve_http\n"
         f"serve_http.main([{ckpt!r}, '--n-clusters', '3', "
-        "'--max-batch', '64', '--port', '0', '--fuse-waveform'])\n"
+        "'--max-batch', '64', '--port', '0', '--waveform'])\n"
     )
     proc = subprocess.Popen(
         [sys.executable, "-c", code],
@@ -480,7 +480,8 @@ def test_scc_serve_main(tmp_path, predictor):
         out = np.load(io.BytesIO(urllib.request.urlopen(req, timeout=60).read()))
         np.testing.assert_array_equal(out["labels"], pred(x[:5])["labels"])
 
-        # --fuse-waveform implies waveform serving through the fused route
+        # --waveform serves through the fused route by default
+        # (--no-fuse-waveform restores the two-pass MicroBatcher route)
         assert meta["waveform"] == {
             "nperseg": 200, "hop": 100, "window_rows": 4, "fused": True,
         }
