@@ -79,6 +79,75 @@ def main():
     out["sustained_bf16_transfer_samples_per_sec"] = round(
         4096 * len(big) / dt, 1
     )
+
+    # does the MicroBatcher's coalescing earn its keep for WINDOW
+    # clients? (for waveform clients it measurably does not —
+    # serve_waveform_tpu.py — but window payloads are exactly what it
+    # was built to coalesce): 8 concurrent HTTP clients x 4 requests of
+    # 64 windows, aggregate req/s + the batcher's own coalescing stats
+    import io
+    import threading
+    import urllib.request
+
+    from spectrogram_cube_clustering_tpu import serve_http
+
+    # bucketed predictor: a ~256-row coalesced batch must run through a
+    # 256-row bucket, not pad to the full 4096 (the recommended
+    # scc-serve shape, --buckets)
+    pred_b = serve.DECPredictor(
+        params, n_clusters=5, max_batch=4096, buckets=True
+    )
+    pred_b.warmup()
+    srv = serve_http.make_server(pred_b, host="127.0.0.1", port=0,
+                                 max_wait_ms=5.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = srv.server_address[:2]
+
+        def post(x):
+            buf = io.BytesIO()
+            np.save(buf, x)
+            req = urllib.request.Request(
+                f"http://{host}:{port}/predict",
+                data=buf.getvalue(), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                resp.read()
+
+        post(rng.normal(size=(64, 4, 101, 1)).astype(np.float32))  # warm
+        reqs = [
+            [rng.normal(size=(64, 4, 101, 1)).astype(np.float32)
+             for _ in range(4)]
+            for _ in range(8)
+        ]
+        errs = []
+
+        def client(items):
+            try:
+                for x in items:
+                    post(x)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=client, args=(r,)) for r in reqs
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        assert not errs, errs[:1]
+        stats = srv.batcher.stats()
+        out["http_window_8client_reqs_per_sec"] = round(32 / wall, 1)
+        out["http_window_8client_mean_coalesced"] = stats["mean_coalesced"]
+        out["http_window_8client_device_batches"] = stats["device_batches"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=10)
     print(json.dumps(out))
 
 
