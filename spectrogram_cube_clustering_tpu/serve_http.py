@@ -523,8 +523,14 @@ def main(argv=None) -> int:
                     metavar=("H", "W"))
     ap.add_argument("--transform", default="sample_norm_cent")
     ap.add_argument("--max-batch", type=int, default=1024)
-    ap.add_argument("--buckets", action="store_true",
-                    help="compile a power-of-two bucket ladder")
+    ap.add_argument("--buckets",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="compile a power-of-two bucket ladder so small "
+                    "(or small-coalesced) requests run a small compiled "
+                    "shape instead of padding to --max-batch over the "
+                    "wire (a 64-window request against max_batch=4096 "
+                    "would otherwise ship 6.6 MB of zeros; RESULTS.md). "
+                    "--no-buckets compiles only the full shape")
     ap.add_argument("--transfer-dtype", default=None,
                     choices=["bfloat16", "float16"])
     ap.add_argument("--max-wait-ms", type=float, default=2.0,
