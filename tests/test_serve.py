@@ -232,6 +232,18 @@ def test_packed_predictor_from_checkpoint(tmp_path):
                                jnp.asarray(xn[:5]))
     np.testing.assert_allclose(out["q"], np.asarray(q_direct), atol=1e-5)
 
+    # fused waveform route composes with the packed arch: the fused
+    # program wraps predictor._fn, so arch must be transparent to it
+    wf = serve.WaveformFrontend(pred, chunk_samples=1)
+    assert wf.fused
+    wave = np.random.default_rng(5).normal(size=2_000).astype(np.float32)
+    fused = wf(wave)
+    two_pass = pred(wf.windows(wave))
+    np.testing.assert_array_equal(fused["labels"], two_pass["labels"])
+    np.testing.assert_allclose(
+        fused["q"], two_pass["q"], rtol=1e-5, atol=1e-7
+    )
+
 
 def test_h5_geometry_predictor_from_checkpoint(tmp_path):
     """DEC checkpoints trained on the H5 event-catalog geometry (87, 100)
