@@ -245,6 +245,10 @@ class ServingServer(ThreadingHTTPServer):
         # requests through its single-program STFT+model path instead
         # (lower latency, no cross-client coalescing)
         self.waveform_frontend = waveform_frontend
+        # fused waveform requests bypass the MicroBatcher, so its
+        # counters never see them; count them here for /stats
+        self.fused_waveform_requests = 0
+        self._fused_count_lock = threading.Lock()
         self.latency = _LatencyRing()
         self.max_request_bytes = int(max_request_mb * (1 << 20))
         self.started = time.time()
@@ -321,6 +325,11 @@ class _Handler(BaseHTTPRequestHandler):
             stats = self.server.batcher.stats()
             stats.update(self.server.latency.quantiles())
             stats["uptime_s"] = round(time.time() - self.server.started, 1)
+            if self.server.waveform_frontend is not None:
+                # batcher counters exclude fused-route traffic
+                stats["fused_waveform_requests"] = (
+                    self.server.fused_waveform_requests
+                )
             self._send_json(200, stats)
         else:
             self._send_json(404, {"error": f"unknown path {path!r}"})
@@ -415,6 +424,8 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:  # noqa: BLE001 — 500, keep serving
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
+            with self.server._fused_count_lock:
+                self.server.fused_waveform_requests += 1
             extra["windows_per_channel"] = out.pop("windows_per_channel")
         else:
             if is_waveform:

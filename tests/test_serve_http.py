@@ -573,6 +573,11 @@ class TestWaveformEndpoint:
             "nperseg": 200, "hop": 100, "window_rows": 4,
             "fused": frontend.fused,
         }
+        # fused requests bypass the batcher; /stats counts them anyway
+        stats = _get_json(srv, "/stats")
+        assert stats["fused_waveform_requests"] == (
+            1 if frontend.fused else 0
+        )
 
     def test_concurrent_waveform_clients(self, wf_server, predictor):
         """Concurrent waveform posts (both routes; the fused one runs the
