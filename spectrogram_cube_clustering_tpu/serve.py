@@ -458,9 +458,16 @@ class WaveformFrontend:
             )
         self.fused = bool(fuse)
         if self.fused:
+            # honor the predictor's transfer_dtype on the fused wire too:
+            # raw samples carry the same bytes as the window stack they
+            # become (window_rows*hop samples ~ window_rows*nfreq values),
+            # so the half-width cast halves fused request bytes exactly
+            # like it does window payloads; f32 is restored on device
+            # before the STFT
+            self._fused_wire = getattr(predictor, "_wire_dtype", None)
             self._fused_fn = jax.jit(
                 lambda params, seg: predictor._fn(
-                    params, self._window_fn(seg)
+                    params, self._window_fn(seg.astype(jnp.float32))
                 )
             )
 
@@ -472,10 +479,18 @@ class WaveformFrontend:
             np.asarray(self._window_fn(seg))
             if self.fused:
                 jax.block_until_ready(
-                    self._fused_fn(self.predictor.params, jnp.asarray(seg))
+                    self._fused_fn(
+                        self.predictor.params,
+                        jnp.asarray(self._cast_wire(seg)),
+                    )
                 )
         if hasattr(self.predictor, "warmup"):
             self.predictor.warmup()
+
+    def _cast_wire(self, seg: np.ndarray) -> np.ndarray:
+        """Fused-route host-side wire cast (predictor transfer_dtype)."""
+        wire = self._fused_wire
+        return seg if wire is None else seg.astype(wire)
 
     def _rung_seg_len(self, rung_wins: int) -> int:
         return rung_wins * self._span + self.nperseg - self.hop
@@ -558,7 +573,7 @@ class WaveformFrontend:
                 )
             params = self.predictor.params
             chunks = [
-                (self._fused_fn(params, seg), n)
+                (self._fused_fn(params, self._cast_wire(seg)), n)
                 for seg, n in self._iter_segments(w2, n_win)
             ]
             first = chunks[0][0]

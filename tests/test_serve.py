@@ -484,6 +484,33 @@ class TestWaveformFrontend:
             z, enc(wf_enc.windows(wave)), rtol=1e-5, atol=1e-6
         )
 
+    def test_fused_bf16_wire_matches_f32(self, trained):
+        """The fused route honors the predictor's transfer_dtype: raw
+        samples cross host->device at half width (same byte count as the
+        window stack they become), f32 restored before the STFT — labels
+        identical, q within input-quantization tolerance, mirroring the
+        window-path contract."""
+        path, _, _, _, _ = trained
+        f32 = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16
+        )
+        bf16 = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16, transfer_dtype="bfloat16"
+        )
+        wf32 = serve.WaveformFrontend(f32, chunk_samples=1)
+        wfbf = serve.WaveformFrontend(bf16, chunk_samples=1)
+        assert wf32.fused and wfbf.fused
+        assert wfbf._fused_wire is not None
+        wave = np.random.default_rng(9).normal(size=(2, 2_000)).astype(
+            np.float32
+        )
+        a, b = wf32(wave), wfbf(wave)
+        assert np.array_equal(a["labels"], b["labels"])
+        np.testing.assert_allclose(a["q"], b["q"], atol=5e-3)
+        np.testing.assert_array_equal(
+            a["windows_per_channel"], b["windows_per_channel"]
+        )
+
     def test_mesh_predictor_falls_back_to_two_pass(self, trained):
         path, _, _, _, _ = trained
         from spectrogram_cube_clustering_tpu.core import make_data_mesh
