@@ -116,8 +116,37 @@ def sharded_spectrogram(
     # exact kernel semantics on the virtual CPU mesh (tests + dryrun).
     interpret = mesh_platform != "tpu"
 
+    mapped = _mapped_local_spec(
+        mesh, nperseg=nperseg, hop=hop, log=log, eps=eps,
+        use_pallas=use_pallas, batch_dims=x.ndim - 1,
+    )
+    spec_in = P(*([None] * (x.ndim - 1)), DATA_AXIS)
+    x = jax.device_put(x, NamedSharding(mesh, spec_in))
+    out = mapped(x)
+    # Trailing frames of the LAST device that spill past T are zero-halo
+    # artifacts; the global frame count drops them.
+    n_frames = (t - nperseg) // hop + 1
+    return out[..., :n_frames, :]
+
+
+def _mapped_local_spec(
+    mesh: Mesh, *, nperseg: int, hop: int, log: bool, eps: float,
+    use_pallas: bool, batch_dims: int,
+):
+    """The shard_mapped per-device STFT: (..., T time-sharded) ->
+    (..., T // hop frames time-sharded, nfreq). Jit-friendly (no
+    device_put) so callers can compose it inside larger programs —
+    `sharded_spectrogram` wraps it for host arrays, serve's mesh-fused
+    waveform route inlines it before the batch-sharded model pass.
+    The caller slices the global (t - nperseg) // hop + 1 real frames."""
+    from spectrogram_cube_clustering_tpu.signal.stft import (
+        frame,
+        hann_window,
+    )
+
+    halo = nperseg - hop
     win = hann_window(nperseg)
-    batch_dims = x.ndim - 1
+    interpret = next(iter(mesh.devices.flat)).platform != "tpu"
 
     def local_spec(xs):
         # xs (..., local_t) -> (..., local_t // hop, nfreq): the halo
@@ -142,13 +171,7 @@ def sharded_spectrogram(
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, which trips shard_map's vma validation; the halo path's
     # cross-device semantics are pinned by parity tests instead
-    mapped = jax.shard_map(
+    return jax.shard_map(
         local_spec, mesh=mesh, in_specs=spec_in, out_specs=spec_out,
         check_vma=not use_pallas,
     )
-    x = jax.device_put(x, NamedSharding(mesh, spec_in))
-    out = mapped(x)
-    # Trailing frames of the LAST device that spill past T are zero-halo
-    # artifacts; the global frame count drops them.
-    n_frames = (t - nperseg) // hop + 1
-    return out[..., :n_frames, :]

@@ -378,11 +378,14 @@ class WaveformFrontend:
     (`fuse=None` auto): STFT + normalize + model compiled as one program
     per chunk, so raw samples cross host->device once and windows never
     leave the device — measured faster than two-pass both solo and
-    under concurrent HTTP clients (RESULTS.md). The two-pass path
-    (`windows()` + predictor) remains for mesh predictors and for
-    `fuse=False` deployments (scc-serve --no-fuse-waveform) where the
-    MicroBatcher should coalesce waveform model passes with window
-    clients' batches.
+    under concurrent HTTP clients (RESULTS.md). On a MESH predictor an
+    explicit `fuse=True` builds the SPMD composition instead: the raw
+    chunk shards along time (halo STFT via ppermute), the resulting
+    windows reshard along batch for the data-parallel model pass, all
+    in one program. `fuse=None` keeps mesh predictors on the two-pass
+    path (`windows()` + predictor) — also what `fuse=False` deployments
+    (scc-serve --no-fuse-waveform) use so the MicroBatcher can coalesce
+    waveform model passes with window clients' batches.
     """
 
     def __init__(
@@ -465,11 +468,70 @@ class WaveformFrontend:
             # like it does window payloads; f32 is restored on device
             # before the STFT
             self._fused_wire = getattr(predictor, "_wire_dtype", None)
-            self._fused_fn = jax.jit(
-                lambda params, seg: predictor._fn(
-                    params, self._window_fn(seg.astype(jnp.float32))
+            if getattr(predictor, "mesh", None) is not None:
+                # explicit fuse=True on a mesh predictor: SPMD end-to-end
+                # — halo-sharded STFT (time axis over the mesh) feeding
+                # the batch-sharded model pass in ONE program; XLA
+                # inserts the frame->window resharding collective
+                self._fused_fn = self._build_mesh_fused(predictor)
+            else:
+                self._fused_fn = jax.jit(
+                    lambda params, seg: predictor._fn(
+                        params, self._window_fn(seg.astype(jnp.float32))
+                    )
                 )
+
+    def _build_mesh_fused(self, predictor):
+        """One jitted SPMD program per chunk rung: raw samples sharded
+        along TIME across the mesh (hop-overlap halo via ppermute, the
+        per-device spectrogram through the Pallas kernel where eligible),
+        frames regrouped into windows and resharded along BATCH for the
+        predictor's data-parallel model pass — samples cross host->device
+        once and windows never leave the devices."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from spectrogram_cube_clustering_tpu.core.mesh import DATA_AXIS
+        from spectrogram_cube_clustering_tpu.parallel.halo import (
+            _mapped_local_spec,
+        )
+        from spectrogram_cube_clustering_tpu.signal.stft import (
+            pallas_eligible,
+        )
+
+        mesh = predictor.mesh
+        n_dev = mesh.devices.size
+        platform = next(iter(mesh.devices.flat)).platform
+        mapped = _mapped_local_spec(
+            mesh, nperseg=self.nperseg, hop=self.hop, log=True, eps=1e-12,
+            use_pallas=pallas_eligible(
+                self.nperseg, self.hop, platform=platform
+            ),
+            batch_dims=0,
+        )
+        nfreq = self.nperseg // 2 + 1
+        # the time axis shards in hop-aligned equal pieces, each at least
+        # one halo long (halo_exchange_1d reaches one right neighbor)
+        quantum = n_dev * self.hop
+        min_t = n_dev * max(self.nperseg - self.hop, self.hop)
+
+        def fused(params, seg):
+            t = seg.shape[0]  # static per rung
+            t_pad = max(_round_up_int(t, quantum), min_t)
+            x = jnp.pad(seg.astype(jnp.float32), (0, t_pad - t))
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(DATA_AXIS))
             )
+            spec = mapped(x)  # (t_pad // hop, nfreq), time-sharded
+            n_win = self.n_windows(t)
+            w = spec[: n_win * self.window_rows].reshape(
+                n_win, self.window_rows, nfreq
+            )[..., None]
+            w = jax.lax.with_sharding_constraint(
+                w, NamedSharding(mesh, P(DATA_AXIS))
+            )
+            return predictor._fn(params, w)
+
+        return jax.jit(fused)
 
     def warmup(self) -> None:
         """Pay every chunk rung's STFT compile (and, on the fused path,

@@ -627,7 +627,9 @@ def main(argv=None) -> int:
         )
         if args.fuse_waveform and not frontend.fused:
             print("scc-serve: mesh predictors serve waveforms through "
-                  "the two-pass route (fusion is single-device only)")
+                  "the two-pass route by default (the SPMD-fused "
+                  "composition is available via "
+                  "serve.WaveformFrontend(pred, fuse=True))")
     if frontend is not None:
         frontend.warmup()  # covers the predictor's buckets too
     elif hasattr(predictor, "warmup"):

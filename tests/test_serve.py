@@ -525,3 +525,31 @@ class TestWaveformFrontend:
         )
         out = wf(wave)
         assert out["labels"].shape == (wf.n_windows(1_000),)
+
+    def test_mesh_fused_matches_two_pass(self, trained):
+        """Explicit fuse=True on a mesh predictor runs the SPMD
+        composition — time-sharded halo STFT feeding the batch-sharded
+        model pass in one program — and must match the two-pass mesh
+        route (host windows -> sharded predictor) on the virtual
+        8-device mesh, incl. multi-chunk multichannel requests."""
+        path, _, _, _, _ = trained
+        from spectrogram_cube_clustering_tpu.core import make_data_mesh
+
+        mesh = make_data_mesh()
+        pred = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16, mesh=mesh
+        )
+        fused = serve.WaveformFrontend(pred, chunk_samples=1, fuse=True)
+        assert fused.fused
+        two_pass = serve.WaveformFrontend(pred, chunk_samples=1)
+        wave = np.random.default_rng(6).normal(size=(2, 2_345)).astype(
+            np.float32
+        )
+        a = fused(wave)
+        b = two_pass(wave)
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+        np.testing.assert_allclose(a["q"], b["q"], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(a["z"], b["z"], rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(
+            a["windows_per_channel"], b["windows_per_channel"]
+        )
