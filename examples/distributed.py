@@ -99,6 +99,18 @@ def main():
     spec = scc.parallel.sharded_spectrogram(wave, mesh)
     print("halo-exchange spectrogram:", spec.shape)
 
+    # 5) SPMD-fused waveform serving: raw chunk time-sharded (halo STFT)
+    # into the batch-resharded data-parallel model pass, one program.
+    dec = scc.models.DEC(n_clusters=3)
+    dec_params = dec.init(jax.random.key(1), jnp.asarray(x[:2]))["params"]
+    pred = scc.serve.DECPredictor(
+        dec_params, n_clusters=3, max_batch=8 * mesh.size, mesh=mesh
+    )
+    frontend = scc.serve.WaveformFrontend(pred, chunk_samples=1, fuse=True)
+    served = frontend(np.asarray(wave))
+    print("mesh-fused waveform serving:", served["labels"].shape,
+          "windows/channel", int(served["windows_per_channel"][0]))
+
 
 if __name__ == "__main__":
     main()
