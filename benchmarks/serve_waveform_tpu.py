@@ -70,6 +70,26 @@ def main():
             "p95_ms": round(lats[int(len(lats) * 0.95) - 1], 1),
         }
 
+    # fused route with the half-width wire cast (transfer_dtype flows
+    # through to raw samples since the fused wire-cast change): same
+    # chunk ladder, half the request bytes
+    pred16 = serve.DECPredictor(
+        params, n_clusters=5, max_batch=4096, buckets=True,
+        transfer_dtype="bfloat16",
+    )
+    wf16 = serve.WaveformFrontend(pred16, chunk_samples=1 << 20)
+    assert wf16.fused and wf16._fused_wire is not None
+    wf16.warmup()
+    lats = []
+    for i in range(10):
+        x = rng.normal(size=(40_000,)).astype(np.float32)
+        t0 = time.perf_counter()
+        wf16(x)
+        if i:
+            lats.append((time.perf_counter() - t0) * 1e3)
+    lats.sort()
+    out["route_fused_bf16wire_p50_ms"] = round(lats[len(lats) // 2], 1)
+
     # over REAL localhost HTTP: the two-pass server (default, coalesces
     # across clients) vs --fuse-waveform (one host->device crossing)
     import io
