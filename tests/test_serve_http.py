@@ -619,6 +619,26 @@ class TestWaveformEndpoint:
                 [frontend.n_windows(wave.shape[0])],
             )
 
+    def test_frontend_wraps_microbatcher_directly(self, predictor):
+        """WaveformFrontend's documented 'or a MicroBatcher around one'
+        composition: no ._fn on the batcher so fuse auto-disables, the
+        two-pass route feeds windows through the batcher, and outputs
+        match wrapping the bare predictor."""
+        pred, _ = predictor
+        batcher = serve_http.MicroBatcher(pred, max_wait_ms=1.0)
+        try:
+            wf = serve.WaveformFrontend(batcher)
+            assert not wf.fused
+            wave = np.random.default_rng(13).normal(size=1_500).astype(
+                np.float32
+            )
+            out = wf(wave)
+            ref = serve.WaveformFrontend(pred, fuse=False)(wave)
+            np.testing.assert_array_equal(out["labels"], ref["labels"])
+            np.testing.assert_allclose(out["q"], ref["q"], rtol=1e-6)
+        finally:
+            batcher.close()
+
     def test_fused_route_matches_two_pass_over_http(self, predictor):
         """The two HTTP routes return identical outputs for the same
         waveform (same device backend; only the program structure and
