@@ -255,13 +255,16 @@ def measure_stft_throughput(
 
 def measure_stream_throughput(
     n_samples: int, batch_size: int, epochs: int = 3, reps: int = 1,
-    transfer_dtype=None,
+    transfer_dtype=None, deadline: float = None,
 ):
     """Streaming AEC training throughput (samples/sec): PrefetchLoader
     host IO overlapping the per-batch jitted step — the larger-than-HBM
     tier (train/aec.py::train_aec_stream's hot path). `transfer_dtype`
     measures the half-width wire-cast variant
-    (config `stream_transfer_dtype`)."""
+    (config `stream_transfer_dtype`). `deadline` (perf_counter value)
+    stops the rep/epoch loops early on slow-wire days so the driver's
+    wall-clock budget holds — the reported median covers whatever epochs
+    actually ran (always >= 1)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -308,7 +311,11 @@ def measure_stream_throughput(
             t0 = time.perf_counter()
             state, loss = one_epoch(state)
             epoch_rates.append(streamed / (time.perf_counter() - t0))
+            if deadline is not None and time.perf_counter() > deadline:
+                break
         rates.append(float(np.median(epoch_rates)))
+        if deadline is not None and time.perf_counter() > deadline:
+            break
     med, spread = _rep_stats(rates)
     return med, float(loss), spread
 
@@ -339,12 +346,21 @@ def measure_wire_rate(mbytes: float = 8.0, reps: int = 5):
     return rates[len(rates) // 2]
 
 
-def _with_retry(measure):
+def _with_retry(measure, deadline: float = None):
     """The remote-TPU tunnel occasionally throws transient backend errors;
-    one retry after a short pause rides them out."""
+    one retry after a short pause rides them out. The retry is skipped
+    when the wall-clock budget is nearly spent (a retry can double a
+    metric's cost — the exact failure mode that emptied BENCH_r03)."""
     try:
         return measure()
     except Exception as e:  # noqa: BLE001
+        if deadline is not None and time.perf_counter() > deadline - 30:
+            print(
+                f"# failure ({type(e).__name__}) with budget exhausted; "
+                "skipping retry",
+                file=sys.stderr,
+            )
+            raise
         print(
             f"# transient failure ({type(e).__name__}); retrying",
             file=sys.stderr,
@@ -353,7 +369,7 @@ def _with_retry(measure):
         return measure()
 
 
-def _measure_set(args):
+def _measure_set(args, deadline: float = None):
     """(name -> thunk) for each requested metric. The aec headline runs
     the fused on-device multi-epoch loop (the shipped `sync_every`
     training mode): all epochs as ONE device call, so the remote tunnel's
@@ -379,7 +395,7 @@ def _measure_set(args):
     # shrinking a user-requested size.
     stream_samples = min(args.samples, 65536)
     if stream_samples < args.samples and args.metric in (
-        "all", "stream", "stream_bf16"
+        "all", "stream", "stream_bf16", "stream_int8"
     ):
         print(
             f"# stream metrics cap --samples at 65536 (requested "
@@ -436,6 +452,7 @@ def _measure_set(args):
             # enough to show real regressions
             lambda: measure_stream_throughput(
                 stream_samples, args.batch, epochs=8, reps=args.reps,
+                deadline=deadline,
             ),
         ),
         "stream_bf16": (
@@ -446,9 +463,78 @@ def _measure_set(args):
             lambda: measure_stream_throughput(
                 stream_samples, args.batch,
                 epochs=8, reps=args.reps, transfer_dtype="bfloat16",
+                deadline=deadline,
+            ),
+        ),
+        "stream_int8": (
+            "stream_int8_train_samples_per_sec",
+            # quarter-width wire casts (stream_transfer_dtype=int8,
+            # per-batch symmetric quantization, dequant on device):
+            # 4x fewer wire bytes than f32 on the transfer-bound tier
+            lambda: measure_stream_throughput(
+                stream_samples, args.batch,
+                epochs=8, reps=args.reps, transfer_dtype="int8",
+                deadline=deadline,
             ),
         ),
     }
+
+
+def _load_baseline():
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "baseline_measured.json",
+    )
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            return json.load(f)
+    return {}
+
+
+def _emit(ordered_names, results, baseline, wire=None, skipped=(),
+          elapsed=None):
+    """Print ONE cumulative JSON line covering everything measured so far.
+
+    Called after EVERY completed metric (BENCH_r03 lesson: the old
+    single-print-at-the-end design memorialized nothing when the driver's
+    timeout killed the run mid-bench). Each line is a complete,
+    driver-parseable record — headline schema (metric/value/unit/
+    vs_baseline) from the first completed metric, full table in `extras` —
+    so whichever line is last on stdout when the process dies is the most
+    complete result."""
+    for name, row in results.items():
+        if "vs_baseline" not in row:
+            # packed variants train the same task: anchor against the
+            # same measured-reference loop as their parity counterpart
+            ref = baseline.get(row["metric"].replace("_packed", ""))
+            row["vs_baseline"] = (
+                round(row["value"] / ref, 2) if ref else None
+            )
+    head_name = next(n for n in ordered_names if n in results)
+    head = results[head_name]
+    out = {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": "samples/sec",
+        "vs_baseline": head["vs_baseline"],
+        "spread": {
+            k: head[k] for k in ("reps", "min", "max", "spread_pct")
+        },
+    }
+    extras = {
+        n: r for n, r in results.items() if r["metric"] != head["metric"]
+    }
+    if extras:
+        out["extras"] = extras
+    if wire is not None:
+        # the stream metrics scale with the host<->device link; record it
+        # so a 2x swing between rounds reads as wire, not regression
+        out["wire_mbytes_per_sec"] = round(wire, 1)
+    if skipped:
+        out["skipped"] = list(skipped)
+    if elapsed is not None:
+        out["elapsed_sec"] = round(elapsed, 1)
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -466,17 +552,26 @@ def main():
         "plus min/max spread",
     )
     ap.add_argument(
+        "--budget", type=float, default=480.0,
+        help="wall-clock budget in seconds (0 = unlimited): metrics not "
+        "started before the budget expires are skipped (listed in the "
+        "output's `skipped`), and stream reps stop early at the "
+        "deadline — a fresh-compile or slow-wire day degrades to a "
+        "partial table instead of a driver timeout with no output",
+    )
+    ap.add_argument(
         "--metric",
         choices=[
             "all", "aec", "aec_packed", "dec", "dec_packed", "stft",
-            "stft_pallas", "stream", "stream_bf16",
+            "stft_pallas", "stream", "stream_bf16", "stream_int8",
         ],
         default="all",
-        help="all: the full headline table in one JSON line (driver "
-        "default); aec: pretrain step throughput (primary); aec_packed/"
-        "dec_packed: the MXU-packed variants (arch=packed); dec: "
-        "refinement step; stft_pallas: fused Pallas spectrogram kernel; "
-        "stream: prefetch-loader streaming train step",
+        help="all: the full headline table, one cumulative JSON line per "
+        "completed metric, cheapest-first (driver default); aec: pretrain "
+        "step throughput (primary); aec_packed/dec_packed: the MXU-packed "
+        "variants (arch=packed); dec: refinement step; stft_pallas: fused "
+        "Pallas spectrogram kernel; stream: prefetch-loader streaming "
+        "train step (_bf16/_int8: compressed-wire variants)",
     )
     args = ap.parse_args()
 
@@ -485,53 +580,58 @@ def main():
     if args.metric == "stft":  # backwards-compatible alias
         args.metric = "stft_pallas"
 
+    t0 = time.perf_counter()
+    deadline = t0 + args.budget if args.budget > 0 else None
+
     _enable_compile_cache()
-    measures = _measure_set(args)
+    measures = _measure_set(args, deadline=deadline)
     names = list(measures) if args.metric == "all" else [args.metric]
+    baseline = _load_baseline()
 
     results = {}
+    skipped = []
+    wire = None
+    failed = []
     for name in names:
+        elapsed = time.perf_counter() - t0
+        remaining = None if deadline is None else deadline - time.perf_counter()
+        # stream metrics dispatch per batch over the wire and can't finish
+        # meaningfully in under ~90 s (compile epoch + >=1 timed epoch)
+        floor = 90 if name.startswith("stream") else 0
+        if remaining is not None and remaining < floor and results:
+            skipped.append(name)
+            print(f"# budget spent; skipping {name}", file=sys.stderr)
+            continue
+        if name.startswith("stream") and wire is None:
+            # measure the link rate BEFORE the transfer-bound metrics so
+            # a partial (budget-cut) table still carries the context that
+            # makes its stream numbers interpretable
+            wire = _with_retry(measure_wire_rate, deadline)
         metric, thunk = measures[name]
-        value, _loss, spread = _with_retry(thunk)
-        results[name] = {"metric": metric, "value": round(value, 1), **spread}
-
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "benchmarks", "baseline_measured.json",
-    )
-    baseline = {}
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f)
-    for name, row in results.items():
-        # packed variants train the same task: anchor against the same
-        # measured-reference loop as their parity counterpart
-        ref = baseline.get(row["metric"].replace("_packed", ""))
-        row["vs_baseline"] = round(row["value"] / ref, 2) if ref else None
-
-    # One JSON line. The headline keeps the driver schema (metric/value/
-    # unit/vs_baseline = the AEC primary when present); `extras` carries
-    # the full metric table so regressions in ANY path are driver-visible
-    # (VERDICT r2 missing #4).
-    head = results.get(names[0])
-    out = {
-        "metric": head["metric"],
-        "value": head["value"],
-        "unit": "samples/sec",
-        "vs_baseline": head["vs_baseline"],
-    }
-    out["spread"] = {k: head[k] for k in ("reps", "min", "max", "spread_pct")}
-    if len(results) > 1:
-        out["extras"] = {
-            n: r for n, r in results.items() if r["metric"] != head["metric"]
+        try:
+            value, _loss, spread = _with_retry(thunk, deadline)
+        except Exception as e:  # noqa: BLE001
+            # a dead metric must not take the whole table with it
+            print(f"# {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            failed.append(name)
+            continue
+        results[name] = {
+            "metric": metric, "value": round(value, 1), **spread
         }
-    if any(n.startswith("stream") for n in names):
-        # the stream metrics scale with the host<->device link; record it
-        # so a 2x swing between rounds reads as wire, not regression
-        out["wire_mbytes_per_sec"] = round(
-            _with_retry(measure_wire_rate), 1
-        )
-    print(json.dumps(out))
+        _emit(names, results, baseline, wire=wire,
+              skipped=skipped + failed,
+              elapsed=time.perf_counter() - t0)
+    if not results:
+        print(json.dumps({"metric": "none", "value": None,
+                          "unit": "samples/sec", "vs_baseline": None,
+                          "failed": failed}), flush=True)
+        return 1
+    # final combined line (identical schema; last line on stdout is
+    # always the most complete — this re-print covers the skip-tail case
+    # where the last metric was skipped rather than measured)
+    _emit(names, results, baseline, wire=wire, skipped=skipped + failed,
+          elapsed=time.perf_counter() - t0)
     return 0
 
 

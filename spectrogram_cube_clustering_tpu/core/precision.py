@@ -56,12 +56,14 @@ def wire_dtype(transfer_dtype):
     """Numpy dtype host arrays are cast to before a host->device copy,
     or None for full-width f32.
 
-    Half-width transfer doubles throughput on wire-bound paths (serving
-    requests and the streaming larger-than-HBM tier both measure as
-    transfer-bound on bandwidth-limited links, RESULTS.md). Consumers
-    cast back to f32 on device, so the only effect is input
-    quantization: ~3 significant digits for bfloat16 (keeps f32's
-    range), ~4 for float16 (range-limited to ±65k)."""
+    Reduced-width transfer buys throughput on wire-bound paths directly
+    (serving requests and the streaming larger-than-HBM tier both
+    measure as transfer-bound on bandwidth-limited links, RESULTS.md).
+    Consumers restore f32 on device (`dequant_wire`), so the only effect
+    is input quantization: ~3 significant digits for bfloat16 (keeps
+    f32's range), ~4 for float16 (range-limited to ±65k), and a uniform
+    1/127-of-absmax step for int8 (per-batch symmetric scale carried in
+    the wire header, `quantize_wire`)."""
     if transfer_dtype is None:
         return None
     import numpy as np
@@ -72,7 +74,57 @@ def wire_dtype(transfer_dtype):
         return np.dtype(ml_dtypes.bfloat16)
     if transfer_dtype == "float16":
         return np.dtype(np.float16)
+    if transfer_dtype == "int8":
+        return np.dtype(np.int8)
     raise ValueError(
-        f"transfer_dtype must be None, 'bfloat16' or 'float16', "
+        f"transfer_dtype must be None, 'bfloat16', 'float16' or 'int8', "
         f"got {transfer_dtype!r}"
     )
+
+
+def quantize_wire(batch, wire):
+    """Host-side wire encoding of a float batch before the H2D copy.
+
+    Float wires are a plain cast. The int8 wire is PER-SAMPLE symmetric
+    quantization — `q_i = round(x_i / s_i)` with `s_i = absmax_i/127`
+    riding along as a (B,1,..,1) header — ~4x fewer bytes than f32 on
+    the transfer-bound tiers. Per-sample (not per-batch) scales keep the
+    header sharded along the batch axis exactly like the codes, which is
+    what makes the encoding SPMD-consistent on multi-process meshes
+    where each host quantizes only its local block (a single scalar
+    header would differ across processes). `dequant_wire` restores f32
+    on device BEFORE any normalization, so the per-sample normalizers
+    see (quantized) physical amplitudes, not int codes."""
+    import numpy as np
+
+    if wire is None:
+        return batch
+    if wire != np.int8:
+        return batch.astype(wire)
+    red = tuple(range(1, batch.ndim))
+    absmax = np.max(np.abs(batch), axis=red, keepdims=True)
+    scale = np.maximum(
+        absmax.astype(np.float32) / 127.0, np.finfo(np.float32).tiny
+    )
+    q = np.clip(np.rint(batch / scale), -127, 127).astype(np.int8)
+    return {"q": q, "scale": scale}
+
+
+def dequant_wire(x):
+    """Device-side inverse of `quantize_wire`, safe for full-width
+    batches too: int8 wire dicts dequantize with their per-sample header
+    scales (broadcast over the trailing axes), anything else is cast to
+    f32. Runs inside the consumer's jitted step, so it fuses with the
+    first op for free."""
+    import jax.numpy as jnp
+
+    if isinstance(x, dict):
+        return x["q"].astype(jnp.float32) * x["scale"]
+    return x.astype(jnp.float32)
+
+
+def wire_array(x):
+    """The bulk array of a wire batch (the int8 codes for the int8 wire,
+    the batch itself otherwise) — for consumers that need shape/sharding
+    of what actually crossed the wire."""
+    return x["q"] if isinstance(x, dict) else x

@@ -23,6 +23,10 @@ from typing import Callable, Iterator, Optional, Sequence
 import jax
 import numpy as np
 
+from spectrogram_cube_clustering_tpu.core.precision import (
+    quantize_wire as _quantize_wire,
+)
+
 
 class _ReaderError:
     """Queue sentinel carrying a reader-thread exception to the consumer."""
@@ -49,13 +53,16 @@ class PrefetchLoader:
     read everything and slice at transfer time
     (train.layout.put_process_local).
 
-    `transfer_dtype` ('bfloat16' | 'float16') casts each assembled host
-    batch to half width before the host->device copy — the streaming
-    tier is transfer-bound on bandwidth-limited links, so halving the
+    `transfer_dtype` ('bfloat16' | 'float16' | 'int8') re-encodes each
+    assembled host batch before the host->device copy — the streaming
+    tier is transfer-bound on bandwidth-limited links, so shrinking the
     wire bytes buys throughput directly (same knob and rationale as
-    serve.py's transfer_dtype). Consumers restore f32 on device inside
-    their jitted steps (train.aec.make_step_fns / train.dec.
-    make_stream_fns do this automatically), so the only effect is input
+    serve.py's transfer_dtype). Float wires are a cast; the int8 wire is
+    per-batch symmetric quantization whose scale rides along as a header
+    (core.precision.quantize_wire), making the yielded batch a
+    {'q', 'scale'} pytree. Consumers restore f32 on device inside their
+    jitted steps (train.aec.make_step_fns / train.dec.make_stream_fns
+    call core.precision.dequant_wire), so the only effect is input
     quantization of the raw windows.
     """
 
@@ -227,11 +234,24 @@ class PrefetchLoader:
 
         pending = None
         for local, n_valid in local_batches():
-            if self._wire is not None:
-                local = local.astype(self._wire)
-            dev = jax.make_array_from_process_local_data(
-                self.sharding, local, (bsz, *wshape)
-            )
+            enc = _quantize_wire(local, self._wire)
+            if isinstance(enc, dict):
+                # int8 wire: codes AND the per-sample scale header both
+                # cross batch-sharded — each process quantizes and ships
+                # exactly its local block, SPMD-consistently
+                dev = {
+                    "q": jax.make_array_from_process_local_data(
+                        self.sharding, enc["q"], (bsz, *wshape)
+                    ),
+                    "scale": jax.make_array_from_process_local_data(
+                        self.sharding, enc["scale"],
+                        (bsz, *([1] * len(wshape))),
+                    ),
+                }
+            else:
+                dev = jax.make_array_from_process_local_data(
+                    self.sharding, enc, (bsz, *wshape)
+                )
             if pending is not None:
                 yield pending
             pending = (dev, n_valid)
@@ -292,14 +312,18 @@ class PrefetchLoader:
                 put_process_local,
             )
 
+            def transfer(host_arr):
+                if self.sharding is not None:
+                    return put_process_local(host_arr, self.sharding, axis=0)
+                return jax.device_put(host_arr)
+
             pending = None
             for host_batch, n_valid in batches_host():
-                if self._wire is not None:
-                    host_batch = host_batch.astype(self._wire)
-                if self.sharding is not None:
-                    dev = put_process_local(host_batch, self.sharding, axis=0)
+                enc = _quantize_wire(host_batch, self._wire)
+                if isinstance(enc, dict):  # int8 wire: codes + scale header
+                    dev = {k: transfer(v) for k, v in enc.items()}
                 else:
-                    dev = jax.device_put(host_batch)
+                    dev = transfer(enc)
                 if pending is not None:
                     yield pending
                 pending = (dev, n_valid)

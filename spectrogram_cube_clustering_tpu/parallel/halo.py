@@ -9,9 +9,10 @@ every device computes its STFT frames locally and the concatenation is
 bit-identical to the single-device spectrogram.
 
 Each device computes its local frames with the fused Pallas STFT kernel
-(`ops.pallas_stft`, the matmul-DFT path measured ~46x faster than XLA
-rfft on v5e) whenever the backend and geometry allow — so the scale-out path
-runs at flagship-kernel per-device throughput, not rfft throughput.
+(`ops.pallas_stft`, the rawread matmul-DFT path: 16.5 Gsamples/s on v5e,
+~230x XLA's rfft routing — benchmarks/RESULTS.md) whenever the backend
+and geometry allow — so the scale-out path runs at flagship-kernel
+per-device throughput, not rfft throughput.
 
 Frame alignment requires each shard's length to be a multiple of `hop`
 (true by construction when the host splits the waveform evenly).
@@ -112,10 +113,6 @@ def sharded_spectrogram(
             )
         if not log:
             raise ValueError("pallas STFT always returns log power")
-    # Off-TPU the Mosaic kernel can't compile; interpret mode keeps the
-    # exact kernel semantics on the virtual CPU mesh (tests + dryrun).
-    interpret = mesh_platform != "tpu"
-
     mapped = _mapped_local_spec(
         mesh, nperseg=nperseg, hop=hop, log=log, eps=eps,
         use_pallas=use_pallas, batch_dims=x.ndim - 1,

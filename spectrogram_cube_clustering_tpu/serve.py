@@ -412,20 +412,6 @@ class WaveformFrontend:
         self.chunk = max(_round_up_int(int(chunk_samples), span), span)
         self._seg_len = self.chunk + self.nperseg - self.hop
         self._win_per_chunk = self.chunk // span
-        # Chunk ladder: a request smaller than the full chunk would still
-        # ship the whole zero-padded chunk over the wire (a 19-window
-        # request under the default 2^20 chunk pays a ~4 MB transfer for
-        # 160 kB of samples — measured 2x the p50 of a 999-window request
-        # through the tunnel, RESULTS.md). Like the predictor's window
-        # buckets, compile a few chunk sizes (/8 steps down to one window
-        # span) and run each request through the smallest rung that
-        # covers it; multi-chunk requests keep the full rung.
-        rungs = {self._win_per_chunk}
-        w = self._win_per_chunk
-        while w > 1:
-            w = max(1, w // 8)
-            rungs.add(w)
-        self._rung_wins = sorted(rungs)  # window counts, ascending
         nfreq = self.nperseg // 2 + 1
         hw = tuple(input_hw) if input_hw is not None else tuple(
             getattr(predictor, "input_hw", (self.window_rows, nfreq))
@@ -460,6 +446,32 @@ class WaveformFrontend:
                 and getattr(predictor, "mesh", None) is None
             )
         self.fused = bool(fuse)
+        cap = getattr(predictor, "max_batch", None)
+        if self.fused and cap is not None and self._win_per_chunk > cap:
+            # the fused route feeds each chunk's windows through
+            # predictor._fn in ONE pass, so the chunk ladder must respect
+            # the predictor's compiled-shape/HBM contract (max_batch) —
+            # which the window path enforces loudly (_pad_to raises).
+            # Default chunk_samples (1<<20, span 400) is ~2621 windows vs
+            # the default max_batch 1024: cap the top rung and let
+            # multi-chunk iteration cover longer waveforms.
+            self._win_per_chunk = int(cap)
+            self.chunk = self._win_per_chunk * span
+            self._seg_len = self.chunk + self.nperseg - self.hop
+        # Chunk ladder: a request smaller than the full chunk would still
+        # ship the whole zero-padded chunk over the wire (a 19-window
+        # request under the default 2^20 chunk pays a ~4 MB transfer for
+        # 160 kB of samples — measured 2x the p50 of a 999-window request
+        # through the tunnel, RESULTS.md). Like the predictor's window
+        # buckets, compile a few chunk sizes (/8 steps down to one window
+        # span) and run each request through the smallest rung that
+        # covers it; multi-chunk requests keep the full rung.
+        rungs = {self._win_per_chunk}
+        rw = self._win_per_chunk
+        while rw > 1:
+            rw = max(1, rw // 8)
+            rungs.add(rw)
+        self._rung_wins = sorted(rungs)  # window counts, ascending
         if self.fused:
             # honor the predictor's transfer_dtype on the fused wire too:
             # raw samples carry the same bytes as the window stack they

@@ -471,6 +471,18 @@ class _Handler(BaseHTTPRequestHandler):
                 f"waveform must have shape (T,) or (channels, T); "
                 f"got {x.shape}"
             )
+        # validate length HERE so the 400 class is fully decided before
+        # the frontend call — the fused route runs jit tracing and the
+        # whole model pass, whose internal ValueErrors must surface as
+        # 500s, not masquerade as client errors
+        wf = self.server.waveform_frontend
+        min_t = (wf.window_rows - 1) * wf.hop + wf.nperseg
+        if x.shape[-1] < min_t:
+            return (
+                f"waveform length {x.shape[-1]} yields no complete "
+                f"({wf.window_rows}, nfreq) window (needs >= {min_t} "
+                f"samples)"
+            )
         return None
 
     def _shape_error(self, x: np.ndarray) -> Optional[str]:

@@ -178,11 +178,14 @@ def make_step_fns(model):
     masked-MSE semantics as the scan epoch, one jitted step per device
     batch fed by data.prefetch.PrefetchLoader."""
 
+    from spectrogram_cube_clustering_tpu.core.precision import dequant_wire
+
     def loss_fn(params, x, n_valid):
-        # restore full width on device when the loader shipped half-width
-        # wire batches (PrefetchLoader transfer_dtype) — free inside the
-        # jitted step, and keeps model/loss compute in f32
-        x = x.astype(jnp.float32)
+        # restore full width on device when the loader shipped
+        # reduced-width wire batches (PrefetchLoader transfer_dtype,
+        # incl. the int8 {'q','scale'} format) — free inside the jitted
+        # step, and keeps model/loss compute in f32
+        x = dequant_wire(x)
         out = model.apply({"params": params}, x)
         per = _masked_mse_per_sample(out[0], x)
         mask = (jnp.arange(x.shape[0]) < n_valid).astype(x.dtype)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from spectrogram_cube_clustering_tpu.core.precision import wire_array
 from spectrogram_cube_clustering_tpu.models.dec import replace_centroids
 from spectrogram_cube_clustering_tpu.ops.student_t import target_distribution
 from spectrogram_cube_clustering_tpu.train.layout import BatchedData
@@ -276,11 +277,14 @@ def make_stream_fns(model, gamma: float):
     same loss semantics as the segment scan, fed by
     data.prefetch.PrefetchLoader batches."""
 
+    from spectrogram_cube_clustering_tpu.core.precision import dequant_wire
+
     @jax.jit
     def train_step(state, x, p, n_valid):
-        # restore full width on device when the loader shipped half-width
-        # wire batches (PrefetchLoader transfer_dtype)
-        x = x.astype(jnp.float32)
+        # restore full width on device when the loader shipped
+        # reduced-width wire batches (PrefetchLoader transfer_dtype,
+        # incl. the int8 {'q','scale'} format)
+        x = dequant_wire(x)
         mask = (jnp.arange(x.shape[0]) < n_valid).astype(x.dtype)
 
         def lf(params):
@@ -294,7 +298,7 @@ def make_stream_fns(model, gamma: float):
 
     @jax.jit
     def eval_step(params, x):
-        q, _, z = model.apply({"params": params}, x.astype(jnp.float32))
+        q, _, z = model.apply({"params": params}, dequant_wire(x))
         return jnp.round(q, 5), z
 
     return train_step, eval_step
@@ -457,8 +461,10 @@ def _train_dec_stream_loop(
             pending.clear()
 
         for x, n_valid in make_loader():
+            # the int8 wire yields {'q','scale'} pytrees; batch-size
+            # bookkeeping reads the bulk codes array
+            bsz = wire_array(x).shape[0]
             if config.update_interval == -1:
-                bsz = x.shape[0]
                 update_interval = max(int(np.ceil(m_total / (bsz * 2))), 1)
             else:
                 # batches between refreshes (reference models.py:1093),
@@ -481,12 +487,11 @@ def _train_dec_stream_loop(
                         print("Stop criterion met, training complete.")
                     finished = True
                     break
-            p_slice = p[offset : offset + x.shape[0]]
-            if len(p_slice) < x.shape[0]:  # trailing padded batch
+            p_slice = p[offset : offset + bsz]
+            if len(p_slice) < bsz:  # trailing padded batch
                 p_slice = np.concatenate(
                     [p_slice,
-                     np.zeros((x.shape[0] - len(p_slice), p.shape[1]),
-                              p.dtype)]
+                     np.zeros((bsz - len(p_slice), p.shape[1]), p.dtype)]
                 )
             state, loss, rec, clust = train_step(
                 state, x, jnp.asarray(p_slice), jnp.float32(n_valid)
