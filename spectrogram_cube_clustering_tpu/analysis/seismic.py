@@ -16,10 +16,13 @@ responses are ALSO handled natively, by direct MacLaurin evaluation of
 counts into physical units (`apply_polynomial_response`) — the IRIS
 convention for transducer channels, which neither evalresp spectral
 division nor obspy `remove_response`/`simulate` can perform at all.
-obspy, when installed, is preferred for IO (backend='auto') and remains
-the fallback only for malformed or multi-epoch RESP files (the reference
-additionally shells out to an external `evalresp` binary,
-environment.py:434-441).
+Multi-epoch RESP files (one rdseed block per epoch) are also native:
+the epoch covering the trace's start time is selected with evalresp's
+date-range semantics (`split_resp_epochs`; the reference passes the
+trace's year/julian day to the external binary for the same effect,
+environment.py:434-441). obspy, when installed, is preferred for IO
+(backend='auto') and remains the fallback only for truly malformed RESP
+files.
 """
 
 from __future__ import annotations
@@ -174,15 +177,17 @@ def remove_response(
     The reference invokes an external `evalresp` executable and hand-rolls
     the deconvolution (environment.py:262-521, after Zhao Chen); here the
     RESP's stage chain (analog pole-zero + digital FIR/IIR) is evaluated
-    and divided out natively, and polynomial (B062) responses convert by
-    direct MacLaurin evaluation (`remove_response_native`), with obspy
-    `simulate(seedresp=...)` as the fallback for malformed or multi-epoch
-    files.
+    and divided out natively — multi-epoch RESP files select the epoch
+    covering the trace's start time (evalresp date-range semantics) —
+    and polynomial (B062) responses convert by direct MacLaurin
+    evaluation (`remove_response_native`), with obspy
+    `simulate(seedresp=...)` as the fallback for truly malformed files.
     """
     try:
         trace.data = remove_response_native(
             trace.data, float(trace.stats.sampling_rate), resp_file,
             units=units, pre_filt=pre_filt,
+            when=getattr(trace.stats, "starttime", None),
         )
         return
     except (ValueError, AttributeError):
@@ -204,15 +209,121 @@ def remove_response(
 # deconvolution (remove_trace/remove_stream) touches obspy.
 
 
-def read_resp_metadata(resp_path: str) -> dict:
+def _parse_resp_time(token):
+    """RESP blockette date token -> datetime, or None for open intervals
+    ('No Ending Time'). Accepts the year,julian-day forms rdseed emits,
+    with or without time / fractional seconds."""
+    if token is None:
+        return None
+    s = str(token).strip()
+    if not s or s.lower().startswith("no"):
+        return None
+    for fmt in ("%Y,%j,%H:%M:%S.%f", "%Y,%j,%H:%M:%S", "%Y,%j,%H:%M",
+                "%Y,%j"):
+        try:
+            return datetime.strptime(s.rstrip(","), fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable RESP date {token!r}")
+
+
+def _as_datetime(when):
+    """Duck-typed time -> datetime: obspy UTCDateTime (.datetime), pandas
+    Timestamp (.to_pydatetime), ISO string, or datetime itself."""
+    if when is None or isinstance(when, datetime):
+        return when
+    if hasattr(when, "datetime"):  # obspy UTCDateTime
+        return when.datetime
+    if hasattr(when, "to_pydatetime"):  # pandas Timestamp
+        return when.to_pydatetime()
+    if isinstance(when, str):
+        return datetime.fromisoformat(when)
+    raise TypeError(f"cannot interpret {type(when).__name__} as a time")
+
+
+def split_resp_epochs(resp_path: str) -> list:
+    """Split a SEED RESP text file into its response epochs.
+
+    rdseed writes one full header + blockette block per epoch, each
+    opening with a B050F03 station line and carrying its own
+    B052F22/B052F23 start/end dates (the reference handles this by
+    passing the trace's date to the external evalresp binary,
+    environment.py:434-441 — evalresp selects the covering epoch). Returns
+    ``[{"t_start": datetime, "t_end": datetime|None, "lines": [...]}, ...]``
+    in file order; a single-epoch file comes back as one entry holding
+    every line. A duplicated header line WITHOUT its own start date is
+    corruption, not a new epoch — the whole file is returned as one block
+    so the strict single-epoch parsers surface their duplicate-field
+    errors.
+    """
+    with open(resp_path) as fh:
+        lines = fh.read().split("\n")
+    starts = [
+        i for i, raw in enumerate(lines) if raw.split()[:1] == ["B050F03"]
+    ]
+    if len(starts) <= 1:
+        blocks = [lines]
+    else:
+        bounds = [0] + starts[1:] + [len(lines)]
+        blocks = [lines[bounds[i]: bounds[i + 1]]
+                  for i in range(len(bounds) - 1)]
+    epochs = []
+    for block in blocks:
+        t0 = t1 = None
+        for raw in block:
+            toks = [t for t in raw.split(" ") if t]
+            if toks[:1] == ["B052F22"] and len(toks) >= 4:
+                t0 = _parse_resp_time(toks[3])
+            elif toks[:1] == ["B052F23"]:
+                t1 = _parse_resp_time(toks[3] if len(toks) >= 4 else None)
+        epochs.append({"t_start": t0, "t_end": t1, "lines": block})
+    if len(epochs) > 1 and any(e["t_start"] is None for e in epochs):
+        return [{"t_start": epochs[0]["t_start"],
+                 "t_end": epochs[0]["t_end"], "lines": lines}]
+    return epochs
+
+
+def _epoch_block(resp_path: str, when, epochs: list) -> list:
+    """The epoch's lines covering `when` (evalresp date-range semantics:
+    t_start <= when <= t_end, open-ended end = still active)."""
+    when = _as_datetime(when)
+    for e in epochs:
+        if e["t_start"] is None:
+            continue
+        if when >= e["t_start"] and (
+            e["t_end"] is None or when <= e["t_end"]
+        ):
+            return e["lines"]
+    spans = ", ".join(
+        f"[{e['t_start']} .. {e['t_end'] or 'open'}]" for e in epochs
+    )
+    raise ValueError(
+        f"{resp_path}: no response epoch covers {when} (epochs: {spans})"
+    )
+
+
+def read_resp_metadata(resp_path: str, when=None) -> dict:
     """Parse instrument metadata out of a SEED RESP text file
     (reference read_file_response_text, environment.py:262-361).
 
     Returns dict with station/network/location/channel/t_start/t_end/
     sensitivity/frequency_sensitivity/sampling_rate (input rate divided by
-    the decimation factor). Raises ValueError on conflicting duplicate
+    the decimation factor), plus ``n_epochs`` and ``epochs`` (the file's
+    (t_start, t_end) list). Raises ValueError on conflicting duplicate
     fields or missing decimation info, like the reference.
+
+    Multi-epoch files (rdseed appends one block per epoch): `when` (a
+    datetime / obspy UTCDateTime / pandas Timestamp / ISO string — use the
+    trace's start time) selects the covering epoch, evalresp-style; with
+    `when=None` the FIRST epoch's metadata is returned (the station/
+    network/location/channel codes `find_resp_file` matches on are
+    epoch-invariant).
     """
+    all_epochs = split_resp_epochs(resp_path)
+    if len(all_epochs) > 1 and when is not None:
+        block = _epoch_block(resp_path, when, all_epochs)
+    else:
+        block = all_epochs[0]["lines"]
     info = {
         "station": None, "network": None, "location": None, "channel": None,
         "t_start": None, "t_end": None, "sensitivity": None,
@@ -227,44 +338,45 @@ def read_resp_metadata(resp_path: str) -> dict:
         elif info[key] != value:
             raise ValueError(err)
 
-    with open(resp_path) as fh:
-        for raw in fh.read().split("\n"):
-            line = [t for t in raw.split(" ") if t]
-            if len(line) == 3 and line[1].lower() == "station:":
-                _set("station", line[2], "Multiple station names!")
-            elif len(line) == 3 and line[1].lower() == "network:":
-                _set("network", line[2], "Multiple network names!")
-            elif len(line) == 3 and line[1].lower() == "location:":
-                loc = "" if line[2] == "??" else line[2]
-                _set("location", loc, "Multiple location values!")
-            elif len(line) == 3 and line[1].lower() == "channel:":
-                _set("channel", line[2], "Multiple channels!")
-            elif len(line) == 4 and " ".join(line[1:3]).lower() == "start date:":
-                t = datetime.strptime(line[3], "%Y,%j,%H:%M:%S")
-                _set("t_start", t, "Multiple start dates!")
-            elif len(line) == 4 and " ".join(line[1:3]).lower() == "end date:":
-                t = datetime.strptime(line[3], "%Y,%j,%H:%M:%S")
-                _set("t_end", t, "Multiple end dates!")
-            elif (len(line) == 5
-                  and " ".join(line[1:4]).lower() == "input sample rate:"):
-                f_input = float(line[4])
-            elif (len(line) == 6
-                  and " ".join(line[1:5]).lower() == "input sample rate (hz):"):
-                f_input = float(line[5])
-            elif (len(line) == 4
-                  and " ".join(line[1:3]).lower() == "decimation factor:"):
-                decimation_factor = float(line[3])
-            elif len(line) == 3 and line[1].lower() == "sensitivity:":
-                _set("sensitivity", float(line[2]),
-                     "Multiple sensitivity values!")
-            elif (len(line) in (5, 6)
-                  and " ".join(line[1:4]).lower()
-                  == "frequency of sensitivity:"):
-                _set("frequency_sensitivity", float(line[4]),
-                     "Multiple frequency of sensitivity values!")
+    for raw in block:
+        line = [t for t in raw.split(" ") if t]
+        if len(line) == 3 and line[1].lower() == "station:":
+            _set("station", line[2], "Multiple station names!")
+        elif len(line) == 3 and line[1].lower() == "network:":
+            _set("network", line[2], "Multiple network names!")
+        elif len(line) == 3 and line[1].lower() == "location:":
+            loc = "" if line[2] == "??" else line[2]
+            _set("location", loc, "Multiple location values!")
+        elif len(line) == 3 and line[1].lower() == "channel:":
+            _set("channel", line[2], "Multiple channels!")
+        elif len(line) == 4 and " ".join(line[1:3]).lower() == "start date:":
+            t = _parse_resp_time(line[3])
+            _set("t_start", t, "Multiple start dates!")
+        elif len(line) == 4 and " ".join(line[1:3]).lower() == "end date:":
+            t = _parse_resp_time(line[3])
+            _set("t_end", t, "Multiple end dates!")
+        elif (len(line) == 5
+              and " ".join(line[1:4]).lower() == "input sample rate:"):
+            f_input = float(line[4])
+        elif (len(line) == 6
+              and " ".join(line[1:5]).lower() == "input sample rate (hz):"):
+            f_input = float(line[5])
+        elif (len(line) == 4
+              and " ".join(line[1:3]).lower() == "decimation factor:"):
+            decimation_factor = float(line[3])
+        elif len(line) == 3 and line[1].lower() == "sensitivity:":
+            _set("sensitivity", float(line[2]),
+                 "Multiple sensitivity values!")
+        elif (len(line) in (5, 6)
+              and " ".join(line[1:4]).lower()
+              == "frequency of sensitivity:"):
+            _set("frequency_sensitivity", float(line[4]),
+                 "Multiple frequency of sensitivity values!")
     if f_input is None or decimation_factor is None:
         raise ValueError("Decimation information missing!")
     info["sampling_rate"] = f_input / decimation_factor
+    info["n_epochs"] = len(all_epochs)
+    info["epochs"] = [(e["t_start"], e["t_end"]) for e in all_epochs]
     return info
 
 
@@ -302,7 +414,7 @@ def read_response_function(path: str):
 
 def compute_response(
     resp_path: str, f_min: float, f_max: float, n_f: int,
-    backend: str = "auto",
+    backend: str = "auto", when=None,
 ):
     """Response curve over [f_min, f_max] with n_f log-spaced samples;
     returns (metadata, amp_file, phase_file) like the reference's
@@ -319,7 +431,9 @@ def compute_response(
 
     if backend not in ("auto", "evalresp", "native"):
         raise ValueError(f"unknown backend {backend!r}")
-    info = read_resp_metadata(resp_path)
+    # for multi-epoch files, `when` selects the epoch; the evalresp
+    # invocation below inherits it via the selected epoch's t_start
+    info = read_resp_metadata(resp_path, when=when)
     suffix = ".".join(
         [info["network"], info["station"], info["location"], info["channel"]]
     )
@@ -345,7 +459,7 @@ def compute_response(
             if backend == "evalresp":
                 raise
     freqs = np.logspace(np.log10(f_min), np.log10(f_max), int(n_f))
-    parsed = parse_resp_stages(resp_path)
+    parsed = parse_resp_stages(resp_path, when=when)
     # evalresp's default units: the RESP's own input units ("def"), i.e.
     # no (j*omega)^k conversion — pass the native units through
     native_units = (parsed["input_units"] or "M/S").upper()
@@ -375,7 +489,7 @@ def compute_response(
 _UNIT_DERIVS = {"M": 0, "M/S": 1, "M/S**2": 2}
 
 
-def parse_resp_paz(resp_path: str) -> dict:
+def parse_resp_paz(resp_path: str, when=None) -> dict:
     """Parse the analog pole-zero stages out of a SEED RESP text file.
 
     Returns {"stages": [{"type", "a0", "zeros", "poles", "input_units"}...],
@@ -386,7 +500,7 @@ def parse_resp_paz(resp_path: str) -> dict:
     when the file carries no pole-zero stage — use `parse_resp_stages` for
     the full analog + digital stage chain.
     """
-    full = parse_resp_stages(resp_path)
+    full = parse_resp_stages(resp_path, when=when)
     if not full["paz_stages"]:
         raise ValueError(f"no pole-zero (B053) stages in {resp_path}")
     return {"stages": full["paz_stages"],
@@ -394,8 +508,17 @@ def parse_resp_paz(resp_path: str) -> dict:
             "input_units": full["input_units"]}
 
 
-def parse_resp_stages(resp_path: str) -> dict:
+def parse_resp_stages(resp_path: str, when=None) -> dict:
     """Parse the full response-stage chain of a SEED RESP text file.
+
+    Multi-epoch files (rdseed appends one full response block per epoch)
+    are handled natively: `when` — a datetime / obspy UTCDateTime /
+    pandas Timestamp / ISO string, normally the trace's start time —
+    selects the covering epoch with evalresp's date-range semantics
+    (reference environment.py:434-441 passes the trace year/julian-day to
+    the external binary for exactly this). `when=None` on a multi-epoch
+    file raises, because merging epochs would multiply every epoch's
+    transfer function together.
 
     Covers analog pole-zero stages (blockette 053), digital coefficient
     stages (054: FIR numerators + optional IIR denominators), FIR stages
@@ -424,17 +547,16 @@ def parse_resp_stages(resp_path: str) -> dict:
     sensitivity = None
 
     def _epoch_guard(family, seq):
-        # The same (blockette, stage) appearing twice means the RESP
-        # carries MULTIPLE epochs (rdseed appends one response block per
-        # epoch); merging them would multiply every epoch's transfer
-        # function together and silently deconvolve a wildly wrong
-        # response — require a pre-split single-epoch file (obspy/
-        # evalresp select by trace time; callers fall back to obspy here)
+        # After epoch selection, the same (blockette, stage) appearing
+        # twice WITHIN one epoch block means a corrupt file (or an epoch
+        # boundary the splitter missed); merging would multiply two
+        # transfer functions together and silently deconvolve a wildly
+        # wrong response
         if (family, seq) in seen_seq:
             raise ValueError(
-                f"{resp_path} contains multiple response epochs "
-                f"(stage sequence {seq} repeats); split the RESP "
-                "to a single epoch for the native path"
+                f"{resp_path} repeats stage sequence {seq} within one "
+                "response epoch — corrupt RESP (for multi-epoch files, "
+                "pass when=<trace start time> to select an epoch)"
             )
         seen_seq.add((family, seq))
 
@@ -446,107 +568,117 @@ def parse_resp_stages(resp_path: str) -> dict:
         except IndexError:
             return None
 
-    with open(resp_path) as fh:
-        for raw in fh.read().split("\n"):
-            line = [t for t in raw.split(" ") if t]
-            if not line or not line[0].startswith("B0"):
-                continue
-            tag = line[0]
-            if tag == "B053F03":
-                current = {
-                    "type": line[-1] if len(line[-1]) == 1 else line[4],
-                    "a0": 1.0, "zeros": [], "poles": [],
+    all_epochs = split_resp_epochs(resp_path)
+    if len(all_epochs) > 1:
+        if when is None:
+            raise ValueError(
+                f"{resp_path} contains {len(all_epochs)} response epochs; "
+                "pass when=<trace start time> to select one natively "
+                "(evalresp date-range semantics)"
+            )
+        block = _epoch_block(resp_path, when, all_epochs)
+    else:
+        block = all_epochs[0]["lines"]
+    for raw in block:
+        line = [t for t in raw.split(" ") if t]
+        if not line or not line[0].startswith("B0"):
+            continue
+        tag = line[0]
+        if tag == "B053F03":
+            current = {
+                "type": line[-1] if len(line[-1]) == 1 else line[4],
+                "a0": 1.0, "zeros": [], "poles": [],
+                "input_units": None,
+            }
+            paz_stages.append(current)
+        elif tag == "B053F04" and current is not None:
+            _epoch_guard("B053", line[-1])
+        elif tag == "B053F05" and current is not None:
+            current["input_units"] = _units_from(raw)
+        elif tag == "B053F07" and current is not None:
+            current["a0"] = float(line[-1])
+        elif tag == "B053F10-13" and current is not None:
+            current["zeros"].append(
+                complex(float(line[2]), float(line[3]))
+            )
+        elif tag == "B053F15-18" and current is not None:
+            current["poles"].append(
+                complex(float(line[2]), float(line[3]))
+            )
+        elif tag == "B054F03":
+            # transfer type precedes the stage sequence in the
+            # blockette: open the stage here, register its seq on F04
+            dcurrent = {
+                "seq": None, "ttype":
+                line[-1] if len(line[-1]) == 1 else line[4],
+                "numerator": [], "denominator": [],
+                "symmetry": "A", "input_rate": None,
+                "correction": None, "input_units": None,
+            }
+            digital_stages.append(dcurrent)
+        elif (tag == "B054F04" and dcurrent is not None
+              and dcurrent["seq"] is None):
+            seq = line[-1]
+            _epoch_guard("B054/B061", seq)
+            dcurrent["seq"] = seq
+            dstage_by_seq[seq] = dcurrent
+        elif tag == "B061F03":
+            seq = line[-1]
+            _epoch_guard("B054/B061", seq)
+            dcurrent = {
+                "seq": seq, "ttype": "D",  # B061 is always digital FIR
+                "numerator": [], "denominator": [],
+                "symmetry": "A", "input_rate": None,
+                "correction": None, "input_units": None,
+            }
+            digital_stages.append(dcurrent)
+            dstage_by_seq[seq] = dcurrent
+        elif tag in ("B054F05", "B061F06") and dcurrent is not None:
+            dcurrent["input_units"] = _units_from(raw)
+        elif tag == "B061F05" and dcurrent is not None:
+            dcurrent["symmetry"] = line[-1].upper()
+        elif tag in ("B054F08-09", "B061F09") and dcurrent is not None:
+            dcurrent["numerator"].append(float(line[2]))
+        elif tag == "B054F11-12" and dcurrent is not None:
+            dcurrent["denominator"].append(float(line[2]))
+        elif tag == "B057F03":
+            seq = line[-1]
+            _epoch_guard("B057", seq)
+            # attach the following rate/correction lines to the
+            # matching digital stage; an analog stage's B057 (no
+            # coefficient blockette) must not leak onto an earlier
+            # digital stage
+            dcurrent = dstage_by_seq.get(seq)
+        elif tag == "B057F04" and dcurrent is not None:
+            dcurrent["input_rate"] = float(line[-1])
+        elif tag == "B057F08" and dcurrent is not None:
+            dcurrent["correction"] = float(line[-1])
+        elif tag == "B058F04" and "sensitivity:" in raw.lower():
+            sensitivity = float(line[-1])
+        elif tag.startswith("B062"):
+            # rdseed versions disagree on B062 field numbers (the
+            # approximation type is F07 in some writers, F08 in
+            # others), so dispatch on the label text; coefficient
+            # rows are the only range-tagged (FNN-MM) B062 lines
+            low = raw.lower()
+            if "transfer function type" in low:
+                pcurrent = {
+                    "approximation": None, "coefficients": {},
                     "input_units": None,
                 }
-                paz_stages.append(current)
-            elif tag == "B053F04" and current is not None:
-                _epoch_guard("B053", line[-1])
-            elif tag == "B053F05" and current is not None:
-                current["input_units"] = _units_from(raw)
-            elif tag == "B053F07" and current is not None:
-                current["a0"] = float(line[-1])
-            elif tag == "B053F10-13" and current is not None:
-                current["zeros"].append(
-                    complex(float(line[2]), float(line[3]))
-                )
-            elif tag == "B053F15-18" and current is not None:
-                current["poles"].append(
-                    complex(float(line[2]), float(line[3]))
-                )
-            elif tag == "B054F03":
-                # transfer type precedes the stage sequence in the
-                # blockette: open the stage here, register its seq on F04
-                dcurrent = {
-                    "seq": None, "ttype":
-                    line[-1] if len(line[-1]) == 1 else line[4],
-                    "numerator": [], "denominator": [],
-                    "symmetry": "A", "input_rate": None,
-                    "correction": None, "input_units": None,
-                }
-                digital_stages.append(dcurrent)
-            elif (tag == "B054F04" and dcurrent is not None
-                  and dcurrent["seq"] is None):
-                seq = line[-1]
-                _epoch_guard("B054/B061", seq)
-                dcurrent["seq"] = seq
-                dstage_by_seq[seq] = dcurrent
-            elif tag == "B061F03":
-                seq = line[-1]
-                _epoch_guard("B054/B061", seq)
-                dcurrent = {
-                    "seq": seq, "ttype": "D",  # B061 is always digital FIR
-                    "numerator": [], "denominator": [],
-                    "symmetry": "A", "input_rate": None,
-                    "correction": None, "input_units": None,
-                }
-                digital_stages.append(dcurrent)
-                dstage_by_seq[seq] = dcurrent
-            elif tag in ("B054F05", "B061F06") and dcurrent is not None:
-                dcurrent["input_units"] = _units_from(raw)
-            elif tag == "B061F05" and dcurrent is not None:
-                dcurrent["symmetry"] = line[-1].upper()
-            elif tag in ("B054F08-09", "B061F09") and dcurrent is not None:
-                dcurrent["numerator"].append(float(line[2]))
-            elif tag == "B054F11-12" and dcurrent is not None:
-                dcurrent["denominator"].append(float(line[2]))
-            elif tag == "B057F03":
-                seq = line[-1]
-                _epoch_guard("B057", seq)
-                # attach the following rate/correction lines to the
-                # matching digital stage; an analog stage's B057 (no
-                # coefficient blockette) must not leak onto an earlier
-                # digital stage
-                dcurrent = dstage_by_seq.get(seq)
-            elif tag == "B057F04" and dcurrent is not None:
-                dcurrent["input_rate"] = float(line[-1])
-            elif tag == "B057F08" and dcurrent is not None:
-                dcurrent["correction"] = float(line[-1])
-            elif tag == "B058F04" and "sensitivity:" in raw.lower():
-                sensitivity = float(line[-1])
-            elif tag.startswith("B062"):
-                # rdseed versions disagree on B062 field numbers (the
-                # approximation type is F07 in some writers, F08 in
-                # others), so dispatch on the label text; coefficient
-                # rows are the only range-tagged (FNN-MM) B062 lines
-                low = raw.lower()
-                if "transfer function type" in low:
-                    pcurrent = {
-                        "approximation": None, "coefficients": {},
-                        "input_units": None,
-                    }
-                    poly_stages.append(pcurrent)
-                elif "stage sequence" in low and pcurrent is not None:
-                    _epoch_guard("B062", line[-1])
-                elif "response in units" in low and pcurrent is not None:
-                    pcurrent["input_units"] = _units_from(raw)
-                elif "approximation type" in low and pcurrent is not None:
-                    pcurrent["approximation"] = _units_from(raw)
-                elif "number of coefficients" in low and pcurrent is not None:
-                    pcurrent["declared_n"] = int(line[-1])
-                elif (
-                    pcurrent is not None and "-" in tag and len(line) >= 3
-                ):
-                    pcurrent["coefficients"][int(line[1])] = float(line[2])
+                poly_stages.append(pcurrent)
+            elif "stage sequence" in low and pcurrent is not None:
+                _epoch_guard("B062", line[-1])
+            elif "response in units" in low and pcurrent is not None:
+                pcurrent["input_units"] = _units_from(raw)
+            elif "approximation type" in low and pcurrent is not None:
+                pcurrent["approximation"] = _units_from(raw)
+            elif "number of coefficients" in low and pcurrent is not None:
+                pcurrent["declared_n"] = int(line[-1])
+            elif (
+                pcurrent is not None and "-" in tag and len(line) >= 3
+            ):
+                pcurrent["coefficients"][int(line[1])] = float(line[2])
     # stages that never accumulated coefficients (a lone B057 opening a
     # synthetic entry) are decimation-only: drop them
     digital_stages = [d for d in digital_stages if d["numerator"]]
@@ -652,7 +784,7 @@ def _evaluate_digital_stage(stage: dict, freqs):
     return h
 
 
-def evaluate_response(resp_path, freqs, units: str = "DISP"):
+def evaluate_response(resp_path, freqs, units: str = "DISP", when=None):
     """Complex instrument response H(f) in counts per `units` unit.
 
     `resp_path` is a RESP file path or an already-parsed
@@ -669,7 +801,7 @@ def evaluate_response(resp_path, freqs, units: str = "DISP"):
 
     paz = (
         resp_path if isinstance(resp_path, dict)
-        else parse_resp_stages(resp_path)
+        else parse_resp_stages(resp_path, when=when)
     )
     if paz.get("poly_stages"):
         raise ValueError(
@@ -793,6 +925,7 @@ def remove_response_native(
     water_level: float = 60.0,
     pre_filt: Optional[tuple] = None,
     taper_fraction: float = 0.05,
+    when=None,
 ):
     """Instrument-response removal, pure numpy.
 
@@ -813,7 +946,7 @@ def remove_response_native(
 
     parsed = (
         resp_path if isinstance(resp_path, dict)
-        else parse_resp_stages(resp_path)
+        else parse_resp_stages(resp_path, when=when)
     )
     if parsed.get("poly_stages"):
         if parsed["paz_stages"] or parsed["digital_stages"]:
@@ -857,9 +990,11 @@ def remove_trace(
     remove_trace, environment.py:458-490): optional taper sized as
     2*half_width / trace duration. Prefers the native path — full
     stage-chain spectral division for pole-zero/coefficient RESPs,
-    sample-wise MacLaurin conversion for polynomial (B062) RESPs — with
-    no obspy/evalresp needed; malformed or multi-epoch files fall back
-    to obspy simulate with the RESP seedresp."""
+    sample-wise MacLaurin conversion for polynomial (B062) RESPs,
+    multi-epoch files resolved by the trace's start time (evalresp
+    date-range semantics, environment.py:434-441) — with no
+    obspy/evalresp needed; truly malformed files fall back to obspy
+    simulate with the RESP seedresp."""
     if taper_half_width:
         duration = tr.stats.endtime - tr.stats.starttime
         if hasattr(duration, "total_seconds"):
@@ -876,12 +1011,13 @@ def remove_trace(
                 water_level=kwargs.get("water_level", 60.0),
                 pre_filt=kwargs.get("pre_filt"),
                 taper_fraction=kwargs.get("taper_fraction", 0.05),
+                when=getattr(tr.stats, "starttime", None),
             )
             return
         except (ValueError, AttributeError):
-            # unusable RESP (no stages, multiple epochs, hybrid
-            # poly+paz) or a trace object without data/stats arrays ->
-            # obspy's evalresp bindings
+            # unusable RESP (no stages, hybrid poly+paz, no epoch
+            # covering the trace) or a trace object without data/stats
+            # arrays -> obspy's evalresp bindings
             pass
     seedresp = {"filename": resp_path, "units": units[0:3].upper()}
     tr.simulate(seedresp=seedresp, **kwargs)
