@@ -24,8 +24,16 @@ import time
 def _enable_compile_cache():
     """Persistent XLA compilation cache: first-compile latency through the
     remote TPU compile service is erratic (seconds to minutes); caching
-    insulates repeat bench runs from it."""
+    insulates repeat bench runs from it. Also honors JAX_PLATFORMS=cpu
+    explicitly — this image's sitecustomize force-registers the TPU
+    plugin, so the env var alone cannot pin a CPU run (CLAUDE.md)."""
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").lower().startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized
 
     cache_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache"

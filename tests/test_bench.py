@@ -66,3 +66,74 @@ def test_measure_wire_rate_runs():
 
     rate = measure_wire_rate(mbytes=0.5, reps=2)
     assert rate > 0
+
+
+def test_measure_stream_int8_runs():
+    from bench import measure_stream_throughput
+
+    import numpy as np
+
+    tput, loss, spread = measure_stream_throughput(
+        1024, 256, epochs=1, transfer_dtype="int8"
+    )
+    assert tput > 0
+    assert np.isfinite(loss)
+
+
+def test_stream_deadline_stops_reps():
+    import time
+
+    from bench import measure_stream_throughput
+
+    # a deadline already in the past: the rep/epoch loops must still
+    # complete >= 1 epoch and return, instead of running all reps
+    t0 = time.perf_counter()
+    tput, loss, spread = measure_stream_throughput(
+        1024, 256, epochs=8, reps=5, deadline=time.perf_counter() - 1.0
+    )
+    assert tput > 0
+    assert spread["reps"] == 1  # stopped after the first rep
+
+
+def test_kill_mid_bench_leaves_metric_line(tmp_path):
+    """VERDICT r4 #1 'done' criterion: a bench run killed mid-table
+    (driver timeout = SIGKILL) must still leave >= 1 complete,
+    parseable driver-schema JSON line on stdout — the BENCH_r03 failure
+    mode (one deferred print at the end) memorialized nothing."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out_path = tmp_path / "bench_out.txt"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    with open(out_path, "w") as out:
+        proc = subprocess.Popen(
+            [
+                sys.executable, "bench.py", "--quick", "--samples", "512",
+                "--batch", "128", "--reps", "1", "--metric", "all",
+            ],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            stdout=out, stderr=subprocess.DEVNULL, env=env,
+        )
+        # wait for the FIRST metric line, then SIGKILL mid-run
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                break  # finished before we could kill it — also fine
+            if out_path.exists() and out_path.read_text().strip():
+                break
+            time.sleep(0.5)
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+    lines = [
+        ln for ln in out_path.read_text().splitlines() if ln.strip()
+    ]
+    assert lines, "no output line survived the kill"
+    row = json.loads(lines[-1])
+    assert row["metric"] and row["value"] > 0
+    assert row["unit"] == "samples/sec"
