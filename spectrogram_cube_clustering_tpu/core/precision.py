@@ -101,7 +101,10 @@ def quantize_wire(batch, wire):
         return batch
     if wire != np.int8:
         return batch.astype(wire)
-    red = tuple(range(1, batch.ndim))
+    # rank >= 2: axis 0 is the batch (per-sample scales). Rank 1 (a raw
+    # waveform segment on the fused serving wire) is ONE sample: a single
+    # scale for the whole segment.
+    red = tuple(range(1, batch.ndim)) if batch.ndim > 1 else (0,)
     absmax = np.max(np.abs(batch), axis=red, keepdims=True)
     scale = np.maximum(
         absmax.astype(np.float32) / 127.0, np.finfo(np.float32).tiny

@@ -29,16 +29,23 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectrogram_cube_clustering_tpu import models as _models
+from spectrogram_cube_clustering_tpu.core.precision import (
+    dequant_wire as _dequant_wire,
+    quantize_wire as _quantize_wire,
+    wire_array as _wire_array,
+)
 from spectrogram_cube_clustering_tpu.ops.normalize import make_normalizer
 
 
 def _host_transfer_dtype(transfer_dtype: Optional[str]):
-    """Numpy dtype requests are cast to before the host->device copy
-    (shared policy: core.precision.wire_dtype — the streaming loader
-    offers the same knob). Serving is transfer-bound on
+    """Numpy dtype requests are re-encoded to before the host->device
+    copy (shared policy: core.precision.wire_dtype — the streaming
+    loader offers the same knob). Serving is transfer-bound on
     bandwidth-limited links (measured: the sustained 4096-window rate
     here tracks the wire, RESULTS.md "Serving latency"); half-width
-    transfer doubles it. The jitted path casts back to f32 before
+    (bfloat16/float16) transfer doubles it and the int8 wire
+    (per-sample symmetric quantization, core.precision.quantize_wire)
+    quarters the bytes. The jitted path restores f32 before
     normalization, so the only effect is input quantization — well
     inside the noise floor for per-window-normalized spectrograms."""
     from spectrogram_cube_clustering_tpu.core.precision import wire_dtype
@@ -111,16 +118,20 @@ def _mesh_setup(params, mesh, max_batch: int, buckets) -> tuple:
 
 
 def _make_put(mesh):
-    """Host array -> device array: plain `jnp.asarray` single-device, or a
+    """Host wire payload -> device: plain `device_put` single-device, or a
     batch-axis-sharded `device_put` over a mesh (each chip runs its slice
     of the request; XLA SPMD splits the compiled program — serving-side
     data parallelism the reference's single-GPU inference path has no
-    analog of, production.py:65-106)."""
+    analog of, production.py:65-106). Payloads may be int8 wire pytrees
+    ({'q','scale'}, both rank-matched so one batch sharding covers both
+    leaves)."""
     if mesh is None:
-        return jnp.asarray
+        return jax.device_put
     from spectrogram_cube_clustering_tpu.core.mesh import batch_sharding
 
-    return lambda xb: jax.device_put(xb, batch_sharding(mesh, xb.ndim))
+    return lambda xb: jax.device_put(
+        xb, batch_sharding(mesh, _wire_array(xb).ndim)
+    )
 
 
 def _build_model(
@@ -207,7 +218,9 @@ class DECPredictor:
 
         @jax.jit
         def fn(params, x):
-            x = x.astype(jnp.float32)
+            # restores f32 from any wire encoding (incl. the int8
+            # {'q','scale'} pytree) BEFORE the on-device normalizer
+            x = _dequant_wire(x)
             q, _, z = self.model.apply({"params": params}, normalize(x))
             return q, jnp.argmax(q, axis=1), z
 
@@ -248,21 +261,23 @@ class DECPredictor:
             attention_faithful=attention_faithful, _model=model,
         )
 
+    def _encode_put(self, xb: np.ndarray):
+        """Wire-encode a host chunk (cast or int8-quantize) and transfer."""
+        return self._put(_quantize_wire(xb, self._wire_dtype))
+
     def warmup(self) -> None:
         """Pay every bucket's compile before serving traffic."""
         for size in self.sizes:
-            x = np.zeros(
-                (size, *self.input_hw, 1), self._wire_dtype or np.float32
-            )
-            q, _, _ = self._fn(self.params, self._put(x))
+            x = np.zeros((size, *self.input_hw, 1), np.float32)
+            q, _, _ = self._fn(self.params, self._encode_put(x))
             q.block_until_ready()
 
     def __call__(self, windows: np.ndarray) -> Dict[str, np.ndarray]:
         """Requests of ANY size: chunks of max_batch, tail through the
         smallest compiled bucket that fits — never a recompile."""
-        x = np.asarray(windows, self._wire_dtype or np.float32)
+        x = np.asarray(windows, np.float32)
         chunks = _run_chunked(
-            self._fn, self.params, x, self.sizes, put=self._put
+            self._fn, self.params, x, self.sizes, put=self._encode_put
         )
         return {
             "q": np.concatenate([np.asarray(q[:n]) for (q, _, _), n in chunks]),
@@ -304,8 +319,10 @@ class AECEncoder:
 
         @jax.jit
         def fn(params, x):
+            # restores f32 from any wire encoding (incl. the int8
+            # {'q','scale'} pytree) BEFORE the on-device normalizer
             return self.model.apply(
-                {"params": params}, normalize(x.astype(jnp.float32)),
+                {"params": params}, normalize(_dequant_wire(x)),
                 method="encode",
             )
 
@@ -339,18 +356,20 @@ class AECEncoder:
                    transfer_dtype=transfer_dtype, mesh=mesh, arch=arch,
                    attention_faithful=attention_faithful, _model=model)
 
+    def _encode_put(self, xb: np.ndarray):
+        """Wire-encode a host chunk (cast or int8-quantize) and transfer."""
+        return self._put(_quantize_wire(xb, self._wire_dtype))
+
     def warmup(self) -> None:
         """Pay every bucket's compile before serving traffic."""
         for size in self.sizes:
-            x = np.zeros(
-                (size, *self.input_hw, 1), self._wire_dtype or np.float32
-            )
-            self._fn(self.params, self._put(x)).block_until_ready()
+            x = np.zeros((size, *self.input_hw, 1), np.float32)
+            self._fn(self.params, self._encode_put(x)).block_until_ready()
 
     def __call__(self, windows: np.ndarray) -> np.ndarray:
-        x = np.asarray(windows, self._wire_dtype or np.float32)
+        x = np.asarray(windows, np.float32)
         chunks = _run_chunked(
-            self._fn, self.params, x, self.sizes, put=self._put
+            self._fn, self.params, x, self.sizes, put=self._encode_put
         )
         return np.concatenate([np.asarray(z[:n]) for z, n in chunks])
 
@@ -476,9 +495,10 @@ class WaveformFrontend:
             # honor the predictor's transfer_dtype on the fused wire too:
             # raw samples carry the same bytes as the window stack they
             # become (window_rows*hop samples ~ window_rows*nfreq values),
-            # so the half-width cast halves fused request bytes exactly
-            # like it does window payloads; f32 is restored on device
-            # before the STFT
+            # so the half-width cast halves — and the int8 wire (one
+            # symmetric scale per rank-1 segment) quarters — fused
+            # request bytes exactly like window payloads; f32 is
+            # restored on device before the STFT
             self._fused_wire = getattr(predictor, "_wire_dtype", None)
             if getattr(predictor, "mesh", None) is not None:
                 # explicit fuse=True on a mesh predictor: SPMD end-to-end
@@ -489,7 +509,7 @@ class WaveformFrontend:
             else:
                 self._fused_fn = jax.jit(
                     lambda params, seg: predictor._fn(
-                        params, self._window_fn(seg.astype(jnp.float32))
+                        params, self._window_fn(_dequant_wire(seg))
                     )
                 )
 
@@ -527,9 +547,10 @@ class WaveformFrontend:
         min_t = n_dev * max(self.nperseg - self.hop, self.hop)
 
         def fused(params, seg):
+            seg = _dequant_wire(seg)
             t = seg.shape[0]  # static per rung
             t_pad = max(_round_up_int(t, quantum), min_t)
-            x = jnp.pad(seg.astype(jnp.float32), (0, t_pad - t))
+            x = jnp.pad(seg, (0, t_pad - t))
             x = jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(DATA_AXIS))
             )
@@ -552,19 +573,19 @@ class WaveformFrontend:
             seg = np.zeros(self._rung_seg_len(w), np.float32)
             np.asarray(self._window_fn(seg))
             if self.fused:
+                # the wire payload may be an int8 {'q','scale'} pytree;
+                # jit device-puts the numpy leaves itself
                 jax.block_until_ready(
-                    self._fused_fn(
-                        self.predictor.params,
-                        jnp.asarray(self._cast_wire(seg)),
-                    )
+                    self._fused_fn(self.predictor.params, self._cast_wire(seg))
                 )
         if hasattr(self.predictor, "warmup"):
             self.predictor.warmup()
 
-    def _cast_wire(self, seg: np.ndarray) -> np.ndarray:
-        """Fused-route host-side wire cast (predictor transfer_dtype)."""
-        wire = self._fused_wire
-        return seg if wire is None else seg.astype(wire)
+    def _cast_wire(self, seg: np.ndarray):
+        """Fused-route host-side wire encode (predictor transfer_dtype):
+        plain cast for float wires, {'q','scale'} with one symmetric
+        scale per segment for the int8 wire."""
+        return _quantize_wire(seg, self._fused_wire)
 
     def _rung_seg_len(self, rung_wins: int) -> int:
         return rung_wins * self._span + self.nperseg - self.hop

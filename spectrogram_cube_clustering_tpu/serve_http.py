@@ -555,7 +555,10 @@ def main(argv=None) -> int:
                     "would otherwise ship 6.6 MB of zeros; RESULTS.md). "
                     "--no-buckets compiles only the full shape")
     ap.add_argument("--transfer-dtype", default=None,
-                    choices=["bfloat16", "float16"])
+                    choices=["bfloat16", "float16", "int8"],
+                    help="host->device wire encoding: half-width floats "
+                         "or per-sample symmetric int8 (quarter bytes; "
+                         "core.precision.quantize_wire)")
     ap.add_argument("--max-wait-ms", type=float, default=2.0,
                     help="micro-batching window (0 disables coalescing)")
     ap.add_argument("--max-request-mb", type=float, default=256.0,

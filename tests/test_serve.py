@@ -205,11 +205,38 @@ class TestTransferDtype:
         )
         np.testing.assert_allclose(f32(x), f16(x), rtol=0.02, atol=2e-2)
 
+    def test_int8_wire_matches_f32(self, trained):
+        """Quarter-width int8 wire (per-sample symmetric scales,
+        core.precision.quantize_wire): q within input-quantization
+        tolerance of the f32 path, near-total label agreement (the
+        1/127-of-absmax step can flip genuinely ambiguous boundary
+        windows under an untrained-adjacent encoder; convergence-level
+        parity is measured on-chip, RESULTS.md)."""
+        path, _, x, _, _ = trained
+        f32 = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=128
+        )
+        i8 = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=128, transfer_dtype="int8"
+        )
+        a, b = f32(x), i8(x)
+        assert (a["labels"] == b["labels"]).mean() >= 0.95
+        np.testing.assert_allclose(a["q"], b["q"], atol=3e-2)
+
+    def test_int8_encoder_matches_f32(self, trained):
+        _, aec_path, x, _, _ = trained
+        f32 = serve.AECEncoder.from_checkpoint(aec_path, max_batch=128)
+        i8 = serve.AECEncoder.from_checkpoint(
+            aec_path, max_batch=128, transfer_dtype="int8"
+        )
+        i8.warmup()
+        np.testing.assert_allclose(f32(x), i8(x), rtol=0.05, atol=5e-2)
+
     def test_unknown_transfer_dtype_rejected(self, trained):
         path, _, _, _, _ = trained
         with pytest.raises(ValueError, match="transfer_dtype"):
             serve.DECPredictor.from_checkpoint(
-                path, n_clusters=3, transfer_dtype="int8"
+                path, n_clusters=3, transfer_dtype="int4"
             )
 
 
@@ -396,7 +423,7 @@ class TestWaveformFrontend:
         keep the full rung (multi-chunk)."""
         path, _, _, _, _ = trained
         pred = serve.DECPredictor.from_checkpoint(
-            path, n_clusters=3, max_batch=16
+            path, n_clusters=3, max_batch=64
         )
         wf = serve.WaveformFrontend(pred, chunk_samples=400 * 64)
         assert wf._rung_wins == [1, 8, 64]
@@ -407,6 +434,14 @@ class TestWaveformFrontend:
         segs = list(wf._iter_segments(np.zeros((1, 3_000), np.float32), 7))
         assert len(segs) == 1
         assert segs[0][0].shape[0] == wf._rung_seg_len(8)
+        # fused frontends cap the top rung at the predictor's compiled-
+        # shape contract (max_batch), splitting longer requests into
+        # more chunks instead of over-batching the model pass
+        small = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16
+        )
+        wf_cap = serve.WaveformFrontend(small, chunk_samples=400 * 64)
+        assert wf_cap.fused and wf_cap._rung_wins[-1] == 16
         # output parity with a frontend built at the small chunk size
         wf_small = serve.WaveformFrontend(pred, chunk_samples=400 * 8)
         wave = np.random.default_rng(7).normal(size=(2, 3_000)).astype(
@@ -511,6 +546,31 @@ class TestWaveformFrontend:
             a["windows_per_channel"], b["windows_per_channel"]
         )
 
+    def test_fused_int8_wire_matches_f32(self, trained):
+        """int8 on the fused waveform wire: one symmetric scale per raw
+        segment ({'q','scale'} pytree through the jitted fused program),
+        f32 restored on device BEFORE the STFT."""
+        path, _, _, _, _ = trained
+        f32 = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16
+        )
+        i8 = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16, transfer_dtype="int8"
+        )
+        wf32 = serve.WaveformFrontend(f32, chunk_samples=1)
+        wfi8 = serve.WaveformFrontend(i8, chunk_samples=1)
+        assert wf32.fused and wfi8.fused
+        wfi8.warmup()  # the int8 pytree path through every rung compile
+        wave = np.random.default_rng(9).normal(size=(2, 2_000)).astype(
+            np.float32
+        )
+        a, b = wf32(wave), wfi8(wave)
+        assert (a["labels"] == b["labels"]).mean() >= 0.95
+        np.testing.assert_allclose(a["q"], b["q"], atol=3e-2)
+        np.testing.assert_array_equal(
+            a["windows_per_channel"], b["windows_per_channel"]
+        )
+
     def test_mesh_predictor_falls_back_to_two_pass(self, trained):
         path, _, _, _, _ = trained
         from spectrogram_cube_clustering_tpu.core import make_data_mesh
@@ -553,3 +613,13 @@ class TestWaveformFrontend:
         np.testing.assert_array_equal(
             a["windows_per_channel"], b["windows_per_channel"]
         )
+        # int8 on the SPMD-fused wire: the {'q','scale'} pytree flows
+        # through the time-sharded program, dequantized before the pad
+        i8 = serve.DECPredictor.from_checkpoint(
+            path, n_clusters=3, max_batch=16, mesh=mesh,
+            transfer_dtype="int8",
+        )
+        fused_i8 = serve.WaveformFrontend(i8, chunk_samples=1, fuse=True)
+        c = fused_i8(wave)
+        assert (a["labels"] == c["labels"]).mean() >= 0.95
+        np.testing.assert_allclose(a["q"], c["q"], atol=3e-2)
