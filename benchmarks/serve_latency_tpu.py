@@ -80,6 +80,26 @@ def main():
         4096 * len(big) / dt, 1
     )
 
+    # int8 wire (per-sample symmetric quantization, quarter the f32
+    # bytes): the transfer-bound tier's next lever past bf16 — A/B'd
+    # here at label parity against the f32 wire on the same requests
+    pred8 = serve.DECPredictor(
+        params, n_clusters=5, max_batch=4096, transfer_dtype="int8"
+    )
+    pred8.warmup()
+    pred8(big[0])
+    t0 = time.perf_counter()
+    for x in big:
+        pred8(x)
+    dt = time.perf_counter() - t0
+    out["sustained_int8_transfer_samples_per_sec"] = round(
+        4096 * len(big) / dt, 1
+    )
+    agree = float(
+        np.mean(pred(big[0])["labels"] == pred8(big[0])["labels"])
+    )
+    out["int8_label_agreement_vs_f32"] = round(agree, 4)
+
     # does the MicroBatcher's coalescing earn its keep for WINDOW
     # clients? (for waveform clients it measurably does not —
     # serve_waveform_tpu.py — but window payloads are exactly what it

@@ -74,6 +74,8 @@ def main():
     #    transfer_dtype="bfloat16" halves host->device wire bytes (the
     #    stream tier is transfer-bound; measured +95% on a v5e tunnel,
     #    RESULTS.md) — f32 is restored on device inside the jitted steps.
+    #    "int8" quarters them (per-sample symmetric quantization, scales
+    #    sharded alongside the codes).
     out = scc.train.train_aec_stream(
         model, state,
         lambda: PrefetchLoader(

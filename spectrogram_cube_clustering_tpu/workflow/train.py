@@ -419,8 +419,9 @@ def _train_stream(config, mesh=None):
                 indices=indices,
                 item_windows=ds.windows_per_item,
                 item_meta=(ds.window_shape, np.float32),
-                # half-width wire casts for transfer-bound links; the
-                # jitted steps restore f32 on device
+                # compressed wire for transfer-bound links (bfloat16/
+                # float16 half-width casts or per-sample symmetric int8);
+                # the jitted steps restore f32 on device
                 transfer_dtype=getattr(
                     config, "stream_transfer_dtype", None
                 ) or None,
