@@ -65,6 +65,84 @@ def _rep_stats(rates):
     }
 
 
+#: shared data prep, keyed on (n_samples, batch_size): every train metric
+#: in a default `--metric all` run uses the same synthetic windows, and
+#: regenerating them per metric was most of BENCH_r03/r04's
+#: time-to-first-metric (~30 s host generation + two 424 MB crossings of
+#: a 6-90 MB/s tunnel per metric). Generated ON DEVICE instead (same
+#: planted-class structure as data.synthetic_windows, jax.random PRNG),
+#: normalized and batched without ever touching the host.
+_PREP = {}
+
+
+def _prep_train_data(n_samples: int, batch_size: int):
+    """Device-resident BatchedData of normalized synthetic windows."""
+    import jax
+    import jax.numpy as jnp
+    import spectrogram_cube_clustering_tpu as scc
+    from spectrogram_cube_clustering_tpu.train.layout import BatchedData
+
+    key = (n_samples, batch_size)
+    if key in _PREP:
+        return _PREP[key]
+
+    n_classes, h, w, noise = 5, 4, 101, 0.2
+    nb = -(-n_samples // batch_size)
+    pad = nb * batch_size - n_samples
+
+    @jax.jit
+    def gen(seed):
+        freqs = jnp.linspace(0.0, 1.0, w)
+        centers = jnp.linspace(0.15, 0.85, n_classes)
+        sigmas = jnp.linspace(0.04, 0.10, n_classes)
+        decays = jnp.linspace(0.2, 1.5, n_classes)
+        t = jnp.arange(h, dtype=jnp.float32)
+        spectral = jnp.exp(
+            -((freqs[None, :] - centers[:, None]) ** 2)
+            / (2.0 * sigmas[:, None] ** 2)
+        )
+        temporal = jnp.exp(-decays[:, None] * t[None, :])
+        templates = temporal[:, :, None] * spectral[:, None, :]
+        k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+        labels = jax.random.randint(k1, (n_samples,), 0, n_classes)
+        amp = jnp.exp(0.4 * jax.random.normal(k2, (n_samples, 1, 1)))
+        x = amp * templates[labels] + noise * jax.random.normal(
+            k3, (n_samples, h, w)
+        )
+        x = scc.ops.sample_norm_cent(x[..., None])
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, h, w, 1), x.dtype)], axis=0
+            )
+        return x.reshape(nb, batch_size, h, w, 1)
+
+    xb = gen(0)
+    mask = jnp.concatenate(
+        [jnp.ones((n_samples,), jnp.float32),
+         jnp.zeros((pad,), jnp.float32)]
+    ).reshape(nb, batch_size)
+    data = BatchedData(
+        x=xb, mask=mask, n_samples=n_samples, batch_size=batch_size
+    )
+    _PREP[key] = data
+    return data
+
+
+def _prep_host_windows(n_samples: int) -> "np.ndarray":
+    """Host copy of normalized windows for the streaming metrics (the
+    loader streams host->device, so the source must live on the host).
+    One device->host fetch, cached across the stream/_bf16/_int8 trio."""
+    import numpy as np
+
+    key = ("host", n_samples)
+    if key in _PREP:
+        return _PREP[key]
+    data = _prep_train_data(n_samples, min(n_samples, 4096))
+    x = np.asarray(data.x).reshape(-1, *data.x.shape[2:])[:n_samples]
+    _PREP[key] = x
+    return x
+
+
 def measure_aec_throughput(
     n_samples: int, batch_size: int, epochs: int = 3, fused: bool = False,
     reps: int = 1, packed: bool = False,
@@ -79,16 +157,13 @@ def measure_aec_throughput(
     models/packed.py) instead of the reference-parity AEC."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
     import spectrogram_cube_clustering_tpu as scc
 
-    x, _ = scc.data.synthetic_windows(n_samples, n_classes=5, seed=0)
-    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
-    data = scc.train.make_batched_data(x, batch_size=batch_size)
+    data = _prep_train_data(n_samples, batch_size)
 
     model = scc.models.PackedAEC() if packed else scc.models.AEC()
     state = scc.train.create_train_state(
-        model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-4
+        model, jax.random.key(0), data.x[0, :4], lr=1e-4
     )
     rates = []
     if fused:
@@ -106,8 +181,12 @@ def measure_aec_throughput(
                 st, data.x, data.mask, None, None,
                 _init_loop_state(st, epochs), jnp.int32(epochs),
             )
-            loop["tra_hist"].block_until_ready()
-            return st, loop["tra_hist"][-1]
+            # float() is a VALUE fetch: block_until_ready is not a real
+            # sync through this environment's remote tunnel — r4 run 4
+            # timed the async dispatch alone and reported an impossible
+            # 753 M samples/s (CLAUDE.md). The fetch costs one ~100 ms
+            # RTT per rep; epochs-per-rep is sized so that stays <5%.
+            return st, float(loop["tra_hist"][-1])
 
         state, loss = once(state)  # compile + warmup
         for _ in range(reps):
@@ -121,13 +200,13 @@ def measure_aec_throughput(
 
     # compile + warmup
     state, loss = train_epoch(state, data.x, data.mask)
-    loss.block_until_ready()
+    float(loss)
 
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(epochs):
             state, loss = train_epoch(state, data.x, data.mask)
-        loss.block_until_ready()
+        float(loss)  # value fetch = real sync (see fused path note)
         rates.append(n_samples * epochs / (time.perf_counter() - t0))
     med, spread = _rep_stats(rates)
     return med, float(loss), spread
@@ -143,7 +222,6 @@ def measure_dec_throughput(
     measures the MXU-packed variant (models.PackedDEC, arch=packed)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
     import spectrogram_cube_clustering_tpu as scc
     from spectrogram_cube_clustering_tpu.ops.student_t import target_distribution
     from spectrogram_cube_clustering_tpu.train.dec import (
@@ -151,16 +229,14 @@ def measure_dec_throughput(
         make_segment_fn,
     )
 
-    x, _ = scc.data.synthetic_windows(n_samples, n_classes=5, seed=0)
-    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
-    data = scc.train.make_batched_data(x, batch_size=batch_size)
+    data = _prep_train_data(n_samples, batch_size)
 
     model = (
         scc.models.PackedDEC(n_clusters=5) if packed
         else scc.models.DEC(n_clusters=5)
     )
     state = scc.train.create_train_state(
-        model, jax.random.key(0), jnp.asarray(x[:4]), lr=1e-3
+        model, jax.random.key(0), data.x[0, :4], lr=1e-3
     )
     q, _, _ = scc.train.full_eval(model, state.params, data)
     p_all = _pad_p(target_distribution(q), data.n_batches, batch_size)
@@ -177,12 +253,12 @@ def measure_dec_throughput(
         return jax.lax.scan(body, st, None, length=epochs)
 
     state, (ls, ns) = run_epochs(state, data.x, data.mask, p_all)
-    ls.block_until_ready()
+    float(ls[-1])
     rates = []
     for _ in range(reps):
         t0 = time.perf_counter()
         state, (ls, ns) = run_epochs(state, data.x, data.mask, p_all)
-        ls.block_until_ready()
+        float(ls[-1])  # value fetch = real sync (see fused AEC note)
         rates.append(n_samples * epochs / (time.perf_counter() - t0))
     med, spread = _rep_stats(rates)
     return med, float(ls[-1] / ns[-1]), spread
@@ -278,8 +354,7 @@ def measure_stream_throughput(
     import numpy as np
     import spectrogram_cube_clustering_tpu as scc
 
-    x, _ = scc.data.synthetic_windows(n_samples, n_classes=5, seed=0)
-    x = np.asarray(scc.ops.sample_norm_cent(jnp.asarray(x)))
+    x = _prep_host_windows(n_samples)
     item = min(512, n_samples)  # windows per loader item (zarr-chunk-ish)
     n_items = n_samples // item
     # the loader streams whole items; rate accounting uses what actually
@@ -389,7 +464,10 @@ def _measure_set(args, deadline: float = None):
     # tunnel's ~100 ms dispatch RTT halves the reported number on
     # high-latency days (observed 2.1 vs 3.3 M across rounds); 64 epochs
     # pushes the RTT fraction under ~25%
-    aec_epochs = 64 if args.quick else 16
+    # full mode runs 48 epochs/rep (~3.4 s of device time): the per-rep
+    # value fetch that forces real execution costs one tunnel RTT, and 16
+    # epochs left that at ~10% of the timed window
+    aec_epochs = 64 if args.quick else 48
     # STFT: two-point chain fit (L vs 2L) cancels the tunnel's fixed
     # per-dispatch cost exactly; L must still be long enough that the
     # timed difference (L x ~70-280us/rep) dwarfs tunnel jitter — a
@@ -428,14 +506,14 @@ def _measure_set(args, deadline: float = None):
         "dec": (
             "dec_train_samples_per_sec",
             lambda: measure_dec_throughput(
-                args.samples, args.batch, epochs=48 if args.quick else 8,
+                args.samples, args.batch, epochs=48 if args.quick else 24,
                 reps=args.reps,
             ),
         ),
         "dec_packed": (
             "dec_packed_train_samples_per_sec",
             lambda: measure_dec_throughput(
-                args.samples, args.batch, epochs=48 if args.quick else 8,
+                args.samples, args.batch, epochs=48 if args.quick else 24,
                 reps=args.reps, packed=True,
             ),
         ),
@@ -449,16 +527,19 @@ def _measure_set(args, deadline: float = None):
                 n_wave, chain, reps=max(args.reps, 5)
             ),
         ),
+        # streaming reps dispatch per batch through the tunnel; short
+        # (~2.5 s) reps let a single multi-second tunnel stall tank
+        # one rep (observed 103% spread in r3, and 68% at full size
+        # with only 3 epochs/rep) — 8 epochs/rep at a bounded sample
+        # count amortizes stalls into the rate they actually cost.
+        # Each stream thunk takes a per-metric deadline (main splits the
+        # remaining budget across the wire tiers: on a slow-wire day the
+        # f32 tier alone ate the whole tail of the budget in r4 run 3 and
+        # the bf16/int8 A/B — the tiers that matter MOST on a slow wire —
+        # got skipped; three tiers at fewer epochs beat one at full reps)
         "stream": (
             "stream_train_samples_per_sec",
-            # streaming reps dispatch per batch through the tunnel; short
-            # (~2.5 s) reps let a single multi-second tunnel stall tank
-            # one rep (observed 103% spread in r3, and 68% at full size
-            # with only 3 epochs/rep) — 8 epochs/rep at a bounded sample
-            # count amortizes stalls into the rate they actually cost,
-            # in BOTH modes, so the driver-visible number is stable
-            # enough to show real regressions
-            lambda: measure_stream_throughput(
+            lambda deadline=deadline: measure_stream_throughput(
                 stream_samples, args.batch, epochs=8, reps=args.reps,
                 deadline=deadline,
             ),
@@ -468,7 +549,7 @@ def _measure_set(args, deadline: float = None):
             # half-width wire casts (stream_transfer_dtype=bfloat16):
             # the streaming tier is transfer-bound, so this is the
             # shipped fast path for bandwidth-limited links
-            lambda: measure_stream_throughput(
+            lambda deadline=deadline: measure_stream_throughput(
                 stream_samples, args.batch,
                 epochs=8, reps=args.reps, transfer_dtype="bfloat16",
                 deadline=deadline,
@@ -479,7 +560,7 @@ def _measure_set(args, deadline: float = None):
             # quarter-width wire casts (stream_transfer_dtype=int8,
             # per-batch symmetric quantization, dequant on device):
             # 4x fewer wire bytes than f32 on the transfer-bound tier
-            lambda: measure_stream_throughput(
+            lambda deadline=deadline: measure_stream_throughput(
                 stream_samples, args.batch,
                 epochs=8, reps=args.reps, transfer_dtype="int8",
                 deadline=deadline,
@@ -600,6 +681,41 @@ def main():
     skipped = []
     wire = None
     failed = []
+
+    if deadline is not None:
+        # Hard-abort watchdog: the budget's skip logic only runs BETWEEN
+        # metrics, but this environment's remote tunnel can wedge a
+        # metric INSIDE an RPC indefinitely (observed r4: a default run
+        # made zero progress for >15 min — the driver would have timed
+        # out with an empty capture, BENCH_r03 all over again). A daemon
+        # thread re-emits whatever completed and exits once the budget is
+        # well overrun. SIGALRM can't interrupt a wedged C++ RPC wait,
+        # hence os._exit from a thread.
+        import threading
+
+        hard_deadline = deadline + float(
+            os.environ.get("BENCH_WATCHDOG_MARGIN", "90")
+        )
+
+        def _watchdog():
+            while time.perf_counter() < hard_deadline:
+                time.sleep(5)
+            done = set(results) | set(skipped) | set(failed)
+            print("# watchdog: budget hard-overrun (wedged tunnel RPC?); "
+                  "emitting partial table", file=sys.stderr)
+            if results:
+                _emit(names, results, baseline, wire=wire,
+                      skipped=skipped + failed
+                      + [n for n in names if n not in done],
+                      elapsed=time.perf_counter() - t0)
+            else:
+                print(json.dumps({
+                    "metric": "none", "value": None, "unit": "samples/sec",
+                    "vs_baseline": None, "aborted": "watchdog",
+                }), flush=True)
+            os._exit(0 if results else 1)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
     for name in names:
         elapsed = time.perf_counter() - t0
         remaining = None if deadline is None else deadline - time.perf_counter()
@@ -616,8 +732,21 @@ def main():
             # makes its stream numbers interpretable
             wire = _with_retry(measure_wire_rate, deadline)
         metric, thunk = measures[name]
+        if name.startswith("stream") and deadline is not None:
+            # split the remaining budget evenly across the wire tiers
+            # still to run (each tier's epoch loop stops at its own
+            # deadline, floored so at least compile + one timed epoch fit)
+            streams_left = sum(
+                1 for n in names[names.index(name):]
+                if n.startswith("stream") and n not in results
+            )
+            share = (deadline - time.perf_counter()) / max(streams_left, 1)
+            thunk_deadline = time.perf_counter() + max(share, 75.0)
+            run = lambda: thunk(deadline=thunk_deadline)  # noqa: E731
+        else:
+            run = thunk
         try:
-            value, _loss, spread = _with_retry(thunk, deadline)
+            value, _loss, spread = _with_retry(run, deadline)
         except Exception as e:  # noqa: BLE001
             # a dead metric must not take the whole table with it
             print(f"# {name} failed: {type(e).__name__}: {e}",

@@ -14,7 +14,17 @@ from flax.training import train_state
 def create_train_state(
     model, rng: jax.Array, sample_input, lr: float
 ) -> train_state.TrainState:
-    params = model.init(rng, sample_input)["params"]
-    return train_state.TrainState.create(
-        apply_fn=model.apply, params=params, tx=optax.adam(lr)
-    )
+    # The whole construction (flax init + optax zeros) runs as ONE jitted
+    # program: eager init issues a dispatch per layer/opt-state leaf, and
+    # through this environment's remote-TPU tunnel (~100 ms RTT per
+    # dispatch on bad days) that turned state creation into ~30 s of the
+    # bench's time-to-first-metric. Values are identical — JAX PRNG is
+    # deterministic under jit. apply_fn/tx live in the TrainState's
+    # static metadata, so returning it from jit is fine.
+    def _make(rng, x):
+        params = model.init(rng, x)["params"]
+        return train_state.TrainState.create(
+            apply_fn=model.apply, params=params, tx=optax.adam(lr)
+        )
+
+    return jax.jit(_make)(rng, sample_input)

@@ -45,6 +45,68 @@ def pytest_configure(config):
     )
 
 
+#: the slow tier, maintained as a measured list (every test >=15 s in the
+#: round-4 full-suite durations run, `--durations=80`) rather than as
+#: per-file decorators: one place to audit, test files stay untouched,
+#: and new tests default into the core tier. `pytest -m "not slow"`
+#: deselects these (~3.6 of the suite's ~4.2 ks); the full suite still
+#: runs everything.
+SLOW_TESTS = frozenset({
+    "tests/test_bench.py::test_kill_mid_bench_leaves_metric_line",
+    "tests/test_bench.py::test_measure_aec_packed_throughput_runs",
+    "tests/test_bench.py::test_measure_aec_throughput_runs",
+    "tests/test_cli.py::test_driver_chain",
+    "tests/test_cli.py::test_run_dc_full_pipeline",
+    "tests/test_models.py::TestUNet::test_shapes",
+    "tests/test_multihost.py::test_two_process_training_matches_single_process",
+    "tests/test_prefetch.py::TestStreamingTraining::test_train_dec_stream_matches_scan_path",
+    "tests/test_prefetch.py::TestTransferDtype::test_dec_stream_int8_wire_label_parity",
+    "tests/test_resume.py::test_aec_stream_sigkill_mid_epoch_then_resume",
+    "tests/test_resume.py::test_dec_resume_matches_uninterrupted",
+    "tests/test_resume.py::test_sigkill_preemption_then_resume",
+    "tests/test_serve_http.py::test_scc_serve_main",
+    "tests/test_sharding.py::TestPackedSharded::test_packed_dec_clustering_matches_single_device",
+    "tests/test_sharding.py::TestShardedTraining::test_dec_clustering_matches_single_device",
+    "tests/test_signal.py::TestShardedGMM::test_em_step_freezes_empty_component",
+    "tests/test_signal.py::TestShardedGMM::test_survives_empty_component",
+    "tests/test_signal.py::TestShardedKMeansFull::test_kmeans_labels_consistent_with_returned_centers",
+    "tests/test_signal.py::TestShardedKMeansFull::test_ragged_length_pads_internally",
+    "tests/test_signal.py::TestShardedKMeansFull::test_recovers_blobs",
+    "tests/test_signal.py::TestShardedKMeansFull::test_sharded_gmm_large_mean_offset",
+    "tests/test_signal.py::TestShardedKMeansFull::test_sharded_gmm_more_components_than_clusters",
+    "tests/test_signal.py::TestShardedKMeansFull::test_sharded_gmm_recovers_blobs",
+    "tests/test_signal.py::TestShardedKMeansFull::test_sharded_gmm_small_scale_latents",
+    "tests/test_signal.py::TestShardedKMeansFull::test_sharded_kmeans_matches_dense_quality",
+    "tests/test_torch_parity.py::test_unet_parity",
+    "tests/test_train.py::TestAEC::test_fused_early_stop_epoch_matches",
+    "tests/test_train.py::TestAEC::test_fused_resume_after_early_stop_stays_stopped",
+    "tests/test_train.py::TestAEC::test_fused_snapshot_resume_interop",
+    "tests/test_train.py::TestAEC::test_fused_sync_every_matches_per_epoch",
+    "tests/test_train.py::TestDEC::test_history_one_row_per_batch_scan_and_stream",
+    "tests/test_train.py::TestDEC::test_load_init_uses_given_centroids",
+    "tests/test_train.py::TestDEC::test_losses_accumulate_and_improve",
+    "tests/test_train.py::TestDEC::test_refinement_runs_and_stops",
+    "tests/test_train.py::TestDEC::test_snapshot_cb_receives_initial_snapshot",
+    "tests/test_train.py::TestDEC::test_update_interval_counts_batches",
+    "tests/test_workflow.py::test_dec_figure_snapshots",
+    "tests/test_workflow.py::test_full_workflow",
+    "tests/test_workflow.py::test_gmm_fit_on_mesh",
+    "tests/test_workflow.py::test_gmm_km_metrics_diagnostics",
+    "tests/test_workflow.py::test_h5_catalog_workflow",
+    "tests/test_workflow.py::test_h5_stream_loadmode",
+    "tests/test_workflow.py::test_packed_arch_workflow",
+    "tests/test_workflow.py::test_stream_dec_predict_with_figures",
+    "tests/test_workflow.py::test_unet_arch_workflow",
+    "tests/test_workflow.py::test_waveform_workflow",
+})
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(autouse=True)
 def _test_timeout(request):
     """Fail (not hang) any test exceeding its wall-clock cap. SIGALRM is

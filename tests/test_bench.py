@@ -137,3 +137,43 @@ def test_kill_mid_bench_leaves_metric_line(tmp_path):
     row = json.loads(lines[-1])
     assert row["metric"] and row["value"] > 0
     assert row["unit"] == "samples/sec"
+
+
+def test_watchdog_emits_when_metric_wedges(tmp_path):
+    """A metric wedged INSIDE a tunnel RPC never returns control to the
+    budget's between-metrics skip logic (observed on the real chip in
+    round 4: a default run made zero progress for >15 min). The watchdog
+    thread must hard-emit a driver-parseable line and exit on its own —
+    no external kill."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # budget 1 s + 8 s margin: the first metric (which ignores the budget
+    # by design — one metric always runs) takes longer than that on CPU,
+    # standing in for a wedged RPC
+    env["BENCH_WATCHDOG_MARGIN"] = "8"
+    proc = subprocess.run(
+        [
+            sys.executable, "bench.py", "--quick", "--samples", "4096",
+            "--batch", "256", "--reps", "3", "--metric", "all",
+            "--budget", "1",
+        ],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=240, env=env,
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert lines, "watchdog left no output line"
+    row = json.loads(lines[-1])
+    assert row["unit"] == "samples/sec"
+    # either the watchdog fired mid-metric (metric none, rc 1) or the
+    # machine was fast enough that a metric completed first (rc 0 with a
+    # real value) — both leave the driver a parseable line
+    if row["metric"] == "none":
+        assert row.get("aborted") == "watchdog"
+        assert proc.returncode == 1
+    else:
+        assert row["value"] > 0
