@@ -18,7 +18,14 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
+
+#: serializes _emit between the main loop and the watchdog thread: the
+#: watchdog may re-emit the partial table while the main thread is inside
+#: its own _emit, and interleaved prints would corrupt the last stdout
+#: line the driver parses.
+_EMIT_LOCK = threading.Lock()
 
 
 def _enable_compile_cache():
@@ -46,23 +53,43 @@ def _enable_compile_cache():
         pass
 
 
+def _median(sorted_vals):
+    n = len(sorted_vals)
+    return (
+        sorted_vals[n // 2]
+        if n % 2
+        else 0.5 * (sorted_vals[n // 2 - 1] + sorted_vals[n // 2])
+    )
+
+
 def _rep_stats(rates):
     """Median + spread over repeated timings: the driver-captured number
     wandered ~4% between rounds on single runs (remote-tunnel noise);
-    the median of >=3 reps plus an explicit spread pins it down."""
+    the median of >=3 reps plus an explicit spread pins it down.
+
+    Stall rejection: a rep whose rate falls below a third of the all-rep
+    median was hit by a multi-second tunnel stall, not the kernel (r4:
+    one stalled stft rep read 1.4 G against a 17.7 G median and blew the
+    reported spread to 113%). Such reps are excluded from the reported
+    min/max/spread and counted in `stalled_reps`; the median itself is
+    computed over the kept reps (for an odd rep count with <=1 stall the
+    kept-median equals the all-rep median, so headline continuity holds).
+    """
     rates = sorted(float(r) for r in rates)
-    n = len(rates)
-    med = (
-        rates[n // 2] if n % 2 else 0.5 * (rates[n // 2 - 1] + rates[n // 2])
-    )
-    return med, {
-        "reps": n,
-        "min": round(rates[0], 1),
-        "max": round(rates[-1], 1),
-        "spread_pct": round(100.0 * (rates[-1] - rates[0]) / med, 1)
+    med_all = _median(rates)
+    kept = [r for r in rates if r >= med_all / 3.0] or rates
+    med = _median(kept)
+    stats = {
+        "reps": len(rates),
+        "min": round(kept[0], 1),
+        "max": round(kept[-1], 1),
+        "spread_pct": round(100.0 * (kept[-1] - kept[0]) / med, 1)
         if med
         else None,
     }
+    if len(kept) < len(rates):
+        stats["stalled_reps"] = len(rates) - len(kept)
+    return med, stats
 
 
 #: shared data prep, keyed on (n_samples, batch_size): every train metric
@@ -361,9 +388,9 @@ def measure_stream_throughput(
     # streamed, not the requested n_samples (which may not divide evenly)
     streamed = n_items * item
 
-    def make_loader():
+    def make_loader(items=n_items):
         return scc.data.PrefetchLoader(
-            lambda i: x[i * item : (i + 1) * item], n_items=n_items,
+            lambda i: x[i * item : (i + 1) * item], n_items=items,
             batch_size=batch_size, num_workers=4,
             transfer_dtype=transfer_dtype,
         )
@@ -374,14 +401,24 @@ def measure_stream_throughput(
     )
     train_step, _ = scc.train.aec.make_step_fns(model)
 
-    def one_epoch(st):
+    def one_epoch(st, items=n_items):
         losses = []
-        for xb, n_valid in make_loader():
+        for xb, n_valid in make_loader(items):
             st, loss = train_step(st, xb, jnp.float32(n_valid))
             losses.append(loss)
         return st, jax.device_get(losses)[-1]
 
-    state, loss = one_epoch(state)  # compile + warmup
+    # compile + loader warmup on ONE full-size batch instead of a whole
+    # epoch: the warmup epoch used to cost as much wire as a timed epoch
+    # (~12% of the tier on a slow day), and the compiled step only needs
+    # its batch shape seen once. If the sample count doesn't fill a
+    # batch, the full (=partial) epoch is the warmup.
+    warm_items = min(n_items, -(-batch_size // item))
+    if (n_items * item) % batch_size:
+        # ragged tail batch has its own compiled shape: warm the whole
+        # epoch so no compile lands inside a timed epoch
+        warm_items = n_items
+    state, loss = one_epoch(state, items=warm_items)
     rates = []
     for _ in range(reps):
         # per-epoch rates, median within the rep: a multi-second tunnel
@@ -544,17 +581,10 @@ def _measure_set(args, deadline: float = None):
                 deadline=deadline,
             ),
         ),
-        "stream_bf16": (
-            "stream_bf16_train_samples_per_sec",
-            # half-width wire casts (stream_transfer_dtype=bfloat16):
-            # the streaming tier is transfer-bound, so this is the
-            # shipped fast path for bandwidth-limited links
-            lambda deadline=deadline: measure_stream_throughput(
-                stream_samples, args.batch,
-                epochs=8, reps=args.reps, transfer_dtype="bfloat16",
-                deadline=deadline,
-            ),
-        ),
+        # int8 runs BEFORE bf16: if the budget truncates the wire tiers,
+        # the surviving pair should be the f32-vs-int8 A/B (the 4x-fewer-
+        # bytes adoption decision); bf16's ~2x ratio is the best-pinned
+        # stream result already (RESULTS.md r3)
         "stream_int8": (
             "stream_int8_train_samples_per_sec",
             # quarter-width wire casts (stream_transfer_dtype=int8,
@@ -563,6 +593,17 @@ def _measure_set(args, deadline: float = None):
             lambda deadline=deadline: measure_stream_throughput(
                 stream_samples, args.batch,
                 epochs=8, reps=args.reps, transfer_dtype="int8",
+                deadline=deadline,
+            ),
+        ),
+        "stream_bf16": (
+            "stream_bf16_train_samples_per_sec",
+            # half-width wire casts (stream_transfer_dtype=bfloat16):
+            # the streaming tier is transfer-bound, so this is the
+            # shipped fast path for bandwidth-limited links
+            lambda deadline=deadline: measure_stream_throughput(
+                stream_samples, args.batch,
+                epochs=8, reps=args.reps, transfer_dtype="bfloat16",
                 deadline=deadline,
             ),
         ),
@@ -590,7 +631,18 @@ def _emit(ordered_names, results, baseline, wire=None, skipped=(),
     driver-parseable record — headline schema (metric/value/unit/
     vs_baseline) from the first completed metric, full table in `extras` —
     so whichever line is last on stdout when the process dies is the most
-    complete result."""
+    complete result.
+
+    Thread-safety: serialized via _EMIT_LOCK (the watchdog thread calls
+    this concurrently with the main loop) and iterates over snapshots so
+    a mid-iteration insert in the other thread cannot throw."""
+    with _EMIT_LOCK:
+        _emit_locked(ordered_names, dict(results), baseline, wire=wire,
+                     skipped=list(skipped), elapsed=elapsed)
+
+
+def _emit_locked(ordered_names, results, baseline, wire=None, skipped=(),
+                 elapsed=None):
     for name, row in results.items():
         if "vs_baseline" not in row:
             # packed variants train the same task: anchor against the
@@ -599,6 +651,12 @@ def _emit(ordered_names, results, baseline, wire=None, skipped=(),
             row["vs_baseline"] = (
                 round(row["value"] / ref, 2) if ref else None
             )
+        if name.startswith("stream") and wire:
+            # wire-rate-normalized rate: the absolute stream figure
+            # tracks the day's tunnel link (observed 15-90 MB/s swings);
+            # samples/s-per-MB/s-of-wire cancels that, so round-over-
+            # round regressions in the stream path itself are detectable
+            row["samples_per_mbyte"] = round(row["value"] / wire, 1)
     head_name = next(n for n in ordered_names if n in results)
     head = results[head_name]
     out = {
@@ -646,7 +704,11 @@ def main():
         "started before the budget expires are skipped (listed in the "
         "output's `skipped`), and stream reps stop early at the "
         "deadline — a fresh-compile or slow-wire day degrades to a "
-        "partial table instead of a driver timeout with no output",
+        "partial table instead of a driver timeout with no output. A "
+        "watchdog thread hard-exits (emitting the partial table) once "
+        "the budget is overrun with no metric completing for "
+        "BENCH_WATCHDOG_MARGIN seconds (env var; default 120, or 900 "
+        "when .jax_cache is cold — first compiles here run 3 s-17 min)",
     )
     ap.add_argument(
         "--metric",
@@ -689,39 +751,93 @@ def main():
         # made zero progress for >15 min — the driver would have timed
         # out with an empty capture, BENCH_r03 all over again). A daemon
         # thread re-emits whatever completed and exits once the budget is
-        # well overrun. SIGALRM can't interrupt a wedged C++ RPC wait,
-        # hence os._exit from a thread.
-        import threading
-
-        hard_deadline = deadline + float(
-            os.environ.get("BENCH_WATCHDOG_MARGIN", "90")
+        # well overrun WITH NO PROGRESS. SIGALRM can't interrupt a wedged
+        # C++ RPC wait, hence os._exit from a thread.
+        #
+        # The margin distinguishes "wedged" from "slow but progressing":
+        # a metric completing resets the no-progress clock, and on a cold
+        # compile cache the default margin is raised to this
+        # environment's documented first-compile band (3 s - 17 min for
+        # novel TPU programs) so a legitimate first compile is not
+        # misread as a wedge. Override with BENCH_WATCHDOG_MARGIN.
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        try:
+            cache_cold = len(os.listdir(cache_dir)) < 4
+        except OSError:
+            cache_cold = True
+        margin = float(
+            os.environ.get(
+                "BENCH_WATCHDOG_MARGIN", "900" if cache_cold else "120"
+            )
         )
 
         def _watchdog():
-            while time.perf_counter() < hard_deadline:
+            # Monitoring loop: any exception here must NOT fall through
+            # to the abort path (a spurious error minutes into a healthy
+            # run would kill it); swallow and keep watching.
+            last_done, last_change = -1, time.perf_counter()
+            while True:
                 time.sleep(5)
-            done = set(results) | set(skipped) | set(failed)
-            print("# watchdog: budget hard-overrun (wedged tunnel RPC?); "
-                  "emitting partial table", file=sys.stderr)
-            if results:
-                _emit(names, results, baseline, wire=wire,
-                      skipped=skipped + failed
-                      + [n for n in names if n not in done],
-                      elapsed=time.perf_counter() - t0)
-            else:
-                print(json.dumps({
-                    "metric": "none", "value": None, "unit": "samples/sec",
-                    "vs_baseline": None, "aborted": "watchdog",
-                }), flush=True)
-            os._exit(0 if results else 1)
+                try:
+                    now = time.perf_counter()
+                    done_n = len(results) + len(skipped) + len(failed)
+                    if done_n != last_done:
+                        last_done, last_change = done_n, now
+                    if now >= deadline + margin and now - last_change >= margin:
+                        break
+                except Exception:  # noqa: BLE001
+                    continue
+            # Abort path: snapshot shared state before touching it (the
+            # main thread may be mutating results/skipped/failed), emit
+            # the partial table, and ALWAYS exit — even if emission
+            # itself raises (otherwise the daemon dies silently and the
+            # process hangs past the driver timeout, the exact failure
+            # this watchdog exists to prevent).
+            res = dict(results)
+            skp, fld = list(skipped), list(failed)
+            try:
+                done = set(res) | set(skp) | set(fld)
+                print(
+                    "# watchdog: budget hard-overrun with no progress "
+                    f"for {margin:.0f}s (wedged tunnel RPC?); emitting "
+                    "partial table", file=sys.stderr,
+                )
+                if res:
+                    _emit(names, res, baseline, wire=wire,
+                          skipped=skp + fld
+                          + [n for n in names if n not in done],
+                          elapsed=time.perf_counter() - t0)
+                else:
+                    with _EMIT_LOCK:
+                        print(json.dumps({
+                            "metric": "none", "value": None,
+                            "unit": "samples/sec",
+                            "vs_baseline": None, "aborted": "watchdog",
+                        }), flush=True)
+            finally:
+                os._exit(0 if res else 1)
 
         threading.Thread(target=_watchdog, daemon=True).start()
     for name in names:
         elapsed = time.perf_counter() - t0
         remaining = None if deadline is None else deadline - time.perf_counter()
         # stream metrics dispatch per batch over the wire and can't finish
-        # meaningfully in under ~90 s (compile epoch + >=1 timed epoch)
-        floor = 90 if name.startswith("stream") else 0
+        # meaningfully in under ~60 s (small warmup + >=1 timed epoch)
+        floor = 60 if name.startswith("stream") else 0
+        if remaining is not None and not name.startswith("stream"):
+            # reserve a floor share of the budget for each wire tier
+            # still pending: BENCH_r04 spent the tail of the budget on
+            # the compute metrics and skipped stream_int8 outright — the
+            # tier the round's adoption decision needed. A non-stream
+            # metric that would start inside the reservation is skipped
+            # instead (its full-size numbers live in RESULTS.md).
+            streams_pending = sum(
+                1 for n in names
+                if n.startswith("stream") and n not in results
+            )
+            remaining -= 60.0 * streams_pending
         if remaining is not None and remaining < floor and results:
             skipped.append(name)
             print(f"# budget spent; skipping {name}", file=sys.stderr)

@@ -6,9 +6,29 @@ Optimizer parity: the reference uses torch Adam with default betas/(eps)
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import optax
 from flax.training import train_state
+
+
+@functools.cache
+def _jitted_maker(model, lr: float):
+    """One jitted constructor per (model, lr): building a fresh jax.jit
+    wrapper on every create_train_state call retraced the whole
+    init+optimizer program each time — hp sweeps and the test suite call
+    this hundreds of times. Flax modules are hashable frozen dataclasses,
+    so (model, lr) keys the cache; jit's own signature cache then handles
+    differing sample-input shapes."""
+
+    def _make(rng, x):
+        params = model.init(rng, x)["params"]
+        return train_state.TrainState.create(
+            apply_fn=model.apply, params=params, tx=optax.adam(lr)
+        )
+
+    return jax.jit(_make)
 
 
 def create_train_state(
@@ -21,10 +41,4 @@ def create_train_state(
     # bench's time-to-first-metric. Values are identical — JAX PRNG is
     # deterministic under jit. apply_fn/tx live in the TrainState's
     # static metadata, so returning it from jit is fine.
-    def _make(rng, x):
-        params = model.init(rng, x)["params"]
-        return train_state.TrainState.create(
-            apply_fn=model.apply, params=params, tx=optax.adam(lr)
-        )
-
-    return jax.jit(_make)(rng, sample_input)
+    return _jitted_maker(model, float(lr))(rng, sample_input)

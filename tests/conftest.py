@@ -102,9 +102,31 @@ SLOW_TESTS = frozenset({
 
 
 def pytest_collection_modifyitems(config, items):
+    collected = set()
+    collected_files = set()
     for item in items:
+        collected.add(item.nodeid)
+        collected_files.add(item.nodeid.split("::", 1)[0])
         if item.nodeid in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+    # Guard against list drift: a renamed/moved test would silently fall
+    # out of the slow tier (and its stale entry silently match nothing).
+    # Enforced per collected FILE so single-file runs still check their
+    # own entries without requiring the whole suite. This conftest hook
+    # runs before pytest's -m/-k deselection (that is also why the slow
+    # marker applied above is seen by `-m "not slow"`), so `items` is the
+    # full collected set here.
+    if any("::" in a for a in config.args):
+        return  # node-scoped invocation: files are partially collected
+    stale = sorted(
+        t for t in SLOW_TESTS
+        if t.split("::", 1)[0] in collected_files and t not in collected
+    )
+    if stale:
+        raise pytest.UsageError(
+            "conftest.SLOW_TESTS entries match no collected test "
+            "(renamed or removed? update the list): " + ", ".join(stale)
+        )
 
 
 @pytest.fixture(autouse=True)

@@ -177,3 +177,49 @@ def test_watchdog_emits_when_metric_wedges(tmp_path):
         assert proc.returncode == 1
     else:
         assert row["value"] > 0
+
+
+def test_rep_stats_rejects_stall_outliers():
+    """VERDICT r4 weak #4: a single tunnel-stalled rep (rate far below
+    the median) must not blow the reported spread — it is excluded from
+    min/max/spread and counted in stalled_reps."""
+    from bench import _rep_stats
+
+    med, stats = _rep_stats([17.0, 18.0, 17.5, 1.4, 21.5])
+    assert med == 17.75  # median of the 4 kept reps
+    assert stats["stalled_reps"] == 1
+    assert stats["min"] == 17.0 and stats["max"] == 21.5
+    assert stats["spread_pct"] < 30.0
+    assert stats["reps"] == 5
+
+    # no stall: identical to the plain stats, no stalled_reps key
+    med, stats = _rep_stats([10.0, 11.0, 12.0])
+    assert med == 11.0
+    assert "stalled_reps" not in stats
+    assert stats["min"] == 10.0 and stats["max"] == 12.0
+
+    # all-identical degenerate case stays sane
+    med, stats = _rep_stats([5.0])
+    assert med == 5.0 and stats["reps"] == 1
+
+
+def test_emit_carries_wire_normalized_stream_rate(capsys):
+    """VERDICT r4 next #7: stream rows carry samples_per_mbyte (rate
+    divided by the day's measured wire rate) so tunnel swings cancel
+    across rounds."""
+    import json
+
+    from bench import _emit
+
+    results = {
+        "aec": {"metric": "aec_train_samples_per_sec", "value": 100.0,
+                "reps": 1, "min": 100.0, "max": 100.0, "spread_pct": 0.0},
+        "stream": {"metric": "stream_train_samples_per_sec",
+                   "value": 40000.0, "reps": 1, "min": 40000.0,
+                   "max": 40000.0, "spread_pct": 0.0},
+    }
+    _emit(["aec", "stream"], results, baseline={}, wire=50.0)
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["extras"]["stream"]["samples_per_mbyte"] == 800.0
+    assert "samples_per_mbyte" not in row  # headline (aec) unnormalized
+    assert row["wire_mbytes_per_sec"] == 50.0
