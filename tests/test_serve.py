@@ -210,8 +210,11 @@ class TestTransferDtype:
         core.precision.quantize_wire): q within input-quantization
         tolerance of the f32 path, near-total label agreement (the
         1/127-of-absmax step can flip genuinely ambiguous boundary
-        windows under an untrained-adjacent encoder; convergence-level
-        parity is measured on-chip, RESULTS.md)."""
+        windows under an untrained-adjacent encoder). On-chip evidence:
+        benchmarks/RESULTS.md "Serving wire A/B" (r5: label agreement
+        1.0000 on a trained-model A/B, int8 2.19x f32 sustained) and
+        "int8 wire convergence" (workflow-scale streaming pretrain
+        parity, benchmarks/int8_stream_convergence_tpu.py)."""
         path, _, x, _, _ = trained
         f32 = serve.DECPredictor.from_checkpoint(
             path, n_clusters=3, max_batch=128
