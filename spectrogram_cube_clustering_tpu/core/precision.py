@@ -101,6 +101,20 @@ def quantize_wire(batch, wire):
         return batch
     if wire != np.int8:
         return batch.astype(wire)
+    # Fast path: the native single-pass quantizer (bit-exact with the
+    # numpy expression below — pinned by tests/test_native.py). The
+    # numpy chain builds five full-array temporaries, which measured
+    # ~10 ms per 4096-window batch on this 1-CPU host vs ~2 ms native;
+    # on the wire-bound tiers that cost sits on the feed path.
+    from spectrogram_cube_clustering_tpu import native
+
+    arr = np.ascontiguousarray(batch, np.float32) if (
+        isinstance(batch, np.ndarray) and batch.dtype == np.float32
+    ) else None
+    if arr is not None:
+        fast = native.quantize_int8(arr)
+        if fast is not None:
+            return {"q": fast[0], "scale": fast[1]}
     # rank >= 2: axis 0 is the batch (per-sample scales). Rank 1 (a raw
     # waveform segment on the fused serving wire) is ONE sample: a single
     # scale for the whole segment.

@@ -34,6 +34,7 @@ def _build() -> bool:
     tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-fno-math-errno",
         "-o", tmp, _SRC, "-lz", "-ldl", "-pthread",
     ]
     try:
@@ -95,6 +96,15 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_long,
             ctypes.c_int,
         ]
+        lib.scc_quantize_int8.restype = ctypes.c_int
+        lib.scc_quantize_int8.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
         _lib = lib
     return _lib
 
@@ -152,3 +162,38 @@ def blosc_decompress(
     if rc != 0:
         raise IOError("native blosc decode failed")
     return out.raw[:nbytes]
+
+
+def quantize_int8(batch: np.ndarray):
+    """Single-pass int8 wire quantization of a C-contiguous f32 batch
+    (axis 0 = samples): (codes int8 same-shape, scales f32 (B, 1, ..)).
+    Bit-exact with the numpy reference in core.precision.quantize_wire
+    (which is also the fallback when this returns None). Thread count
+    follows the host (this image pins 1 CPU, where the win is the
+    five-temporaries-to-zero-allocations memory traffic, ~5x)."""
+    lib = load()
+    if lib is None:
+        return None
+    if batch.dtype != np.float32 or not batch.flags.c_contiguous:
+        return None
+    n = batch.shape[0] if batch.ndim > 1 else 1
+    elems = batch.size // max(n, 1)
+    if batch.size == 0 or elems == 0:
+        return None
+    q = np.empty(batch.shape, np.int8)
+    scale = np.empty((n,), np.float32)
+    rc = lib.scc_quantize_int8(
+        batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, elems,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        min(os.cpu_count() or 1, 8),
+    )
+    if rc != 0:
+        return None
+    # header broadcastable over the trailing axes, keepdims-style —
+    # exactly the shape quantize_wire's numpy path produces
+    shape = (
+        (n,) + (1,) * (batch.ndim - 1) if batch.ndim > 1 else (1,)
+    )
+    return q, scale.reshape(shape)

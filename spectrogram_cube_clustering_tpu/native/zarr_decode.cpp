@@ -26,6 +26,8 @@
 // Set SCC_NO_LIBBLOSC=1 to force the from-scratch blosc parser (tests).
 
 #include <atomic>
+#include <cfloat>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -447,4 +449,98 @@ extern "C" int scc_blosc_decompress(const char* frame, long frame_len,
                                 static_cast<size_t>(out_len))
              ? 0
              : 1;
+}
+
+// ---------------------------------------------------------------------
+// int8 wire quantizer (fast path for core/precision.py::quantize_wire).
+//
+// Per-sample symmetric quantization: s_i = max(absmax_i/127, FLT_MIN),
+// q_ij = clip(rint(x_ij / s_i), -127, 127). Bit-exact with the numpy
+// reference path (f32 divide; round-half-to-even done with the
+// 2^23+2^22 magic-constant add/subtract, which equals rint exactly for
+// |v| <= ~127 — far inside its 2^22 validity range), so the native and
+// numpy encoders are interchangeable on multi-process feeds. The numpy
+// expression chains five full-array temporaries (~10 ms per
+// 4096x4x101 batch on this 1-CPU host); this runs two alloc-free
+// passes and vectorizes to ~0.7 ms. target_clones dispatches an AVX2
+// build at runtime so the checked-in .so stays safe on older x86.
+
+#if defined(__x86_64__) && defined(__has_attribute)
+#if __has_attribute(target_clones)
+#define SCC_CLONES __attribute__((target_clones("avx2", "default")))
+#endif
+#endif
+#ifndef SCC_CLONES
+#define SCC_CLONES
+#endif
+
+namespace {
+
+SCC_CLONES
+float sample_absmax(const float* xs, long n) {
+  // 8 independent accumulators: a single running max is a serial
+  // dependency chain the compiler must not reorder (NaN semantics), and
+  // measured 11x slower than this unrolled form (6.3 vs 0.56 ms per
+  // 1.65M elements). NaN inputs are outside the wire contract (numpy's
+  // np.max would propagate them; this form skips them) — quantizing
+  // non-finite batches is undefined either way.
+  float acc[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  long j = 0;
+  for (; j + 8 <= n; j += 8)
+    for (int k = 0; k < 8; ++k) {
+      float a = std::fabs(xs[j + k]);
+      acc[k] = acc[k] > a ? acc[k] : a;
+    }
+  float amax = 0.0f;
+  for (int k = 0; k < 8; ++k) amax = amax > acc[k] ? amax : acc[k];
+  for (; j < n; ++j) {
+    float a = std::fabs(xs[j]);
+    amax = amax > a ? amax : a;
+  }
+  return amax;
+}
+
+SCC_CLONES
+void sample_encode(const float* xs, long n, float scale, signed char* qs) {
+  const float magic = 12582912.0f;  // 2^23 + 2^22
+  for (long j = 0; j < n; ++j) {
+    float v = xs[j] / scale;
+    float r = (v + magic) - magic;  // round half to even, |v| < 2^22
+    r = r > 127.0f ? 127.0f : r;
+    r = r < -127.0f ? -127.0f : r;
+    qs[j] = static_cast<signed char>(r);
+  }
+}
+
+}  // namespace
+
+// ABI: int scc_quantize_int8(const float* x, long n_samples,
+//                            long sample_elems, signed char* q_out,
+//                            float* scale_out, int n_threads)
+extern "C" int scc_quantize_int8(const float* x, long n_samples,
+                                 long sample_elems, signed char* q_out,
+                                 float* scale_out, int n_threads) {
+  if (n_samples < 0 || sample_elems <= 0) return 1;
+  std::atomic<long> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      long i = next.fetch_add(1);
+      if (i >= n_samples) return;
+      const float* xs = x + i * sample_elems;
+      float scale = sample_absmax(xs, sample_elems) / 127.0f;
+      if (scale < FLT_MIN) scale = FLT_MIN;  // numpy: np.finfo(f32).tiny
+      scale_out[i] = scale;
+      sample_encode(xs, sample_elems, scale, q_out + i * sample_elems);
+    }
+  };
+  long spawn = n_threads < 1 ? 1 : n_threads;
+  if (spawn > n_samples) spawn = n_samples > 0 ? n_samples : 1;
+  if (spawn <= 1) {
+    worker();
+    return 0;
+  }
+  std::vector<std::thread> pool;
+  for (long t = 0; t < spawn; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return 0;
 }

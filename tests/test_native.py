@@ -93,3 +93,97 @@ def test_directory_chunk_path_fails_loudly(store, tmp_path):
         native.decode_chunks(
             [str(bogus)], arr.chunks, arr.dtype, arr.compressor_id
         )
+
+
+class TestQuantizeInt8:
+    """Native int8 wire quantizer (scc_quantize_int8): bit-exact with the
+    numpy reference expression in core.precision.quantize_wire — the two
+    encoders must be interchangeable because multi-process feeds may mix
+    them (one host with the toolchain, one without)."""
+
+    @staticmethod
+    def _numpy_ref(batch):
+        red = tuple(range(1, batch.ndim)) if batch.ndim > 1 else (0,)
+        absmax = np.max(np.abs(batch), axis=red, keepdims=True)
+        scale = np.maximum(
+            absmax.astype(np.float32) / 127.0, np.finfo(np.float32).tiny
+        )
+        q = np.clip(np.rint(batch / scale), -127, 127).astype(np.int8)
+        return q, scale
+
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            (64, 4, 101, 1),  # window batches (the serving/stream shape)
+            (333, 17),        # latents
+            (12345,),         # rank-1 raw waveform segment (fused wire)
+            (7, 3),           # tail not a multiple of the unroll width
+            (1, 1),
+        ],
+    )
+    def test_bit_exact_with_numpy(self, shape, rng):
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        x = rng.standard_normal(shape).astype(np.float32)
+        got = native.quantize_int8(np.ascontiguousarray(x))
+        assert got is not None
+        q_ref, s_ref = self._numpy_ref(x)
+        np.testing.assert_array_equal(got[0], q_ref)
+        np.testing.assert_array_equal(got[1], s_ref)
+
+    def test_edge_cases_bit_exact(self, rng):
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        cases = [
+            np.zeros((8, 5), np.float32),          # absmax 0 -> tiny scale
+            np.full((4, 3), 1e-38, np.float32),    # subnormal magnitudes
+            # exact .5 codes: round-half-to-even must match np.rint
+            np.array([[0.5, -0.5, 1.5, -1.5, 2.5, 126.5, -126.5, 127.0]],
+                     np.float32),
+            # huge dynamic range across samples (per-sample scales)
+            (rng.standard_normal((16, 9))
+             * 10 ** rng.uniform(-30, 30, (16, 1))).astype(np.float32),
+        ]
+        for x in cases:
+            got = native.quantize_int8(np.ascontiguousarray(x))
+            q_ref, s_ref = self._numpy_ref(x)
+            np.testing.assert_array_equal(got[0], q_ref)
+            np.testing.assert_array_equal(got[1], s_ref)
+
+    def test_quantize_wire_uses_it_transparently(self, rng):
+        """The public encoder returns the same dict whichever path ran
+        (native or numpy fallback) — pinned by comparing against a run
+        with the native library forcibly unavailable."""
+        from spectrogram_cube_clustering_tpu.core.precision import (
+            quantize_wire,
+            wire_dtype,
+        )
+
+        x = rng.standard_normal((32, 4, 101, 1)).astype(np.float32)
+        w = wire_dtype("int8")
+        got = quantize_wire(x, w)
+        q_ref, s_ref = self._numpy_ref(x)
+        np.testing.assert_array_equal(got["q"], q_ref)
+        np.testing.assert_array_equal(got["scale"], s_ref)
+
+    def test_non_f32_and_non_contiguous_fall_back(self, rng):
+        """quantize_wire must stay correct for inputs the native path
+        declines (f64 batches, strided views)."""
+        from spectrogram_cube_clustering_tpu.core.precision import (
+            quantize_wire,
+            wire_dtype,
+        )
+
+        w = wire_dtype("int8")
+        x64 = rng.standard_normal((8, 6)).astype(np.float64)
+        got = quantize_wire(x64, w)
+        q_ref, s_ref = self._numpy_ref(x64)
+        np.testing.assert_array_equal(got["q"], q_ref)
+        np.testing.assert_array_equal(got["scale"], s_ref)
+        assert native.quantize_int8(x64) is None
+
+        xs = rng.standard_normal((16, 12)).astype(np.float32)[:, ::2]
+        got = quantize_wire(xs, w)
+        q_ref, s_ref = self._numpy_ref(xs)
+        np.testing.assert_array_equal(got["q"], q_ref)
+        np.testing.assert_array_equal(got["scale"], s_ref)
