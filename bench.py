@@ -668,6 +668,12 @@ def _emit_locked(ordered_names, results, baseline, wire=None, skipped=(),
             k: head[k] for k in ("reps", "min", "max", "spread_pct")
         },
     }
+    if "stalled_reps" in head:
+        out["spread"]["stalled_reps"] = head["stalled_reps"]
+    if "samples_per_mbyte" in head:
+        # single-metric stream runs: the normalized figure must survive
+        # into the head row, not just the extras rows
+        out["samples_per_mbyte"] = head["samples_per_mbyte"]
     extras = {
         n: r for n, r in results.items() if r["metric"] != head["metric"]
     }

@@ -223,3 +223,22 @@ def test_emit_carries_wire_normalized_stream_rate(capsys):
     assert row["extras"]["stream"]["samples_per_mbyte"] == 800.0
     assert "samples_per_mbyte" not in row  # headline (aec) unnormalized
     assert row["wire_mbytes_per_sec"] == 50.0
+
+
+def test_emit_head_row_carries_normalization_and_stalls(capsys):
+    """A single-metric stream run's HEAD row must carry samples_per_mbyte
+    (and stalled_reps when present) — not only the extras rows."""
+    import json
+
+    from bench import _emit
+
+    results = {
+        "stream_int8": {"metric": "stream_int8_train_samples_per_sec",
+                        "value": 50000.0, "reps": 3, "min": 40000.0,
+                        "max": 60000.0, "spread_pct": 40.0,
+                        "stalled_reps": 1},
+    }
+    _emit(["stream_int8"], results, baseline={}, wire=20.0)
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["samples_per_mbyte"] == 2500.0
+    assert row["spread"]["stalled_reps"] == 1
