@@ -810,18 +810,29 @@ def main():
                     f"for {margin:.0f}s (wedged tunnel RPC?); emitting "
                     "partial table", file=sys.stderr,
                 )
-                if res:
-                    _emit(names, res, baseline, wire=wire,
-                          skipped=skp + fld
-                          + [n for n in names if n not in done],
-                          elapsed=time.perf_counter() - t0)
-                else:
-                    with _EMIT_LOCK:
+                # time-bounded lock acquisition: if the main thread is
+                # itself wedged INSIDE _emit (a full stdout pipe blocks
+                # print), waiting forever here would defeat the exit
+                # guarantee — after 10 s, emit unguarded and accept the
+                # interleaving risk
+                got = _EMIT_LOCK.acquire(timeout=10)
+                try:
+                    if res:
+                        _emit_locked(
+                            names, {n: dict(r) for n, r in res.items()},
+                            baseline, wire=wire,
+                            skipped=skp + fld
+                            + [n for n in names if n not in done],
+                            elapsed=time.perf_counter() - t0)
+                    else:
                         print(json.dumps({
                             "metric": "none", "value": None,
                             "unit": "samples/sec",
                             "vs_baseline": None, "aborted": "watchdog",
                         }), flush=True)
+                finally:
+                    if got:
+                        _EMIT_LOCK.release()
             finally:
                 os._exit(0 if res else 1)
 
