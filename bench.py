@@ -72,8 +72,9 @@ def _rep_stats(rates):
     one stalled stft rep read 1.4 G against a 17.7 G median and blew the
     reported spread to 113%). Such reps are excluded from the reported
     min/max/spread and counted in `stalled_reps`; the median itself is
-    computed over the kept reps (for an odd rep count with <=1 stall the
-    kept-median equals the all-rep median, so headline continuity holds).
+    computed over the KEPT reps, so when a stall is rejected the
+    headline can shift slightly (e.g. odd->even kept count averages the
+    middle pair) — by construction toward the unstalled rate.
     """
     rates = sorted(float(r) for r in rates)
     med_all = _median(rates)
@@ -411,13 +412,10 @@ def measure_stream_throughput(
     # compile + loader warmup on ONE full-size batch instead of a whole
     # epoch: the warmup epoch used to cost as much wire as a timed epoch
     # (~12% of the tier on a slow day), and the compiled step only needs
-    # its batch shape seen once. If the sample count doesn't fill a
-    # batch, the full (=partial) epoch is the warmup.
+    # its batch shape seen once — the loader zero-pads every trailing
+    # batch to batch_size (prefetch.py batches_host), so one shape
+    # covers ragged sample counts too.
     warm_items = min(n_items, -(-batch_size // item))
-    if (n_items * item) % batch_size:
-        # ragged tail batch has its own compiled shape: warm the whole
-        # epoch so no compile lands inside a timed epoch
-        warm_items = n_items
     state, loss = one_epoch(state, items=warm_items)
     rates = []
     for _ in range(reps):
@@ -803,36 +801,38 @@ def main():
             # this watchdog exists to prevent).
             res = dict(results)
             skp, fld = list(skipped), list(failed)
-            try:
-                done = set(res) | set(skp) | set(fld)
+
+            def _do_emit():
                 print(
                     "# watchdog: budget hard-overrun with no progress "
                     f"for {margin:.0f}s (wedged tunnel RPC?); emitting "
                     "partial table", file=sys.stderr,
                 )
-                # time-bounded lock acquisition: if the main thread is
-                # itself wedged INSIDE _emit (a full stdout pipe blocks
-                # print), waiting forever here would defeat the exit
-                # guarantee — after 10 s, emit unguarded and accept the
-                # interleaving risk
-                got = _EMIT_LOCK.acquire(timeout=10)
-                try:
-                    if res:
-                        _emit_locked(
-                            names, {n: dict(r) for n, r in res.items()},
-                            baseline, wire=wire,
-                            skipped=skp + fld
-                            + [n for n in names if n not in done],
-                            elapsed=time.perf_counter() - t0)
-                    else:
+                done = set(res) | set(skp) | set(fld)
+                if res:
+                    _emit(names, {n: dict(r) for n, r in res.items()},
+                          baseline, wire=wire,
+                          skipped=skp + fld
+                          + [n for n in names if n not in done],
+                          elapsed=time.perf_counter() - t0)
+                else:
+                    with _EMIT_LOCK:
                         print(json.dumps({
                             "metric": "none", "value": None,
                             "unit": "samples/sec",
                             "vs_baseline": None, "aborted": "watchdog",
                         }), flush=True)
-                finally:
-                    if got:
-                        _EMIT_LOCK.release()
+
+            try:
+                # emission runs in ITS OWN daemon thread with a bounded
+                # join: if stdout itself is wedged (full pipe — which
+                # also means the main thread may be stuck inside _emit
+                # holding the lock), the emit thread blocks but this
+                # thread still reaches os._exit. The cumulative lines
+                # already on stdout remain the partial capture.
+                emitter = threading.Thread(target=_do_emit, daemon=True)
+                emitter.start()
+                emitter.join(timeout=15)
             finally:
                 os._exit(0 if res else 1)
 

@@ -24,6 +24,7 @@ _LIB = os.path.join(_HERE, "_zarr_decode.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _failed = False
+_has_quantize = False
 
 
 def _build() -> bool:
@@ -96,15 +97,25 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_long,
             ctypes.c_int,
         ]
-        lib.scc_quantize_int8.restype = ctypes.c_int
-        lib.scc_quantize_int8.argtypes = [
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_long,
-            ctypes.c_long,
-            ctypes.POINTER(ctypes.c_int8),
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int,
-        ]
+        try:
+            # a prebuilt .so from before this symbol existed (packaged
+            # deploys keep binaries without source, see the staleness
+            # probe above) must not break the whole library: the
+            # quantizer consumers fall back to numpy, everything else
+            # keeps its native path
+            lib.scc_quantize_int8.restype = ctypes.c_int
+            lib.scc_quantize_int8.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+            ]
+            global _has_quantize
+            _has_quantize = True
+        except AttributeError:
+            _has_quantize = False
         _lib = lib
     return _lib
 
@@ -172,7 +183,7 @@ def quantize_int8(batch: np.ndarray):
     follows the host (this image pins 1 CPU, where the win is the
     five-temporaries-to-zero-allocations memory traffic, ~5x)."""
     lib = load()
-    if lib is None:
+    if lib is None or not _has_quantize:
         return None
     if batch.dtype != np.float32 or not batch.flags.c_contiguous:
         return None

@@ -13,14 +13,17 @@ import optax
 from flax.training import train_state
 
 
-@functools.cache
+@functools.lru_cache(maxsize=32)
 def _jitted_maker(model, lr: float):
     """One jitted constructor per (model, lr): building a fresh jax.jit
     wrapper on every create_train_state call retraced the whole
     init+optimizer program each time — hp sweeps and the test suite call
     this hundreds of times. Flax modules are hashable frozen dataclasses,
     so (model, lr) keys the cache; jit's own signature cache then handles
-    differing sample-input shapes."""
+    differing sample-input shapes. Bounded (LRU 32): each entry pins its
+    jit wrapper + compiled executables + model instance for the process
+    lifetime, and a long sweep over many lr values must not accumulate
+    them without eviction."""
 
     def _make(rng, x):
         params = model.init(rng, x)["params"]

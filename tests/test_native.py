@@ -187,3 +187,20 @@ class TestQuantizeInt8:
         q_ref, s_ref = self._numpy_ref(xs)
         np.testing.assert_array_equal(got["q"], q_ref)
         np.testing.assert_array_equal(got["scale"], s_ref)
+
+    def test_missing_symbol_falls_back_to_numpy(self, rng, monkeypatch):
+        """A prebuilt .so from before scc_quantize_int8 existed must not
+        break the library: quantize_int8 returns None (numpy fallback in
+        quantize_wire) while the zarr decoders keep their native path."""
+        from spectrogram_cube_clustering_tpu.core.precision import (
+            quantize_wire,
+            wire_dtype,
+        )
+
+        monkeypatch.setattr(native, "_has_quantize", False)
+        x = rng.standard_normal((8, 6)).astype(np.float32)
+        assert native.quantize_int8(x) is None
+        got = quantize_wire(x, wire_dtype("int8"))
+        q_ref, s_ref = self._numpy_ref(x)
+        np.testing.assert_array_equal(got["q"], q_ref)
+        np.testing.assert_array_equal(got["scale"], s_ref)
