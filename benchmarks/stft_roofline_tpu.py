@@ -13,10 +13,15 @@ MXU). This script measures:
   a. bare matmul TFLOPS at kernel geometry, precision=HIGHEST
   b. the same at precision=DEFAULT (what giving up parity would buy)
   c. the shipped kernel's effective TFLOPS (from its samples/s)
+  d. bare f32 GEMMs at the packed model's naive implicit-GEMM conv
+     shape (+ lane-full and square references) — the packed-train-step
+     corollary: the shipped step's 26.6 effective TFLOPS already beats
+     the naive formulation of its own dominant op, so a hand GEMM-shaped
+     training kernel is a regression risk, not headroom
 
 and prints the kernel's fraction of its measured ceiling — the number
 that says whether more kernel engineering can pay without a precision
-trade already rejected.
+trade already rejected. Results recorded in RESULTS.md "STFT roofline".
 
 Timing: two-point dependency chains (L vs 2L) with value fetches —
 the tunnel memoizes identical executes and block_until_ready is not a
@@ -43,6 +48,7 @@ HOP = 100
 NFREQ_PAD = 128
 ROWS = 40_000  # ~ one grid body's worth of rows x many, amortized
 REPS = 5
+MM_REPS = 7
 
 
 def _median(v):
@@ -51,15 +57,14 @@ def _median(v):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def measure_matmul(precision, chain=60):
-    """TFLOPS of (ROWS, HOP) @ (HOP, NFREQ_PAD) at the given precision,
-    two-point chain timing."""
+def measure_matmul(precision, chain=240, m=ROWS, k=HOP, n=NFREQ_PAD):
+    """TFLOPS of a bare (m, k) @ (k, n) f32 dot at the given precision,
+    two-point chain timing. Defaults to the STFT kernel's geometry."""
     a = jnp.asarray(
-        np.random.default_rng(0).standard_normal((ROWS, HOP)), jnp.float32
+        np.random.default_rng(0).standard_normal((m, k)), jnp.float32
     )
     b = jnp.asarray(
-        np.random.default_rng(1).standard_normal((HOP, NFREQ_PAD)),
-        jnp.float32,
+        np.random.default_rng(1).standard_normal((k, n)), jnp.float32
     )
 
     def make(length):
@@ -71,7 +76,12 @@ def measure_matmul(precision, chain=60):
                     ac, b, preferred_element_type=jnp.float32,
                     precision=precision,
                 )
-                dep = y[0, 0] * 1e-30
+                # FULL-output reduction: a scalar-slice dependency
+                # (y[0, 0]) lets XLA slice-DCE the dot down to one row —
+                # observed as impossible 1e9-TFLOPS readings on large
+                # shapes and as an artificially LOW DEFAULT reading at
+                # this one. jnp.sum forces the whole product.
+                dep = jnp.sum(y) * 1e-30
                 ac = ac.at[0, 0].add(dep + salt + 1.0)
                 return (ac, acc + dep), None
 
@@ -85,9 +95,9 @@ def measure_matmul(precision, chain=60):
     c1, c2 = make(chain), make(2 * chain)
     float(c1(a, jnp.float32(0.0)))
     float(c2(a, jnp.float32(0.0)))
-    flop = 2 * ROWS * HOP * NFREQ_PAD * chain
+    flop = 2 * m * k * n * chain
     rates = []
-    for r in range(REPS):
+    for r in range(MM_REPS):
         salt = jnp.float32(1.0 + r)
         t0 = time.perf_counter()
         float(c1(a, salt))
@@ -96,16 +106,35 @@ def measure_matmul(precision, chain=60):
         float(c2(a, salt + 0.5))
         t2 = time.perf_counter() - t0
         rates.append(flop / max(t2 - t1, 1e-9) / 1e12)
-    return _median(rates)
+    # stall-trimmed median (bench._rep_stats): a single tunnel stall
+    # inside a ~25 ms timed delta halves that rep's apparent rate —
+    # observed 10.4-vs-20.8-TFLOPS swings between whole runs before
+    # trimming + longer chains
+    from bench import _rep_stats
+
+    med, spread = _rep_stats(rates)
+    return med, spread
 
 
 def main():
     out = {"platform": jax.devices()[0].platform}
-    out["matmul_highest_tflops"] = round(
-        measure_matmul(jax.lax.Precision.HIGHEST), 2
+    hi, hi_spread = measure_matmul(jax.lax.Precision.HIGHEST)
+    out["matmul_highest_tflops"] = round(hi, 2)
+    out["matmul_highest_spread"] = hi_spread
+    de, de_spread = measure_matmul(jax.lax.Precision.DEFAULT)
+    out["matmul_default_tflops"] = round(de, 2)
+    out["matmul_default_spread"] = de_spread
+    # packed-step corollary: the naive implicit-GEMM shape of the packed
+    # model's dominant conv, a lane-full variant, and a square reference
+    default = jax.lax.Precision.DEFAULT
+    out["gemm_packed_conv_tflops"] = round(
+        measure_matmul(default, chain=120, m=319488, k=256, n=32)[0], 2
     )
-    out["matmul_default_tflops"] = round(
-        measure_matmul(jax.lax.Precision.DEFAULT), 2
+    out["gemm_lane_full_tflops"] = round(
+        measure_matmul(default, chain=120, m=319488, k=256, n=128)[0], 2
+    )
+    out["gemm_square_tflops"] = round(
+        measure_matmul(default, chain=120, m=65536, k=512, n=512)[0], 2
     )
 
     # shipped kernel throughput on the same chip, same harness as bench
