@@ -51,12 +51,6 @@ REPS = 5
 MM_REPS = 7
 
 
-def _median(v):
-    s = sorted(v)
-    n = len(s)
-    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
-
-
 def measure_matmul(precision, chain=240, m=ROWS, k=HOP, n=NFREQ_PAD):
     """TFLOPS of a bare (m, k) @ (k, n) f32 dot at the given precision,
     two-point chain timing. Defaults to the STFT kernel's geometry."""
@@ -105,7 +99,14 @@ def measure_matmul(precision, chain=240, m=ROWS, k=HOP, n=NFREQ_PAD):
         t0 = time.perf_counter()
         float(c2(a, salt + 0.5))
         t2 = time.perf_counter() - t0
-        rates.append(flop / max(t2 - t1, 1e-9) / 1e12)
+        if t2 - t1 <= 1e-6:
+            # a stall during the SHORT chain makes t1 > t2: clamping
+            # would mint an absurd high-outlier rate that the low-side
+            # stall trim below cannot reject — drop the rep instead
+            continue
+        rates.append(flop / (t2 - t1) / 1e12)
+    if not rates:
+        return float("nan"), {"reps": 0}
     # stall-trimmed median (bench._rep_stats): a single tunnel stall
     # inside a ~25 ms timed delta halves that rep's apparent rate —
     # observed 10.4-vs-20.8-TFLOPS swings between whole runs before

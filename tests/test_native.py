@@ -197,6 +197,12 @@ class TestQuantizeInt8:
             wire_dtype,
         )
 
+        # load() must run BEFORE the monkeypatch: it (re)sets
+        # _has_quantize, which would both defeat the patch and leave the
+        # flag stuck False for later tests after teardown restored a
+        # pre-load snapshot
+        if native.load() is None:
+            pytest.skip("native toolchain unavailable")
         monkeypatch.setattr(native, "_has_quantize", False)
         x = rng.standard_normal((8, 6)).astype(np.float32)
         assert native.quantize_int8(x) is None
