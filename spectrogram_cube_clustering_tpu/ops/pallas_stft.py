@@ -84,7 +84,7 @@ def _windowed_dft_bases(nperseg: int, hop: int, nfreq_pad: int):
 
 
 def _stft_kernel(rowsA_ref, rowsB_ref, cos_ref, sin_ref, out_ref, *,
-                 ratio, hop, eps):
+                 ratio, hop, eps, precision=None):
     # rowsA: (fpb, hop) hop-sample waveform rows; rowsB: (halo, hop) the
     # next halo rows of the SAME array (frame f spans rows f..f+ratio-1,
     # so the block's last frames read past its own rows); cos/sin:
@@ -96,6 +96,9 @@ def _stft_kernel(rowsA_ref, rowsB_ref, cos_ref, sin_ref, out_ref, *,
     # (DC/Nyquist under a Hann window), where the MXU's default bf16
     # multiplies show up as O(1) errors on the log10 scale.
     fpb, nf = out_ref.shape
+    prec = (
+        jax.lax.Precision.HIGHEST if precision is None else precision
+    )
     rows_cat = jnp.concatenate([rowsA_ref[:], rowsB_ref[:]], axis=0)
     c = jnp.zeros((fpb, cos_ref.shape[2]), jnp.float32)
     s = jnp.zeros_like(c)
@@ -103,12 +106,12 @@ def _stft_kernel(rowsA_ref, rowsB_ref, cos_ref, sin_ref, out_ref, *,
         yc = jnp.dot(
             rows_cat, cos_ref[j, :hop, :],
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         ys = jnp.dot(
             rows_cat, sin_ref[j, :hop, :],
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         c += yc[j : j + fpb]
         s += ys[j : j + fpb]
@@ -152,7 +155,8 @@ def _make_call(kernel, n_blocks, fpb, halo, hop, ratio, nfreq, nfreq_pad,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nperseg", "hop", "log", "eps", "frames_per_block", "interpret"
+        "nperseg", "hop", "log", "eps", "frames_per_block", "interpret",
+        "precision",
     ),
 )
 def spectrogram_pallas(
@@ -163,12 +167,34 @@ def spectrogram_pallas(
     eps: float = 1e-12,
     frames_per_block: int = 512,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Fused log-power spectrogram: (..., T) -> (..., n_frames, nfreq).
 
     Semantics identical to signal.stft.spectrogram. Requires
     nperseg % hop == 0 and hop <= 128 (hop-chunk layout).
+
+    `precision` is an explicit opt-in surface, NOT a tuning knob:
+
+    - "highest" (default): f32-exact MXU dots; parity with the oracle to
+      the documented 3e-4 contract. EVERY product path uses this.
+    - "default": the MXU's native reduced-precision multiplies. The
+      roofline measurement (RESULTS.md "STFT roofline") shows the
+      HIGHEST emulation is what caps the kernel (its bare-dot ceiling
+      runs >=4x faster at DEFAULT), but DEFAULT shows O(1) log10 errors
+      at near-zero DC/Nyquist bins (catastrophic cancellation) — callers
+      must tolerate loose spectrograms and own that decision. Measured
+      consequences on chip: throughput and a workflow-scale clustering
+      A/B are recorded in RESULTS.md "Loose-precision STFT variant".
     """
+    if precision not in ("highest", "default"):
+        raise ValueError(
+            f"precision must be 'highest' or 'default', got {precision!r}"
+        )
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
     if nperseg % hop != 0:
         raise ValueError("pallas STFT requires nperseg % hop == 0")
     if hop > LANE:
@@ -191,7 +217,9 @@ def spectrogram_pallas(
     # multiple sublane DMA lengths fault at runtime on v5e)
     halo = _round_up(max(ratio - 1, 1), SUBLANE)
     fpb = _round_up(frames_per_block, halo)
-    kernel = functools.partial(_stft_kernel, ratio=ratio, hop=hop, eps=eps)
+    kernel = functools.partial(
+        _stft_kernel, ratio=ratio, hop=hop, eps=eps, precision=prec
+    )
 
     rows_avail = t // hop
     n_main = max((rows_avail - halo) // fpb, 0)

@@ -127,6 +127,7 @@ def spectrogram_windows(
     use_pallas: Optional[bool] = None,
     platform: Optional[str] = None,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Raw waveform(s) -> model-ready windows (N, window_rows, n_freq, 1).
 
@@ -138,6 +139,13 @@ def spectrogram_windows(
     target devices' platform when they differ from the process default),
     and `interpret=True` runs the kernel in interpret mode (the off-TPU
     path — a compiled Mosaic kernel crashes on CPU backends).
+
+    `precision="default"` opts the Pallas kernel into the MXU's native
+    reduced-precision dots: 2.6x kernel throughput, clustering-outcome
+    parity measured at workflow scale, but O(1) log-scale errors at
+    near-zero bins — for clustering-feature pipelines only, never for
+    spectrogram-value consumers (RESULTS.md "Loose-precision STFT
+    variant"; ignored on the rfft path, which is f32 exact).
     """
     from spectrogram_cube_clustering_tpu.ops.normalize import make_normalizer
 
@@ -149,7 +157,8 @@ def spectrogram_windows(
         )
 
         spec = spectrogram_pallas(
-            x, nperseg=nperseg, hop=hop, interpret=interpret
+            x, nperseg=nperseg, hop=hop, interpret=interpret,
+            precision=precision,
         )
     else:
         spec = spectrogram(x, nperseg=nperseg, hop=hop)

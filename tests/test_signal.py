@@ -170,6 +170,36 @@ class TestSTFT:
         )
         np.testing.assert_allclose(got, ref, atol=2e-3)
 
+    def test_spectrogram_windows_loose_precision_optin(self, rng):
+        """precision="default" (the opt-in loose variant, RESULTS.md
+        "Loose-precision STFT variant") flows through to the kernel: same
+        shapes/normalization; on CPU interpret mode DEFAULT dots are f32
+        anyway so values match the parity path exactly. Bogus values are
+        rejected at the kernel boundary."""
+        import pytest
+
+        x = rng.normal(size=(5_000,)).astype(np.float32)
+        ref = np.asarray(
+            signal.spectrogram_windows(
+                jnp.asarray(x), use_pallas=True, interpret=True
+            )
+        )
+        got = np.asarray(
+            signal.spectrogram_windows(
+                jnp.asarray(x), use_pallas=True, interpret=True,
+                precision="default",
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+        from spectrogram_cube_clustering_tpu.ops.pallas_stft import (
+            spectrogram_pallas,
+        )
+
+        with pytest.raises(ValueError, match="precision"):
+            spectrogram_pallas(
+                jnp.asarray(x), interpret=True, precision="loose"
+            )
+
     def test_pallas_eligible_bounds_basis_vmem(self):
         """The resident hop-chunked bases (2*ratio*128*nfreq_pad f32)
         must fit the VMEM budget; nperseg=512/hop=8 needs ~25 MiB of
